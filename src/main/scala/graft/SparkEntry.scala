@@ -1,13 +1,46 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the large-scale
+  * extension operators) is exposed as a named query over the driver's parquet
+  * tables; each SQL-expressible query has a DuckDB oracle twin with matching
+  * column names, types, and row order.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q19ProgressReport(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_grouped_sum"         -> (Relational.q01GroupedSum _),
+    "q02_broadcast_join"      -> (Relational.q02BroadcastJoin _),
+    "q03_fact_join"           -> (Relational.q03FactJoin _),
+    "q04_anti_join"           -> (Relational.q04AntiJoin _),
+    "q05_left_outer_coalesce" -> (Relational.q05LeftOuterCoalesce _),
+    "q06_correlated_null"     -> (Relational.q06CorrelatedNull _),
+    "q07_latest_value"        -> (Relational.q07LatestValue _),
+    "q08_row_number"          -> (Relational.q08RowNumber _),
+    "q09_running_total"       -> (Relational.q09RunningTotal _),
+    "q10_union_header"        -> (Relational.q10UnionHeader _),
+    "q11_date_parts"          -> (Relational.q11DateParts _),
+    "q12_date_sequence"       -> (Relational.q12DateSequence _),
+    "q13_change_detection"    -> (Relational.q13ChangeDetection _),
+    "q14_upsert"              -> (Relational.q14Upsert _),
+    "q15_explode_array"       -> (Relational.q15ExplodeArray _),
+    "q16_json_extract"        -> (Relational.q16JsonExtract _),
+    "q17_date_between"        -> (Relational.q17DateBetween _),
+    "q18_topk"                -> (Relational.q18TopK _),
+    "q19_progress_report"     -> (Relational.q19ProgressReport _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] = RelationalOracles.sql
 }

@@ -1,0 +1,308 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Reference-parity relational operators (SURVEY.md §2) demonstrated on the
+  * driver's TPC-H-ish tables. Every query here has a DuckDB oracle twin in
+  * [[graft.SparkEntry.oracleSql]]; column names, types, and row order are kept
+  * in exact agreement with the oracle.
+  *
+  * Cross-engine numeric-stability policy:
+  *   - Money columns (2-decimal doubles) are aggregated as exact integer cents
+  *     (`CAST(round(x*100) AS BIGINT)`) wherever a rounded or truncated result
+  *     could flip on a last-ulp difference between Spark's and DuckDB's
+  *     floating-point summation order.
+  *   - double→int casts: Spark's cast truncates toward zero (like SQLite, see
+  *     reference sql.py:222-228 CAST semantics); DuckDB's cast rounds, so the
+  *     oracles spell `CAST(trunc(x) AS INTEGER)`.
+  *   - No raw timestamp output columns (formatted strings instead): Spark
+  *     writes instant-semantics timestamps while DuckDB yields naive ones.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact integer cents from a 2-decimal money double. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  // --------------------------------------------------------------------------
+  // A1: grouped SUM ×n (reference sql.py:240-245 — the Meals nutrient rollup).
+  def q01GroupedSum(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // J1: inner equi-join with a small broadcast build side (sql.py:230).
+  def q02BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("nation")
+      .join(broadcast(t(s, dir)("region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("nations"))
+      .orderBy(col("r_name"))
+
+  // J2: composite-key fact join + rollup (sql.py:265 shape).
+  def q03FactJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  // J3/D2-shape: anti join — keys present on one side only (tasks.py:383-405).
+  def q04AntiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .join(t(s, dir)("orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // J4 + A3: left-outer point lookup with COALESCE default (sql.py:222).
+  def q05LeftOuterCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val spent = t(s, dir)("orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(cents(col("o_totalprice"))).as("sc"))
+    t(s, dir)("customer")
+      .join(spent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        coalesce(col("cnt"), lit(0L)).as("order_count"),
+        round(coalesce(col("sc"), lit(0L)) / 100.0, 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // A4: correlated scalar SUM with NO default — NULL propagation is
+  // load-bearing (sql.py:225,234): customers with no orders drop out.
+  def q06CorrelatedNull(s: SparkSession, dir: String): DataFrame = {
+    val spent = t(s, dir)("orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("sc"))
+    t(s, dir)("customer")
+      .join(spent, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(
+        col("c_custkey"),
+        round((cents(col("c_acctbal")) - col("sc")) / 100.0, 2).as("deficit"))
+      .where(col("deficit").isNotNull)
+      .orderBy(col("c_custkey"))
+  }
+
+  // A2/O1: latest-value-per-key lookup (sql.py:201 latest weight).
+  def q07LatestValue(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    t(s, dir)("orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("latest_orderkey"),
+        col("o_totalprice").as("latest_price"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // W1: ROW_NUMBER day-numbering (sql.py:208) — partitioned by user so the
+  // plan scales (SURVEY §4.3 hazard 1).
+  def q08RowNumber(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir)("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("day_number"))
+      .orderBy(col("o_custkey"), col("day_number"))
+  }
+
+  // W2 + F5 + F4: running total with ROUND + truncating CAST (sql.py:226-228).
+  // Summed as exact integer cents so the rounded result can't flip on
+  // summation order.
+  def q09RunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir)("orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        (round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 0))
+          .cast("int").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // U1: UNION ALL of a literal header row with stringified data rows
+  // (sql.py:246-254 — SQLite typelessness reproduced with explicit casts).
+  def q10UnionHeader(s: SparkSession, dir: String): DataFrame = {
+    val header = s.range(1).select(
+      lit(0).as("ord"),
+      lit("o_orderkey").as("k"),
+      lit("o_orderstatus").as("status"))
+    val rows = t(s, dir)("orders").select(
+      lit(1).as("ord"),
+      col("o_orderkey").cast("string").as("k"),
+      col("o_orderstatus").as("status"))
+    header.unionAll(rows).orderBy(col("ord"), col("k"))
+  }
+
+  // F1/F2/F11: date-part extraction and dd-MMM-yyyy / EEE formatting
+  // (sql.py:209-213, 257 — the SUBSTR month-name trick, done natively).
+  def q11DateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        date_format(col("o_orderdate"), "dd-MMM-yyyy").as("date_label"),
+        date_format(col("o_orderdate"), "EEE").as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  // D13: inclusive date-range generator (tasks.py:283-307) — sequence+explode
+  // over the table's own min/max day.
+  def q12DateSequence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .agg(
+        to_date(min(col("o_orderdate"))).as("d0"),
+        to_date(max(col("o_orderdate"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .orderBy(col("day"))
+
+  // D2/J3: change-detection anti-join on FULL record equality, not just the
+  // key (tasks.py:402) — modified rows surface, identical rows don't.
+  def q13ChangeDetection(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir)("orders").select(col("o_orderkey"), col("o_totalprice"))
+    val incoming = base.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 100 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")).as("o_totalprice"))
+    incoming
+      .join(base, Seq("o_orderkey", "o_totalprice"), "left_anti")
+      .select(col("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // M1: keyed upsert — new rows override old on the PK, others survive
+  // (sql.py:151-154 INSERT OR REPLACE), expressed as anti-join ∪ new.
+  def q14Upsert(s: SparkSession, dir: String): DataFrame = {
+    val old = t(s, dir)("orders").select(col("o_orderkey"), col("o_totalprice"))
+    val incoming = old
+      .where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    val kept = old.join(incoming, Seq("o_orderkey"), "left_anti")
+    kept.unionAll(incoming)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // D7/D9-shape: explode of an array column with position (tasks.py:497-516
+  // meal flatten; parent key rides along).
+  def q15ExplodeArray(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  // F12/D3-shape: JSON parse of a string column (jsonpickle → from_json).
+  def q16JsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .select(
+        col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
+  // F7/F8: inclusive BETWEEN on a time column (sql.py:243) + rollup.
+  def q17DateBetween(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .where(col("ts").between(
+        lit("2024-01-05 00:00:00").cast("timestamp"),
+        lit("2024-01-20 00:00:00").cast("timestamp")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(cents(col("value"))) / 100.0, 2).as("total"))
+      .orderBy(col("event_type"))
+
+  // O1-O5/D15/D16: deterministic top-k (sort + limit).
+  def q18TopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+
+  // --------------------------------------------------------------------------
+  // The flagship: the reference's progress-report query shape (sql.py:196-235)
+  // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR
+  // formula), J1 (broadcast dim join), A3 (correlated sum w/ COALESCE 0), A4
+  // (correlated sum w/ load-bearing NULL), W1 (row_number), W2 (running total),
+  // F2 (dd-MMM-yyyy), F4 (truncating cast), F5 (round), F9 (IS NOT NULL).
+  //   customer ≈ user, order ≈ day, o_totalprice ≈ calorie target,
+  //   lineitem revenue ≈ meals eaten, returned-line quantity ≈ cardio burned.
+  def q19ProgressReport(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir)("orders")
+    val lineitem = t(s, dir)("lineitem")
+
+    // A2: latest order price per customer → A5 Mifflin-St Jeor-shaped formula.
+    val latestW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val userstats = orders
+      .withColumn("rn", row_number().over(latestW))
+      .where(col("rn") === 1)
+      .select(
+        col("o_custkey").as("custkey"),
+        cents(lit(1.2) * (lit(10) * col("o_totalprice") + lit(6.25) * 182 - lit(5) * 34 + lit(5)))
+          .as("rmr_cents"))
+
+    // A4: per-order actual (NULL when no lines — row later dropped by F9).
+    val actual = lineitem
+      .groupBy(col("l_orderkey").as("a_orderkey"))
+      .agg(sum(cents(col("l_extendedprice"))).as("actual_cents"))
+
+    // A3: per-order burned with COALESCE default 0.
+    val burned = lineitem
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("l_orderkey").as("b_orderkey"))
+      .agg(cents(sum(col("l_quantity"))).as("burned_cents"))
+
+    val base = orders
+      .join(broadcast(userstats), col("o_custkey") === col("custkey")) // J1
+      .join(actual, col("o_orderkey") === col("a_orderkey"), "left_outer")
+      .join(burned, col("o_orderkey") === col("b_orderkey"), "left_outer")
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("target_cents"),
+        col("rmr_cents"),
+        col("actual_cents"),
+        coalesce(col("burned_cents"), lit(0L)).as("burned_cents"))
+
+    val seqW = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val runW = seqW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deficitCents =
+      col("target_cents") - col("actual_cents") + col("burned_cents")
+
+    base
+      .select(
+        col("o_custkey"),
+        row_number().over(seqW).as("day_number"), // W1
+        date_format(col("o_orderdate"), "dd-MMM-yyyy").as("date_label"), // F2
+        (col("target_cents") / 100.0).as("target"),
+        (col("rmr_cents") / 100.0).as("rmr"),
+        (deficitCents / 100.0).cast("int").as("deficit"), // F4 truncation
+        round(sum(coalesce(deficitCents, lit(0L))).over(runW) / 100.0, 0)
+          .cast("int").as("deficit_accumulated"), // W2 + F5
+        col("actual_cents"))
+      .where(col("actual_cents").isNotNull) // F9 — A4's NULL drop
+      .drop("actual_cents")
+      .orderBy(col("o_custkey"), col("day_number"))
+  }
+}

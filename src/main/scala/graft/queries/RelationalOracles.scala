@@ -1,0 +1,196 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[Relational]] — same tables, same column names, same
+  * row order. See the numeric-parity notes on [[Relational]]: integer-cents
+  * aggregation, `trunc()` before int casts (DuckDB's cast rounds, Spark's
+  * truncates), and no raw timestamp outputs.
+  */
+object RelationalOracles {
+  val sql: Map[String, String] = Map(
+    "q01_grouped_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_broadcast_join" ->
+      """SELECT r_name, count(*) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q03_fact_join" ->
+      """SELECT o_orderstatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_left_outer_coalesce" ->
+      """SELECT c_custkey, c_name,
+        |  coalesce(cnt, 0) AS order_count,
+        |  round(coalesce(sc, 0) / 100.0, 2) AS total_spent
+        |FROM customer
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt,
+        |         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS sc
+        |  FROM orders GROUP BY o_custkey) s ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_correlated_null" ->
+      """SELECT c_custkey, deficit FROM (
+        |  SELECT c_custkey,
+        |    round((CAST(round(c_acctbal * 100, 0) AS BIGINT)
+        |           - (SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |              FROM orders WHERE o_custkey = c_custkey)) / 100.0, 2) AS deficit
+        |  FROM customer) d
+        |WHERE deficit IS NOT NULL
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_latest_value" ->
+      """SELECT o_custkey, latest_orderkey, latest_price FROM (
+        |  SELECT o_custkey, o_orderkey AS latest_orderkey,
+        |         o_totalprice AS latest_price,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) x
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q08_row_number" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS day_number
+        |FROM orders
+        |ORDER BY o_custkey, day_number""".stripMargin,
+
+    "q09_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 0)
+        |       AS INTEGER) AS running_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q10_union_header" ->
+      """SELECT 0 AS ord, 'o_orderkey' AS k, 'o_orderstatus' AS status
+        |UNION ALL
+        |SELECT 1 AS ord, CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS status
+        |FROM orders
+        |ORDER BY ord, k""".stripMargin,
+
+    "q11_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  strftime(o_orderdate, '%d-%b-%Y') AS date_label,
+        |  strftime(o_orderdate, '%a') AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q12_date_sequence" ->
+      """WITH mm AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+        |                   CAST(max(o_orderdate) AS DATE) AS d1 FROM orders)
+        |SELECT strftime(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                       CAST(d1 AS TIMESTAMP),
+        |                                       INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+        |FROM mm ORDER BY day""".stripMargin,
+
+    "q13_change_detection" ->
+      """SELECT o_orderkey FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS p
+        |  FROM orders) n
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_orderkey = n.o_orderkey
+        |                    AND o.o_totalprice = n.p)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_upsert" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q15_explode_array" ->
+      """SELECT vec_id,
+        |  CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |  unnest(embedding) AS val
+        |FROM embeddings ORDER BY vec_id, pos""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_date_between" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+        |             AND TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q18_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q19_progress_report" ->
+      """WITH latest AS (
+        |  SELECT o_custkey, o_totalprice FROM (
+        |    SELECT o_custkey, o_totalprice,
+        |      row_number() OVER (PARTITION BY o_custkey
+        |                         ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |    FROM orders) x WHERE rn = 1),
+        |userstats AS (
+        |  SELECT o_custkey AS custkey,
+        |    CAST(round(1.2 * (10 * o_totalprice + 6.25 * 182 - 5 * 34 + 5) * 100, 0) AS BIGINT) AS rmr_cents
+        |  FROM latest),
+        |actual AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS actual_cents
+        |  FROM lineitem GROUP BY l_orderkey),
+        |burned AS (
+        |  SELECT l_orderkey,
+        |    CAST(round(sum(l_quantity) * 100, 0) AS BIGINT) AS burned_cents
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey),
+        |base AS (
+        |  SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+        |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS target_cents,
+        |    u.rmr_cents, a.actual_cents,
+        |    coalesce(b.burned_cents, 0) AS burned_cents
+        |  FROM orders o
+        |  JOIN userstats u ON o.o_custkey = u.custkey
+        |  LEFT JOIN actual a ON o.o_orderkey = a.l_orderkey
+        |  LEFT JOIN burned b ON o.o_orderkey = b.l_orderkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        |win AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, target_cents, rmr_cents,
+        |    actual_cents,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS day_number,
+        |    target_cents - actual_cents + burned_cents AS deficit_cents,
+        |    sum(coalesce(target_cents - actual_cents + burned_cents, 0))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS acc_cents
+        |  FROM base)
+        |SELECT o_custkey, day_number,
+        |  strftime(o_orderdate, '%d-%b-%Y') AS date_label,
+        |  target_cents / 100.0 AS target,
+        |  rmr_cents / 100.0 AS rmr,
+        |  CAST(trunc(deficit_cents / 100.0) AS INTEGER) AS deficit,
+        |  CAST(round(acc_cents / 100.0, 0) AS INTEGER) AS deficit_accumulated
+        |FROM win
+        |WHERE actual_cents IS NOT NULL
+        |ORDER BY o_custkey, day_number""".stripMargin
+  )
+}
