@@ -37,10 +37,25 @@ object SparkEntry {
     "q16_json_extract"        -> (Relational.q16JsonExtract _),
     "q17_date_between"        -> (Relational.q17DateBetween _),
     "q18_topk"                -> (Relational.q18TopK _),
-    "q19_progress_report"     -> (Relational.q19ProgressReport _)
+    "q19_progress_report"     -> (Relational.q19ProgressReport _),
+    "q20_dedup_exact"         -> (Analytics.q20DedupExact _),
+    "q21_ngram_jaccard"       -> (Analytics.q21NgramJaccard _),
+    "q22_minhash_lsh"         -> (Analytics.q22MinhashLsh _),
+    "q23_simhash_neardup"     -> (Analytics.q23SimhashNearDup _),
+    "q24_knn_brute"           -> (Analytics.q24KnnBruteForce _),
+    "q25_knn_lsh"             -> (Analytics.q25KnnLsh _),
+    "q26_lang_id"             -> (Analytics.q26LangId _),
+    "q27_text_quality"        -> (Analytics.q27TextQuality _),
+    "q28_token_count"         -> (Analytics.q28TokenCount _),
+    "q29_fingerprint"         -> (Analytics.q29Fingerprint _),
+    "q30_event_hourly"        -> (Analytics.q30EventHourly _),
+    "q31_embed_neardup"       -> (Analytics.q31EmbeddingNearDup _),
+    "q32_event_dedup"         -> (Analytics.q32EventDedup _),
+    "q33_multimodal"          -> (Analytics.q33Multimodal _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (q23/q25 — xxhash64-based internals; driver records rows-only). */
+  def oracleSql: Map[String, String] = RelationalOracles.sql ++ AnalyticsOracles.sql
 }

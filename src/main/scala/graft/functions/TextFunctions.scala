@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines.
+  *
+  * Everything here is pure `Column` composition over Spark built-ins — no
+  * UDFs — so the whole surface stays inside whole-stage codegen and runs
+  * per-partition with zero driver involvement at any scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles; empty array when the doc has < n tokens
+    * (guard needed: `sequence` would otherwise count downward). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(ts) - n),
+          i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Count of occurrences of exactly-matching token `w`. */
+  def tokenOccurrences(text: Column, w: String): Column =
+    size(filter(tokens(text), t => t === w))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-run count: alphabetic runs, digit runs, and stray
+    * non-space symbols each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Marker-token language-ID heuristic (deterministic, SQL-expressible).
+    * Scores a few marker words per language and takes a fixed-priority
+    * argmax; `und` when nothing matches. */
+  def langId(text: Column): Column = {
+    val en = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    val es = tokenOccurrences(text, "data") + tokenOccurrences(text, "table")
+    val de = tokenOccurrences(text, "group") + tokenOccurrences(text, "fast")
+    when(en === 0 && es === 0 && de === 0, lit("und"))
+      .when(en >= es && en >= de, lit("en"))
+      .when(es >= de, lit("es"))
+      .otherwise(lit("de"))
+  }
+
+  /** Average token length (separator-corrected) in basis points (×10⁴),
+    * truncated. Rationals truncated from identical IEEE doubles are
+    * bit-stable across engines — decimal *rounding* of rationals is not
+    * (half-boundary cases like 15/32 flip between rounding algorithms). */
+  def avgTokenLengthBp(text: Column): Column = {
+    val n = tokenCount(text)
+    ((length(text) - (n - 1)) * lit(10000.0) / n).cast("int")
+  }
+
+  /** Share of stopword tokens in basis points, truncated. */
+  def stopwordRatioBp(text: Column): Column = {
+    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    (stop * lit(10000.0) / tokenCount(text)).cast("int")
+  }
+
+  /** Count of characters outside [a-z0-9 ]. */
+  def symbolCount(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", ""))
+
+  /** Toy quality score in basis points: length-window gate (×2 to stay
+    * integral) × share of non-stopword tokens. */
+  def qualityScoreBp(text: Column): Column = {
+    val n = tokenCount(text)
+    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    val gateX2 = when(n.between(20, 80), lit(2)).otherwise(lit(1))
+    (gateX2 * (n - stop) * lit(10000.0) / (n * 2)).cast("int")
+  }
+
+  /** Stable whole-document fingerprint (cross-engine reproducible). */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit polynomial rolling hash over tokens (Spark-side fingerprint;
+    * xxhash64-seeded so not expressible in other engines — covered by
+    * ScalaTest against a reference implementation instead of an oracle). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** MinHash signature: `numPerms` permutations approximated by seeding
+    * xxhash64 with the permutation index. For a non-empty shingle array the
+    * signature is null-free. */
+  def minhashSignature(shingleArr: Column, numPerms: Int): Column =
+    transform(sequence(lit(0), lit(numPerms - 1)),
+      p => array_min(transform(shingleArr, s => xxhash64(s, p))))
+}

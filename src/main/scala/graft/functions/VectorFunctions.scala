@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `ARRAY<FLOAT|DOUBLE>` embeddings.
+  *
+  * Pure built-in composition (`zip_with` / `aggregate` / `transform`) — stays
+  * in codegen, no UDF serialization, scales per-partition.
+  */
+object VectorFunctions {
+
+  /** Element-wise cast to double — do this once at the scan edge so all
+    * downstream arithmetic is double-precision (matches oracle engines). */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Unit-normalize, so downstream cosine is a plain dot product (compute
+    * norms once per vector, not once per pair — the O(n·k) win in any
+    * all-pairs or top-k join). */
+  def normalize(v: Column): Column = {
+    val n = l2Norm(v)
+    transform(v, x => x / n)
+  }
+
+  /** Deterministic random-hyperplane LSH signature (`nbits` sign bits packed
+    * into a long). Plane weights are derived from xxhash64(plane, dim) — no
+    * RNG state, so signatures are reproducible across runs and executors. */
+  def hyperplaneSignature(v: Column, dim: Int, nbits: Int): Column = {
+    def weight(p: Int, d: Int): Column =
+      (xxhash64(lit(p), lit(d)) % lit(1000003L)).cast("double") / lit(1000003.0)
+    val bits = (0 until nbits).map { p =>
+      val proj = (0 until dim)
+        .map(d => element_at(v, d + 1) * weight(p, d))
+        .reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+}

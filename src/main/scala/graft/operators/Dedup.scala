@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, each designed to
+  * scale: no driver-side collection, no unbounded cross join — candidate
+  * generation always goes through a hash-partitioned equi-join (exact key,
+  * LSH band, simhash band, or shingle), so the shuffle key is the thing
+  * being matched and skew stays bounded by band width.
+  */
+object Dedup {
+
+  /** Exact dedup: one canonical representative (min id) per duplicate group.
+    * A single hash aggregate — partial (map-side) combine keeps the shuffle
+    * proportional to the number of distinct keys, not rows. */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /** All-pairs n-gram Jaccard via a shingle-inverted-index join: explode
+    * distinct shingles, self-join on the shingle (hash-partitioned — never a
+    * cross join), count intersections, derive |A∪B| from per-doc sizes.
+    * Quadratic only within a shingle's posting list; callers bound the
+    * candidate universe with `pred` (or dedup/minhash first at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        pred: Column = lit(true)): DataFrame = {
+    val sh = df.where(pred)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    // ratio compared raw (identical IEEE division both engines) and emitted
+    // as truncated ppm — decimal rounding of rationals can land on exact
+    // half-boundaries where engines' rounding algorithms disagree.
+    val j = col("inter").cast("double") /
+      (col("sx") + col("sy") - col("inter"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sx")), "id1")
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sy")), "id2")
+      .where(j >= threshold)
+      .select(col("id1"), col("id2"), (j * 1e6).cast("int").as("jaccard_ppm"))
+  }
+
+  /** MinHash + banded LSH candidate generation, then exact Jaccard
+    * verification of candidates only. The scale path for near-dup detection:
+    * candidate cost is Σ(bucket²) per band instead of n², and verification
+    * touches only surviving pairs. Signature banding: `numPerms` hashes
+    * split into `bands` bands of `numPerms/bands` rows. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numPerms: Int = 64,
+                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    require(numPerms % bands == 0, "bands must divide numPerms")
+    val r = numPerms / bands
+    val docs = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val sig = docs.where(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), numPerms).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))).as("bh"))))
+        .as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    // exact verification: shingle-set Jaccard computed per candidate pair
+    val withSets = candidates
+      .join(docs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+    val j = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+      size(array_union(col("sh1"), col("sh2")))
+    withSets
+      .where(j >= threshold)
+      .select(col("id1"), col("id2"), (j * 1e6).cast("int").as("jaccard_ppm"))
+  }
+
+  /** 64-bit SimHash per document: explode tokens, hash once, then a single
+    * partial-aggregatable groupBy with 64 per-bit majority-vote sums —
+    * shuffle carries 64 ints per doc, not the tokens. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val th = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    th.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
+    * (pigeonhole: any pair within Hamming distance 3 shares ≥1 exact chunk),
+    * equi-join on the chunk, verify with bit_count(xor). */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+    val bandStructs = (0 until 4).map(i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), 16 * i)
+          .bitwiseAND(lit(0xFFFFL)).as("bv")))
+    val banded = sh.select(col("id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("e"))
+      .select(col("id"), col("simhash"),
+        col("e.band").as("band"), col("e.bv").as("bv"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The query side is broadcast
+  *     (it's small by construction), so the big side streams through a
+  *     broadcast nested-loop join with no shuffle of the corpus — the right
+  *     physical plan for few-queries × huge-corpus.
+  *   - [[lshTopK]]: random-hyperplane LSH bucketing — candidates share an
+  *     8-bit signature chunk in ≥1 of 4 tables, then exact rerank of
+  *     candidates only. The scale path when the query side is also large:
+  *     both sides hash-partition on (table, bucket), no cross join anywhere.
+  */
+object Similarity {
+
+  /** Corpus prepared once: double-cast vector + its norm (norms computed
+    * n times, not n·k times). */
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String) =
+    emb.select(col(idCol).as("id"),
+      toDouble(col(vecCol)).as("v"),
+      l2Norm(toDouble(col(vecCol))).as("nrm"))
+
+  /** Exact cosine top-k of each query vector against the whole corpus. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val ranked = broadcast(q)
+      .join(base, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+    ranked.select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** LSH-bucketed ANN: 32-bit hyperplane signature split into 4 tables of
+    * 8 bits; a candidate must collide in at least one table. Exact cosine
+    * rerank of candidates; recall < 1 by construction (no oracle — covered
+    * by the rows-only gate + ScalaTest recall assertions). */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+              queryPred: Column, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+      .withColumn("sig", hyperplaneSignature(col("v"), dim, 32))
+    val tableStructs = (0 until 4).map(t =>
+      struct(lit(t).as("tbl"),
+        shiftright(col("sig"), 8 * t).bitwiseAND(lit(0xFFL)).as("bucket")))
+    val banded = base.select(col("id"), col("v"), col("nrm"),
+      explode(array(tableStructs: _*)).as("e"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    val q = banded.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tbl"), col("bucket"))
+    val candidates = q.join(banded, Seq("tbl", "bucket"))
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("qv"), col("qn"),
+        col("id").as("nid"), col("v"), col("nrm"))
+      .dropDuplicates("qid", "nid")
+    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    candidates
+      .select(col("qid"), col("nid"), sim.as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to the
+    * id-range `pred` (at scale: LSH-bucket first, or cap the universe). */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, pred: Column): DataFrame = {
+    val base = prepared(emb.where(pred), idCol, vecCol)
+    val sim = round(dot(col("x.v"), col("y.v")) /
+      (col("x.nrm") * col("y.nrm")), 6)
+    base.as("x")
+      .join(base.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"), sim.as("sim"))
+      .where(col("sim") >= threshold)
+  }
+}

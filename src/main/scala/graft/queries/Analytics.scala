@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Large-scale training-data-pipeline operators (BASELINE.json north star):
+  * dedup, similarity search, text analysis, multimodal plumbing, event
+  * rollups — demonstrated on the documents/embeddings/events tables.
+  * SQL-expressible ones carry DuckDB oracles ([[AnalyticsOracles]]); the
+  * hash-based ones (minhash/simhash/LSH internals use xxhash64, which DuckDB
+  * lacks) get the rows-only gate plus ScalaTest coverage.
+  */
+object Analytics {
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  // Exact dedup: canonical row per distinct text (hash aggregate).
+  def q20DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir)("documents"), "text", "doc_id")
+      .select(col("doc_id"), col("copies"))
+      .orderBy(col("doc_id"))
+
+  // All-pairs 3-gram Jaccard within a bounded id universe.
+  def q21NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir)("documents"), "doc_id", "text",
+      n = 3, threshold = 0.2, pred = col("doc_id") < 200)
+      .orderBy(col("id1"), col("id2"))
+
+  // MinHash-LSH candidates + exact verification at τ=0.8 over the FULL
+  // table — oracle is the exact pairwise computation (recall at τ≥0.8 with
+  // 16 bands × 4 rows is ~1, and the data's jaccard distribution is bimodal:
+  // planted near-dups ≈0.99, background <0.2).
+  def q22MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir)("documents"), "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("id1"), col("id2"))
+
+  // SimHash near-dup pairs (rows-only gate: xxhash64 isn't in DuckDB).
+  def q23SimhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, dir)("documents"), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  // Exact cosine top-5 for 8 query vectors against the whole corpus.
+  def q24KnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
+      queryPred = col("id") < 8, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
+  // LSH-bucketed ANN, exact rerank of candidates (rows-only gate).
+  def q25KnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
+      dim = 64, queryPred = col("id") < 8, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
+  // Language-ID heuristic.
+  def q26LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  // Quality signals + combined score.
+  def q27TextQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.avgTokenLengthBp(col("text")).as("avg_token_len_bp"),
+        TextFunctions.stopwordRatioBp(col("text")).as("stopword_ratio_bp"),
+        TextFunctions.symbolCount(col("text")).as("symbol_count"),
+        TextFunctions.qualityScoreBp(col("text")).as("quality_bp"))
+      .orderBy(col("doc_id"))
+
+  // Token counting: whitespace + BPE-ish regex runs.
+  def q28TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_ws"),
+        TextFunctions.regexTokenCount(col("text")).as("n_re"))
+      .orderBy(col("doc_id"))
+
+  // Cross-engine-stable document fingerprint.
+  def q29Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // Tumbling-window event rollup (batch twin of the streaming ingest).
+  def q30EventHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cents(col("value"))) / 100.0, 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))
+
+  // Embedding-cosine near-duplicate pairs in a bounded universe.
+  def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, dir)("embeddings"), "vec_id",
+      "embedding", threshold = 0.4, pred = col("vec_id") < 256)
+      .orderBy(col("id1"), col("id2"))
+
+  // Keep-first dedup of events by (user, type) — the batch twin of
+  // streaming dropDuplicates.
+  def q32EventDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    t(s, dir)("events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  // Multimodal plumbing: opaque binary payload + typed metadata → codegen
+  // feature projection (decode itself is the stubbed mapPartitions path,
+  // exercised in ScalaTest).
+  def q33Multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.columnFeatures(
+      Multimodal.fromDocuments(t(s, dir)("documents")))
+      .orderBy(col("media_id"))
+}

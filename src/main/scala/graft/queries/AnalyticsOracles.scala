@@ -1,0 +1,156 @@
+package graft.queries
+
+/** DuckDB oracles for the SQL-expressible [[Analytics]] queries.
+  * q23/q25 are omitted (xxhash64-based — rows-only gate).
+  */
+object AnalyticsOracles {
+
+  /** Shared CTE text: exact all-pairs n-gram jaccard over a doc universe.
+    * Tokens are exploded with positions (zip-unnest), trigrams built by
+    * positional self-join, then an inverted-index join counts intersections.
+    */
+  private def jaccardSql(pred: String, threshold: String): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER) AS pos,
+       |    unnest(string_split(text,' ')) AS w
+       |  FROM documents WHERE $pred),
+       |tri AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+       |  FROM tok a
+       |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+       |  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT id1, id2,
+       |  CAST(trunc((i * 1.0 / (sx.sz + sy.sz - i)) * 1000000.0) AS INTEGER) AS jaccard_ppm
+       |FROM inter
+       |JOIN sizes sx ON sx.doc_id = id1
+       |JOIN sizes sy ON sy.doc_id = id2
+       |WHERE (i * 1.0 / (sx.sz + sy.sz - i)) >= $threshold
+       |ORDER BY id1, id2""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q21_ngram_jaccard" -> jaccardSql("doc_id < 200", "0.2"),
+
+    "q22_minhash_lsh" -> jaccardSql("true", "0.8"),
+
+    "q24_knn_brute" ->
+      """WITH el AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS nid, sum(q.v * d.v) AS dt
+        |  FROM el q JOIN el d ON q.pos = d.pos AND d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY q.vec_id, d.vec_id),
+        |sims AS (
+        |  SELECT qid, nid, round(dt / (nq.nrm * nd.nrm), 6) AS sim
+        |  FROM dots
+        |  JOIN nrm nq ON nq.vec_id = qid
+        |  JOIN nrm nd ON nd.vec_id = nid),
+        |ranked AS (
+        |  SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |                            ORDER BY sim DESC, nid) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT qid, rank, nid, sim FROM ranked
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "q26_lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+        |    WHEN en >= es AND en >= de THEN 'en'
+        |    WHEN es >= de THEN 'es'
+        |    ELSE 'de' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text,' '), x -> x = 'the'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'a')) AS en,
+        |    len(list_filter(string_split(text,' '), x -> x = 'data'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'table')) AS es,
+        |    len(list_filter(string_split(text,' '), x -> x = 'group'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'fast')) AS de
+        |  FROM documents) s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q27_text_quality" ->
+      """WITH s AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    len(string_split(text,' ')) AS n,
+        |    len(list_filter(string_split(text,' '), x -> x = 'the'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'a')) AS stop,
+        |    length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS sym
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS INTEGER) AS n_tokens,
+        |  CAST(trunc((nc - (n - 1)) * 10000.0 / n) AS INTEGER) AS avg_token_len_bp,
+        |  CAST(trunc(stop * 10000.0 / n) AS INTEGER) AS stopword_ratio_bp,
+        |  CAST(sym AS INTEGER) AS symbol_count,
+        |  CAST(trunc((CASE WHEN n BETWEEN 20 AND 80 THEN 2 ELSE 1 END)
+        |             * (n - stop) * 10000.0 / (n * 2)) AS INTEGER) AS quality_bp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q28_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_event_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+        |  event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q31_embed_neardup" ->
+      """WITH el AS (
+        |  SELECT vec_id,
+        |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings WHERE vec_id < 256),
+        |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM el GROUP BY vec_id),
+        |dots AS (
+        |  SELECT x.vec_id AS id1, y.vec_id AS id2, sum(x.v * y.v) AS dt
+        |  FROM el x JOIN el y ON x.pos = y.pos AND x.vec_id < y.vec_id
+        |  GROUP BY x.vec_id, y.vec_id)
+        |SELECT id1, id2, round(dt / (n1.nrm * n2.nrm), 6) AS sim
+        |FROM dots
+        |JOIN nrm n1 ON n1.vec_id = id1
+        |JOIN nrm n2 ON n2.vec_id = id2
+        |WHERE round(dt / (n1.nrm * n2.nrm), 6) >= 0.4
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q32_event_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events) x
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q33_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  upper(hex(encode(substring(text, 1, 8)))) AS header_hex
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}
