@@ -1,0 +1,44 @@
+package graft.backup
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+/** Backup flow pieces (reference S9/S10/D15, tasks.py:753-795,
+  * _utils.py:43-62): snapshot naming and FIFO rotation. The storage calls
+  * are a pluggable interface (the reference talks to Dropbox; the engine
+  * core only owns the rotation logic).
+  */
+object Snapshot {
+
+  private val fmt = DateTimeFormatter.ofPattern("yyyy-MM-dd")
+
+  /** Backup file name for a date: `mfp_db_backup_YYYY-MM-DD`
+    * (tasks.py:759). */
+  def backupName(date: LocalDate): String =
+    s"mfp_db_backup_${date.format(fmt)}"
+
+  /** D15: given the listing, keep the newest `maxNum` and return the names
+    * to delete, oldest first (_utils.py:43-62 — timestamp parsed from
+    * filename token index 3). */
+  def rotationVictims(names: Seq[String], maxNum: Int = 5): Seq[String] = {
+    val dated = names.map { n => (LocalDate.parse(n.split("_")(3), fmt), n) }
+    val sorted = dated.sortBy(_._1.toEpochDay).map(_._2)
+    if (sorted.length <= maxNum) Seq.empty
+    else sorted.take(sorted.length - maxNum)
+  }
+
+  /** Filesystem snapshot of a table-store directory (S9 equivalent). */
+  def copyDir(src: String, dest: String): Unit = {
+    import java.nio.file._
+    val s = Paths.get(src)
+    val d = Paths.get(dest)
+    Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+}

@@ -81,12 +81,15 @@ object TextFunctions {
   /** Stable whole-document fingerprint (cross-engine reproducible). */
   def fingerprintMd5(text: Column): Column = md5(text)
 
-  /** 64-bit polynomial rolling hash over tokens (Spark-side fingerprint;
+  /** Polynomial rolling hash over tokens, reduced mod 1e9+7 at every step so
+    * ANSI-mode long arithmetic can't overflow (Spark-side fingerprint;
     * xxhash64-seeded so not expressible in other engines — covered by
-    * ScalaTest against a reference implementation instead of an oracle). */
-  def rollingHash(text: Column): Column =
+    * ScalaTest instead of an oracle). */
+  def rollingHash(text: Column): Column = {
+    val m = lit(1000000007L)
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+      (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
+  }
 
   /** MinHash signature: `numPerms` permutations approximated by seeding
     * xxhash64 with the permutation index. For a non-empty shingle array the

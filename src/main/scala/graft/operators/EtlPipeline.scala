@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.model.MaterializedDay
+import graft.sources.TableStore
+
+/** The ETL flow (reference flows.py:17-124, SURVEY §3.1) as one Spark job:
+  *
+  *   Dataset[MaterializedDay] → D1 canonical JSON → D2 change-detection
+  *   anti-join vs stored RawDayData → cache the (small) diff → M1 upsert raw
+  *   → D3 re-parse → 8 extract branches (D4–D12) each loaded with
+  *   intent-faithful replace-days semantics (M3) / keyed upsert (M2).
+  *
+  * Lineage replaces the Prefect DAG; the only shuffles are the anti-join
+  * (J3) and the per-table upsert joins. The diff is persisted because nine
+  * branches re-read it — the reference does the same by hand, re-parsing the
+  * in-memory diff rather than re-reading the DB (flows.py:66-74).
+  */
+object EtlPipeline {
+
+  def run(store: TableStore, days: Dataset[MaterializedDay])
+         (implicit spark: SparkSession): Long = {
+    store.init()
+    val serialized = Extractors.serializeDays(days.toDF())
+    val diff = Extractors.changedDays(serialized, store.read("RawDayData"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nChanged = diff.count()
+      if (nChanged > 0) {
+        store.upsert("RawDayData", diff) // M1
+        val parsed = Extractors.deserializeDays(diff)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          store.replaceDays("Notes", Extractors.extractNotes(parsed))
+          store.replaceDays("Water", Extractors.extractWater(parsed))
+          store.replaceDays("Goals", Extractors.extractGoals(parsed))
+          store.replaceDays("Meals", Extractors.extractMeals(parsed))
+          store.replaceDays("MealEntries", Extractors.extractMealEntries(parsed))
+          store.replaceDays("CardioExercises", Extractors.extractCardio(parsed))
+          store.replaceDays("StrengthExercises", Extractors.extractStrength(parsed))
+          store.upsert("Measurements", Extractors.extractMeasurements(parsed)) // M2
+        } finally parsed.unpersist()
+      }
+      nChanged
+    } finally diff.unpersist()
+  }
+}

@@ -1,0 +1,97 @@
+package graft.reports
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableStore
+
+/** The reference's progress-report query (sql.py:196-235), faithfully
+  * re-planned on DataFrames:
+  *
+  *   params → userstats CTE (A2 latest weight → A5 Mifflin-St Jeor RMR with
+  *   hardcoded height 182 / age 34) → Goals ⋈ userstats (J1, broadcast — one
+  *   row per user) → date ≥ start filter → correlated scalar sums rewritten
+  *   as pre-aggregate + left join (A3 cardio with COALESCE 0, A4 meals with
+  *   load-bearing NULL) → deficit arithmetic with truncating CAST (F4) →
+  *   running total over date (W2: SUM ignores NULL rows, ROUND, COALESCE,
+  *   CAST) → row_number day numbering (W1) → dd-MMM-yyyy label (F2) → final
+  *   IS NOT NULL filter (F9: days without logged meals drop out).
+  *
+  * Engine-side deviation (SURVEY §4.3): windows are partitioned by userid —
+  * the reference's are unpartitioned but its WHERE pins one user, so results
+  * are identical while the plan stays shuffle-parallel across users.
+  */
+object ProgressReport {
+
+  def fromStore(store: TableStore, username: String, startingDate: String,
+                endGoal: Long)(implicit spark: SparkSession): DataFrame =
+    query(store.read("Measurements"), store.read("Goals"),
+      store.read("CardioExercises"), store.read("Meals"),
+      username, startingDate, endGoal)
+
+  def query(measurements: DataFrame, goals: DataFrame, cardio: DataFrame,
+            meals: DataFrame, username: String, startingDate: String,
+            endGoal: Long): DataFrame = {
+
+    // A2: latest Weight per user (ORDER BY date DESC LIMIT 1).
+    val latestW = Window.partitionBy(col("userid")).orderBy(col("date").desc)
+    val userstats = measurements
+      .where(col("measure_name") === "Weight")
+      .withColumn("rn", row_number().over(latestW))
+      .where(col("rn") === 1)
+      // A5: RMR — constants straight from sql.py:201.
+      .select(col("userid"),
+        (lit(1.2) * (lit(10) * col("value") + lit(6.25) * 182 - lit(5) * 34 + 5))
+          .as("rmr"))
+
+    // A3: correlated SUM(calories_burned) → pre-aggregate, COALESCE(…, 0).
+    val cardioSum = cardio
+      .groupBy(col("userid").as("c_userid"), col("date").as("c_date"))
+      .agg(sum(col("calories_burned")).as("burned"))
+
+    // A4: correlated SUM(calories) with NO default — NULL propagates.
+    val mealSum = meals
+      .groupBy(col("userid").as("m_userid"), col("date").as("m_date"))
+      .agg(sum(col("calories")).as("eaten"))
+
+    val base = goals
+      .where(col("userid") === username &&
+        col("date") >= to_date(lit(startingDate)))
+      .join(broadcast(userstats), "userid") // J1
+      .join(cardioSum,
+        col("userid") === col("c_userid") && col("date") === col("c_date"),
+        "left_outer")
+      .join(mealSum,
+        col("userid") === col("m_userid") && col("date") === col("m_date"),
+        "left_outer")
+      .select(col("userid"), col("date"), col("rmr"),
+        col("calories").as("calories_target"),
+        coalesce(col("burned"), lit(0.0)).as("burned"),
+        col("eaten"))
+
+    val deficitTarget = col("rmr") - col("calories_target") + col("burned")
+    // NULL eaten ⇒ NULL deficit_actual ⇒ row filtered at the end (F9).
+    val deficitActual =
+      deficitTarget + (col("calories_target") - col("eaten"))
+
+    val ordered = Window.partitionBy(col("userid")).orderBy(col("date"))
+    val running = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    // F9 first: in the reference's outer query the WHERE is evaluated before
+    // its ROW_NUMBER, so day numbering skips the dropped days. The running
+    // total is unaffected (SQL SUM ignores the NULL deficits either way).
+    base
+      .where(deficitActual.isNotNull)
+      .select(
+        row_number().over(ordered).as("day_number"), // W1
+        date_format(col("date"), "dd-MMM-yyyy").as("date"), // F2
+        col("calories_target"),
+        deficitTarget.cast("int").as("deficit_target"), // F4 truncation
+        deficitActual.cast("int").as("deficit_actual"),
+        // W2: ROUND half-up over the prefix sum; COALESCE; truncating CAST.
+        coalesce(round(sum(deficitActual).over(running), 0), lit(0.0))
+          .cast("int").as("deficit_accumulated"))
+      .orderBy(col("day_number"))
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model.Schemas
+
+/** Parquet-directory table catalog — the engine's replacement for the
+  * reference's SQLite file (reference tasks.py:39-128 SQLiteExecuteMany,
+  * sql.py DDL).
+  *
+  * Layout: `<root>/<TableName>/` parquet dirs, one per Schemas.tables entry.
+  * Semantics implemented here (SURVEY §2.9):
+  *   - M5 `CREATE TABLE IF NOT EXISTS` → [[init]] (no-op when dir exists)
+  *   - M1/M2 `INSERT OR REPLACE` keyed upsert → [[upsert]] (left_anti on the
+  *     PK ∪ new, then atomic directory swap — the one genuinely custom
+  *     physical piece, SURVEY §4.3)
+  *   - M3 child-table reload → [[replaceDays]] (delete-matching-(userid,date)
+  *     then insert: the reference's *intent*; its literal append-on-rerun
+  *     duplicates child rows — documented divergence, SURVEY §7.5 item 5)
+  *   - M4 FK ON DELETE CASCADE → [[cascadeDelete]] (anti-join of every child
+  *     against the deleted parent keys; opt-in like PRAGMA foreign_keys)
+  *
+  * At scale: upsert rewrites only the table it targets; with a
+  * date-partitioned layout the anti-join prunes to touched partitions
+  * (dynamic partition overwrite is the production variant of the same plan).
+  */
+final class TableStore(spark: SparkSession, root: String) {
+
+  private def path(table: String) = s"$root/$table"
+
+  private def fs = new Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(table: String) = fs.exists(new Path(path(table)))
+
+  /** Idempotent create of every declared table (M5). */
+  def init(): Unit = Schemas.tables.keys.foreach(initTable)
+
+  def initTable(table: String): Unit = {
+    require(Schemas.tables.contains(table), s"unknown table $table")
+    if (!exists(table)) {
+      val (schema, _) = Schemas.tables(table)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        .write.parquet(path(table))
+    }
+  }
+
+  /** Read a table; empty (typed) result when uninitialized. */
+  def read(table: String): DataFrame = {
+    val (schema, _) = Schemas.tables(table)
+    if (exists(table)) spark.read.schema(schema).parquet(path(table))
+    else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+  }
+
+  /** Plain append (reference M3 literal semantics). */
+  def append(table: String, df: DataFrame): Unit = {
+    initTable(table)
+    align(table, df).write.mode("append").parquet(path(table))
+  }
+
+  /** Keyed upsert (M1/M2): rows matching an incoming PK are replaced, all
+    * others survive. Write-new + atomic swap so readers never see a partial
+    * table. */
+  def upsert(table: String, incoming: DataFrame): Unit = {
+    val keys = Schemas.tables(table)._2
+    require(keys.nonEmpty, s"$table has no PK; use append/replaceDays")
+    val kept = read(table).join(
+      incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    swapIn(table, kept.unionByName(align(table, incoming)))
+  }
+
+  /** Delete-then-insert by (userid, date) — the intent-faithful child-table
+    * reload (M3): re-running a changed day replaces its rows instead of
+    * appending duplicates. */
+  def replaceDays(table: String, incoming: DataFrame): Unit = {
+    val dayKeys = Seq("userid", "date")
+    val kept = read(table).join(
+      incoming.select(dayKeys.map(col): _*).distinct(), dayKeys, "left_anti")
+    swapIn(table, kept.unionByName(align(table, incoming)))
+  }
+
+  /** Cascade delete (M4): remove the parent rows and every child row whose
+    * (userid, date) matches — explicit version of SQLite's FK cascade,
+    * applied only when enforce=true (mirrors PRAGMA foreign_keys). */
+  def cascadeDelete(parentKeys: DataFrame, enforce: Boolean = true): Unit = {
+    val keys = Seq("userid", "date")
+    val victims = parentKeys.select(keys.map(col): _*).distinct()
+    swapIn("RawDayData", read("RawDayData").join(victims, keys, "left_anti"))
+    if (enforce) {
+      Schemas.tables.keys.filter(_ != "RawDayData").foreach { child =>
+        swapIn(child, read(child).join(victims, keys, "left_anti"))
+      }
+    }
+  }
+
+  /** Project/cast an incoming frame onto the declared schema (column order
+    * and types pinned by the DDL port). */
+  private def align(table: String, df: DataFrame): DataFrame = {
+    val (schema, _) = Schemas.tables(table)
+    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+  }
+
+  /** Materialize `df` into a fresh dir, then swap it in (write-temp +
+    * rename; rename is atomic on HDFS-like filesystems). */
+  private def swapIn(table: String, df: DataFrame): Unit = {
+    val dest = new Path(path(table))
+    val tmp = new Path(path(table) + ".tmp-" + java.util.UUID.randomUUID())
+    align(table, df).write.parquet(tmp.toString)
+    val old = new Path(path(table) + ".old-" + java.util.UUID.randomUUID())
+    if (fs.exists(dest)) fs.rename(dest, old)
+    fs.rename(tmp, dest)
+    fs.delete(old, true)
+  }
+}

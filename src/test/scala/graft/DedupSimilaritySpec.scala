@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Semantics tests for the dedup + similarity operators on crafted inputs
+  * with known answers. */
+class DedupSimilaritySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 0
+    (2L, "completely different content about spark query engines and shuffles here"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("ngram jaccard finds the near-dup and exact-dup pairs") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2", "jaccard_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+    val exact = got.find(p => p._1 == 0L && p._2 == 3L).get
+    assert(exact._3 == 1000000) // identical docs → jaccard 1
+  }
+
+  test("minhash LSH finds the same pairs as exact jaccard at high threshold") {
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq == Seq((0L, 1L), (0L, 3L), (1L, 3L)))
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups close; distinct far") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) < hamming(sh(0L), sh(2L)))
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("brute-force knn: exact ordering on crafted vectors") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),  // closest to 0
+      (2L, Seq(0.5f, 0.5f, 0.0f)),  // second
+      (3L, Seq(0.0f, 0.0f, 1.0f))   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") === 0L, k = 3)
+      .select("rank", "nid").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("LSH ANN: results are a subset of brute-force with consistent ranks") {
+    val emb = (0L until 40L).map { i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 3, 5).select("qid", "nid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", dim = 8,
+      col("id") < 3, 5).select("qid", "nid", "sim").collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must be a true neighbor pair with the same sim the
+    // brute-force path computes (exact rerank)
+    val bruteAll = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 3, 40).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.foreach { r =>
+      assert(bruteAll((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
+  test("embedding near-dup pairs: threshold filters correctly") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      0.9, lit(true)).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((0L, 1L)))
+  }
+}

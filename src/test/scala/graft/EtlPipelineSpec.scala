@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.EtlPipeline
+import graft.sources.TableStore
+
+/** End-to-end ETL flow (SURVEY §3.1): diff → upsert → 8 extract branches,
+  * including incremental-rerun semantics the reference implements via D2.
+  */
+class EtlPipelineSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("full run, incremental no-op rerun, changed-day replacement") {
+    val store = new TableStore(spark, tmpDir("etl"))
+    val days = Fixtures.fakeDays :+ Fixtures.fullDay
+
+    // first run: everything is new
+    val n1 = EtlPipeline.run(store, spark.createDataset(days))
+    assert(n1 == 4)
+    assert(store.read("RawDayData").count() == 4)
+    assert(store.read("Water").count() == 4)
+    assert(store.read("Notes").count() == 3) // empty-body day dropped
+    assert(store.read("Meals").count() == 2)
+    assert(store.read("MealEntries").count() == 2)
+    assert(store.read("CardioExercises").count() == 1)
+    assert(store.read("StrengthExercises").count() == 1)
+    assert(store.read("Goals").count() == 4)
+    assert(store.read("Measurements").count() == 4)
+
+    // rerun unchanged: D2 diff empty, nothing rewritten
+    val n2 = EtlPipeline.run(store, spark.createDataset(days))
+    assert(n2 == 0)
+    assert(store.read("Water").count() == 4)
+
+    // change one day's water: exactly that day is replaced, not duplicated
+    val changed = Fixtures.fakeDays.head.copy(water = 777.0)
+    val n3 = EtlPipeline.run(store,
+      spark.createDataset(changed +: days.tail))
+    assert(n3 == 1)
+    assert(store.read("Water").count() == 4)
+    val w = store.read("Water")
+      .where($"date" === java.sql.Date.valueOf("2021-01-01"))
+      .collect().map(_.getDouble(2))
+    assert(w.toSeq == Seq(777.0))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+
+import graft.model.Schemas
+import graft.sources.TableStore
+
+/** Port of the reference's SQLite sink tests (test_tasks.py:104-266):
+  * round-trip, upsert replace, idempotency, FK-cascade on/off.
+  */
+class TableStoreSpec extends SparkSpec {
+
+  private def mkStore = new TableStore(spark, tmpDir("store"))
+
+  private def rawRows(rows: (String, String, String)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (u, d, j) =>
+        Row(u, Date.valueOf(d), j)
+      }: _*),
+      Schemas.rawDayData)
+
+  private def waterRows(rows: (String, String, Double)*) =
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (u, d, q) =>
+        Row(u, Date.valueOf(d), q)
+      }: _*),
+      Schemas.water)
+
+  private val u = Fixtures.user
+
+  test("M5 init is idempotent; empty tables read back typed") {
+    val s = mkStore
+    s.init(); s.init()
+    assert(s.read("Meals").count() == 0)
+    assert(s.read("Meals").schema == Schemas.meals)
+  }
+
+  test("append + read round trip (test_tasks.py:104-150)") {
+    val s = mkStore
+    s.append("Water", waterRows((u, "2021-01-01", 0.0),
+      (u, "2021-01-02", 150.0), (u, "2021-01-03", 2230.5)))
+    val got = s.read("Water").collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2))).sorted
+    assert(got.toSeq == Seq(("2021-01-01", 0.0), ("2021-01-02", 150.0),
+      ("2021-01-03", 2230.5)))
+  }
+
+  test("M1 upsert replaces on PK and is idempotent") {
+    val s = mkStore
+    s.upsert("RawDayData", rawRows((u, "2021-01-01", "[{}]"),
+      (u, "2021-01-02", "[{}]")))
+    // replace day 1, add day 3
+    val batch = rawRows((u, "2021-01-01", "[{\"v\":2}]"), (u, "2021-01-03", "[{}]"))
+    s.upsert("RawDayData", batch)
+    s.upsert("RawDayData", batch) // applying twice ≡ once
+    val got = s.read("RawDayData").collect()
+      .map(r => (r.getDate(1).toString, r.getString(2))).sorted
+    assert(got.toSeq == Seq(("2021-01-01", "[{\"v\":2}]"),
+      ("2021-01-02", "[{}]"), ("2021-01-03", "[{}]")))
+  }
+
+  test("M3 replaceDays: changed day's child rows replaced, not appended") {
+    val s = mkStore
+    s.append("Water", waterRows((u, "2021-01-01", 100.0), (u, "2021-01-02", 200.0)))
+    s.replaceDays("Water", waterRows((u, "2021-01-01", 999.0)))
+    val got = s.read("Water").collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2))).sorted
+    assert(got.toSeq == Seq(("2021-01-01", 999.0), ("2021-01-02", 200.0)))
+  }
+
+  test("M4 cascade delete: children purged only when enforced (test_tasks.py:152-266)") {
+    def seeded = {
+      val s = mkStore
+      s.upsert("RawDayData", rawRows((u, "2021-01-01", "[{}]"),
+        (u, "2021-01-02", "[{}]"), (u, "2021-01-03", "[{}]")))
+      s.append("Water", waterRows((u, "2021-01-01", 0.0),
+        (u, "2021-01-02", 150.0), (u, "2021-01-03", 2230.5)))
+      s
+    }
+    val victims = rawRows((u, "2021-01-01", ""), (u, "2021-01-02", ""))
+
+    val on = seeded
+    on.cascadeDelete(victims, enforce = true)
+    assert(on.read("RawDayData").collect().map(_.getDate(1).toString).toSeq ==
+      Seq("2021-01-03"))
+    assert(on.read("Water").collect().map(_.getDate(1).toString).toSeq ==
+      Seq("2021-01-03")) // only the 2021-01-03 Water row survives
+
+    val off = seeded
+    off.cascadeDelete(victims, enforce = false)
+    assert(off.read("Water").count() == 3) // orphans remain, like FK off
+  }
+}

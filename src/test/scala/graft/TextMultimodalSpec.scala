@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.backup.Snapshot
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+
+class TextMultimodalSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("shingles: fewer tokens than n → empty array; distinct applied") {
+    val df = Seq("a b", "x y z x y z x y").toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0).isEmpty)
+    assert(got(1).toSet == Set("x y z", "y z x", "z x y"))
+    assert(got(1).length == 3) // duplicates collapsed
+  }
+
+  test("langId: marker precedence and und fallback") {
+    val got = Seq("the a the", "data table data", "group fast", "spark join")
+      .toDF("text").select(TextFunctions.langId(col("text"))).collect()
+      .map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("token counts: whitespace vs regex runs") {
+    val df = Seq("abc 123 x-y").toDF("text").select(
+      TextFunctions.tokenCount(col("text")).as("ws"),
+      TextFunctions.regexTokenCount(col("text")).as("re"))
+    val r = df.collect().head
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 5) // abc, 123, x, -, y
+  }
+
+  test("rollingHash: deterministic, order-sensitive, distinct for distinct docs") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+      .select(TextFunctions.rollingHash(col("text"))).collect().map(_.getLong(0))
+    assert(df(0) == df(2))
+    assert(df(0) != df(1))
+  }
+
+  test("multimodal: stub decode preserves schema/batch shape") {
+    val docs = Seq((7L, "hello world bytes")).toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs)
+    val feats = Multimodal.decodeFeatures(media)(spark).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.mediaId == 7L)
+    assert(f.nBytes == 17L)
+    assert(f.headerHex == "68656C6C6F20776F") // "hello wo"
+    assert(f.frames == Seq(0L)) // one 32-byte stride frame
+    // column-level features agree with the mapPartitions path
+    val colFeats = Multimodal.columnFeatures(media).collect().head
+    assert(colFeats.getAs[String]("header_hex") == f.headerHex)
+    assert(colFeats.getAs[Long]("n_bytes") == f.nBytes)
+  }
+
+  test("backup rotation: oldest beyond max are victims (test D15)") {
+    val names = Seq(
+      "mfp_db_backup_2021-01-05", "mfp_db_backup_2021-01-01",
+      "mfp_db_backup_2021-01-03", "mfp_db_backup_2021-01-02",
+      "mfp_db_backup_2021-01-04", "mfp_db_backup_2021-01-06")
+    assert(Snapshot.rotationVictims(names, 5) == Seq("mfp_db_backup_2021-01-01"))
+    assert(Snapshot.rotationVictims(names.take(3), 5).isEmpty)
+  }
+}
