@@ -36,12 +36,14 @@ object VectorFunctions {
     * into a long). Plane weights are derived from xxhash64(plane, dim) — no
     * RNG state, so signatures are reproducible across runs and executors. */
   def hyperplaneSignature(v: Column, dim: Int, nbits: Int): Column = {
-    def weight(p: Int, d: Int): Column =
-      (xxhash64(lit(p), lit(d)) % lit(1000003L)).cast("double") / lit(1000003.0)
+    // per-plane weight arrays are generated with a lambda (compact plan tree:
+    // unrolling dim×nbits element_at terms makes a 2000+-node expression the
+    // optimizer re-traverses for seconds per query)
     val bits = (0 until nbits).map { p =>
-      val proj = (0 until dim)
-        .map(d => element_at(v, d + 1) * weight(p, d))
-        .reduce(_ + _)
+      val warr = transform(sequence(lit(0), lit(dim - 1)),
+        d => (xxhash64(lit(p), d) % lit(1000003L)).cast("double") / lit(1000003.0))
+      val proj = aggregate(zip_with(v, warr, (x, w) => x * w),
+        lit(0.0), (a, x) => a + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)

@@ -60,14 +60,19 @@ object Dedup {
     val r = numPerms / bands
     val docs = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleSize).as("sh"))
-    val sig = docs.where(size(col("sh")) > 0)
-      .select(col("id"), minhashSignature(col("sh"), numPerms).as("sig"))
-    val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * lit(r) + 1, lit(r))).as("bh"))))
-        .as("e"))
-      .select(col("id"), col("e.band").as("band"), col("e.bh").as("bh"))
+    // The generator must consume the signature exactly ONCE: referencing the
+    // signature column from multiple band expressions lets CollapseProject
+    // inline the expensive minhash tree into every slot (measured 16×
+    // recompute → 95 s instead of ~3 s at 5k docs). posexplode the signature
+    // itself, then combine each band's hashes with an order-independent,
+    // perm-salted bit_xor under partial aggregation — the shuffle carries
+    // one row per (doc, band).
+    val sigRows = docs.where(size(col("sh")) > 0)
+      .select(col("id"),
+        posexplode(minhashSignature(col("sh"), numPerms)).as(Seq("perm", "h")))
+    val banded = sigRows
+      .groupBy(col("id"), (col("perm") / r).cast("int").as("band"))
+      .agg(bit_xor(xxhash64(col("h"), col("perm"))).as("bh"))
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&

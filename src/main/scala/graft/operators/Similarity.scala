@@ -52,13 +52,15 @@ object Similarity {
               queryPred: Column, k: Int): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
       .withColumn("sig", hyperplaneSignature(col("v"), dim, 32))
-    val tableStructs = (0 until 4).map(t =>
-      struct(lit(t).as("tbl"),
-        shiftright(col("sig"), 8 * t).bitwiseAND(lit(0xFFL)).as("bucket")))
-    val banded = base.select(col("id"), col("v"), col("nrm"),
-      explode(array(tableStructs: _*)).as("e"))
-      .select(col("id"), col("v"), col("nrm"),
-        col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+    // Explode the table index first and derive the bucket from the (already
+    // materialized) signature attribute afterward — building 4 bucket
+    // expressions inside the generator would let CollapseProject inline the
+    // 2048-term signature tree into every slot (see Dedup.minhashLshPairs).
+    val banded = base
+      .select(col("id"), col("v"), col("nrm"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("tbl"))
+      .withColumn("bucket", expr("shiftright(sig, 8 * tbl) & 255"))
+      .drop("sig")
     val q = banded.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("tbl"), col("bucket"))
