@@ -21,11 +21,20 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Corpus prepared once: double-cast vector + its norm (norms computed
-    * n times, not n·k times). */
-  private def prepared(emb: DataFrame, idCol: String, vecCol: String) =
+    * n times, not n·k times). Also registers the codegen'd vector kernels
+    * ([[graft.plans.VectorExpressions]]) — the per-pair inner loop uses
+    * `dot_product`, a native Expression, instead of interpreted
+    * `zip_with`/`aggregate` lambdas (identical summation order, so results
+    * match to the last ulp). */
+  private def prepared(emb: DataFrame, idCol: String, vecCol: String) = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
     emb.select(col(idCol).as("id"),
       toDouble(col(vecCol)).as("v"),
       l2Norm(toDouble(col(vecCol))).as("nrm"))
+  }
+
+  private def dotFast(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
 
   /** Exact cosine top-k of each query vector against the whole corpus. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
@@ -33,7 +42,7 @@ object Similarity {
     val base = prepared(emb, idCol, vecCol)
     val q = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     val ranked = broadcast(q)
       .join(base, col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), sim.as("sim"))
@@ -69,7 +78,7 @@ object Similarity {
       .select(col("qid"), col("qv"), col("qn"),
         col("id").as("nid"), col("v"), col("nrm"))
       .dropDuplicates("qid", "nid")
-    val sim = round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
     candidates
       .select(col("qid"), col("nid"), sim.as("sim"))
       .withColumn("rank", row_number().over(
@@ -84,7 +93,7 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          threshold: Double, pred: Column): DataFrame = {
     val base = prepared(emb.where(pred), idCol, vecCol)
-    val sim = round(dot(col("x.v"), col("y.v")) /
+    val sim = round(dotFast(col("x.v"), col("y.v")) /
       (col("x.nrm") * col("y.nrm")), 6)
     base.as("x")
       .join(base.as("y"), col("x.id") < col("y.id"))

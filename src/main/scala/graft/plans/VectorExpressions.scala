@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the dense-vector hot loop.
+  *
+  * `zip_with`/`aggregate` lambda composition is evaluated interpreted —
+  * fine at the edges, but the inner loop of a k-NN or all-pairs join runs
+  * per candidate pair. These expressions generate a tight primitive `for`
+  * loop inside whole-stage codegen (`doGenCode`), the preference order the
+  * build calls for: native Expression > composition > UDF.
+  *
+  * Inputs are `ARRAY<DOUBLE>` (cast floats once at the scan edge —
+  * [[graft.functions.VectorFunctions.toDouble]]); elements are assumed
+  * non-null (embedding vectors). Summation order matches the sequential
+  * `aggregate(zip_with(...))` composition, so swapping implementations does
+  * not move results even at the last ulp.
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<DOUBLE> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+}
+
+/** Σ aᵢ·bᵢ over the common prefix of the two arrays. */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}_acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass cosine similarity; NULL when either vector has zero norm. */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = $a.getDouble($i);
+         |  double y = $b.getDouble($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: idempotent per-session helper plus a
+  * `spark.sql.extensions`-loadable class. */
+object VectorExpressions {
+  private def entries = Seq(
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` entry point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("dot_product"),
+        new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+        (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("cosine_sim"),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+        (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+  }
+}

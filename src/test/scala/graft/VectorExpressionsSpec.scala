@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.plans.VectorExpressions
+
+/** The codegen'd vector kernels must agree exactly with the lambda
+  * composition (same summation order) and handle nulls/zero norms. */
+class VectorExpressionsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("dot_product / cosine_sim match the zip_with/aggregate composition bit-for-bit") {
+    VectorExpressions.register(spark)
+    val df = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => math.sin(i * 3.7 + j)),
+        Seq.tabulate(16)(j => math.cos(i * 1.3 + j)))
+    }.toDF("id", "a", "b")
+    val got = df.select(
+      call_function("dot_product", $"a", $"b").as("dfast"),
+      VectorFunctions.dot($"a", $"b").as("dref"),
+      call_function("cosine_sim", $"a", $"b").as("cfast"),
+      (VectorFunctions.dot($"a", $"b") /
+        (VectorFunctions.l2Norm($"a") * VectorFunctions.l2Norm($"b"))).as("cref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // bitwise equality
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("cosine_sim: zero-norm vector yields NULL; null input yields NULL") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)),
+      (Seq(1.0, 0.0), Seq(1.0, 0.0))
+    ).toDF("a", "b")
+    val got = df.select(call_function("cosine_sim", $"a", $"b")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).getDouble(0) == 1.0)
+    val withNull = df.select(
+      call_function("cosine_sim", lit(null).cast("array<double>"), $"b")).collect()
+    assert(withNull.forall(_.isNullAt(0)))
+  }
+
+  test("kernel participates in whole-stage codegen") {
+    VectorExpressions.register(spark)
+    // a range source so ConvertToLocalRelation can't pre-evaluate the project
+    val df = spark.range(100)
+      .select(transform(sequence(lit(0), lit(7)), j => ($"id" + j).cast("double")).as("a"),
+        transform(sequence(lit(0), lit(7)), j => ($"id" * j).cast("double")).as("b"))
+      .select(call_function("dot_product", $"a", $"b").as("d"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+      "dot_product fell out of codegen")
+  }
+}
