@@ -30,6 +30,61 @@ object ProgressReport {
       store.read("CardioExercises"), store.read("Meals"),
       username, startingDate, endGoal)
 
+  /** `spark.sql` twin of [[query]], kept structurally close to the
+    * reference SQL (sql.py:196-235): the correlated scalar subqueries are
+    * written as actual subqueries and Catalyst's
+    * RewriteCorrelatedScalarSubquery decorrelates them into the same
+    * aggregate-and-join plan the DataFrame version declares explicitly
+    * (SURVEY §4.2). Asserted equal to [[query]] in ReportsSpec.
+    */
+  def sqlQuery(measurements: DataFrame, goals: DataFrame, cardio: DataFrame,
+               meals: DataFrame, username: String, startingDate: String)
+              (implicit spark: SparkSession): DataFrame = {
+    measurements.createOrReplaceTempView("mfp_measurements")
+    goals.createOrReplaceTempView("mfp_goals")
+    cardio.createOrReplaceTempView("mfp_cardio")
+    meals.createOrReplaceTempView("mfp_meals")
+    spark.sql(
+      s"""WITH userstats AS (
+         |  SELECT CAST('$username' AS STRING) AS userid,
+         |    1.2 * (10 * (SELECT max_by(value, date) FROM mfp_measurements
+         |                 WHERE userid = '$username'
+         |                   AND measure_name = 'Weight')
+         |           + 6.25 * 182 - 5 * 34 + 5) AS rmr
+         |),
+         |per_day AS (
+         |  SELECT g.date, g.calories,
+         |    u.rmr - g.calories
+         |      + (SELECT COALESCE(SUM(calories_burned), 0) FROM mfp_cardio c
+         |         WHERE c.userid = u.userid AND c.date = g.date) AS d_target,
+         |    u.rmr - g.calories
+         |      + (SELECT COALESCE(SUM(calories_burned), 0) FROM mfp_cardio c
+         |         WHERE c.userid = u.userid AND c.date = g.date)
+         |      + (g.calories - (SELECT SUM(calories) FROM mfp_meals m
+         |                       WHERE m.userid = u.userid AND m.date = g.date))
+         |      AS d_actual
+         |  FROM mfp_goals g JOIN userstats u ON g.userid = u.userid
+         |  WHERE g.date >= DATE('$startingDate')
+         |),
+         |windowed AS (
+         |  SELECT date, calories,
+         |    CAST(d_target AS INT) AS deficit_target,
+         |    CAST(d_actual AS INT) AS deficit_actual,
+         |    CAST(COALESCE(ROUND(SUM(d_actual) OVER (ORDER BY date
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 0) AS INT)
+         |      AS deficit_accumulated
+         |  FROM per_day
+         |)
+         |SELECT
+         |  ROW_NUMBER() OVER (ORDER BY date) AS day_number,
+         |  DATE_FORMAT(date, 'dd-MMM-yyyy') AS date,
+         |  calories AS calories_target,
+         |  deficit_target, deficit_actual, deficit_accumulated
+         |FROM windowed
+         |WHERE deficit_actual IS NOT NULL
+         |ORDER BY day_number""".stripMargin)
+  }
+
   def query(measurements: DataFrame, goals: DataFrame, cardio: DataFrame,
             meals: DataFrame, username: String, startingDate: String,
             endGoal: Long): DataFrame = {

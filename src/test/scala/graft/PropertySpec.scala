@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Date
+
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.model.Schemas
+import graft.sources.TableStore
+
+/** Property tests from SURVEY §5.2: running total ≡ scanLeft, upsert
+  * idempotency + last-writer-wins, diff∘upsert convergence, date-sequence
+  * length/bounds. ScalaCheck generators sampled with fixed seeds (no
+  * scalatest-plus bridge in the offline dependency set).
+  */
+class PropertySpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("W2 running total ≡ scanLeft over the ordered values") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val gen = Gen.nonEmptyListOf(
+      Gen.chooseNum(-5000.0, 5000.0).map(v => math.round(v * 100) / 100.0))
+    samples(gen, 8).foreach { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("seq", "v")
+      val w = Window.orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = df.select(sum($"v").over(w)).collect().map(_.getDouble(0))
+      val want = vs.scanLeft(0.0)(_ + _).tail
+      got.zip(want).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+    }
+  }
+
+  test("M1 upsert: idempotent, last writer wins per key") {
+    val gen = Gen.zip(Gen.listOfN(8, Gen.chooseNum(1, 5)),
+      Gen.listOfN(8, Gen.chooseNum(1, 5)))
+    samples(gen, 4).foreach { case (k1, k2) =>
+      val s = new TableStore(spark, tmpDir("prop"))
+      def batch(ks: Seq[Int], tag: String) = spark.createDataFrame(
+        java.util.Arrays.asList(ks.distinct.map(k =>
+          Row(Fixtures.user, Date.valueOf(f"2021-01-${k}%02d"), s"$tag-$k")): _*),
+        Schemas.rawDayData)
+      s.upsert("RawDayData", batch(k1, "a"))
+      s.upsert("RawDayData", batch(k2, "b"))
+      val once = s.read("RawDayData").collect()
+        .map(r => (r.getDate(1).toString, r.getString(2))).sorted.toSeq
+      s.upsert("RawDayData", batch(k2, "b")) // idempotent
+      val twice = s.read("RawDayData").collect()
+        .map(r => (r.getDate(1).toString, r.getString(2))).sorted.toSeq
+      assert(once == twice)
+      twice.foreach { case (d, tag) =>
+        val k = d.split("-")(2).toInt
+        if (k2.contains(k)) assert(tag == s"b-$k") else assert(tag == s"a-$k")
+      }
+    }
+  }
+
+  test("D2 ∘ M1: after an upsert, re-diffing the same batch is empty (convergence)") {
+    import graft.operators.Extractors
+    val gen = Gen.listOfN(5, Gen.chooseNum(0.0, 3000.0))
+    samples(gen, 3).foreach { ws =>
+      val days = ws.zipWithIndex.map { case (w, i) =>
+        Fixtures.fakeDays.head.copy(
+          date = Date.valueOf(f"2021-02-${i + 1}%02d"), water = w)
+      }
+      val s = new TableStore(spark, tmpDir("conv"))
+      s.initTable("RawDayData")
+      val ser = Extractors.serializeDays(spark.createDataset(days).toDF())
+      val d1 = Extractors.changedDays(ser, s.read("RawDayData"))
+      assert(d1.count() == days.length)
+      s.upsert("RawDayData", d1)
+      assert(Extractors.changedDays(ser, s.read("RawDayData")).count() == 0)
+    }
+  }
+
+  test("D13 date sequence: length = Δdays + 1, endpoints inclusive, ordered") {
+    val gen = Gen.zip(Gen.chooseNum(0, 2000), Gen.chooseNum(0, 400))
+    samples(gen, 6).foreach { case (s0, n) =>
+      val from = java.time.LocalDate.of(2015, 1, 1).plusDays(s0.toLong)
+      val to = from.plusDays(n.toLong)
+      val got = graft.sources.Dates.dateRange(spark, from, to)
+        .collect().map(_.getDate(0).toLocalDate)
+      assert(got.length == n + 1)
+      assert(got.head == from && got.last == to)
+      assert(got.sliding(2).forall(p => p.length < 2 || p(0).plusDays(1) == p(1)))
+    }
+  }
+}

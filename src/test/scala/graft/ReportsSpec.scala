@@ -60,6 +60,14 @@ class ReportsSpec extends SparkSpec {
       (3, "04-Mar-2021", 2000, 130, 30, 292)))   // day 3 dropped, renumbered
   }
 
+  test("SQL twin with correlated subqueries matches the DataFrame plan") {
+    val df = ProgressReport.query(measurements, goals, cardio, meals,
+      u, "2021-03-01", 150000L).collect().map(_.toSeq)
+    val sql = ProgressReport.sqlQuery(measurements, goals, cardio, meals,
+      u, "2021-03-01")(spark).collect().map(_.toSeq)
+    assert(df.toSeq == sql.toSeq)
+  }
+
   test("progress report: day with no goals row simply absent") {
     val g2 = df(Schemas.goals,
       Row(u, d("2021-03-01"), 2000: Integer, null, null, null, null, null))
