@@ -18,6 +18,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JVM/codegen/parquet-footer costs land here, not on
+    // whichever query happens to run first
+    try SparkEntry.queries.get("q18_topk")
+      .foreach(_(spark, sfDir).write.mode("overwrite").format("noop").save())
+    catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -26,9 +26,19 @@ import graft.model.Schemas
   * date-partitioned layout the anti-join prunes to touched partitions
   * (dynamic partition overwrite is the production variant of the same plan).
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String,
+                       partitionByDate: Boolean = false) {
 
   private def path(table: String) = s"$root/$table"
+
+  /** Hive-style partition spec: every table carries (userid, date); laying
+    * the directory out by date turns the reference's point lookups
+    * (`WHERE userid=? AND date=?`, S4/S5) and the report's date-range scan
+    * into partition-pruned reads — the difference between touching a few
+    * directories and scanning the table at 100 TB. Off by default so tiny
+    * fixtures don't pay per-day directory overhead. */
+  private def partitionCols(table: String): Seq[String] =
+    if (partitionByDate) Seq("date") else Seq.empty
 
   private def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -42,8 +52,9 @@ final class TableStore(spark: SparkSession, root: String) {
     require(Schemas.tables.contains(table), s"unknown table $table")
     if (!exists(table)) {
       val (schema, _) = Schemas.tables(table)
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-        .write.parquet(path(table))
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      write(table, empty, mode = "errorifexists", dest = path(table))
     }
   }
 
@@ -57,7 +68,14 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Plain append (reference M3 literal semantics). */
   def append(table: String, df: DataFrame): Unit = {
     initTable(table)
-    align(table, df).write.mode("append").parquet(path(table))
+    write(table, align(table, df), mode = "append", dest = path(table))
+  }
+
+  private def write(table: String, df: DataFrame, mode: String,
+                    dest: String): Unit = {
+    val w = df.write.mode(mode)
+    val parts = partitionCols(table)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(dest)
   }
 
   /** Keyed upsert (M1/M2): rows matching an incoming PK are replaced, all
@@ -107,7 +125,7 @@ final class TableStore(spark: SparkSession, root: String) {
   private def swapIn(table: String, df: DataFrame): Unit = {
     val dest = new Path(path(table))
     val tmp = new Path(path(table) + ".tmp-" + java.util.UUID.randomUUID())
-    align(table, df).write.parquet(tmp.toString)
+    write(table, align(table, df), mode = "errorifexists", dest = tmp.toString)
     val old = new Path(path(table) + ".old-" + java.util.UUID.randomUUID())
     if (fs.exists(dest)) fs.rename(dest, old)
     fs.rename(tmp, dest)
