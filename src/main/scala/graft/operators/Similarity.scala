@@ -88,6 +88,33 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** [[bruteForceTopK]] with the ranking done by the k-bounded typed
+    * [[graft.functions.TopKAggregator]] instead of a window sort: partial
+    * aggregation caps the shuffle at k rows per partition per query, where
+    * the window path shuffles and sorts every (query, candidate) pair.
+    * Same output (same deterministic ordering) — asserted in spec. */
+  def bruteForceTopKAgg(emb: DataFrame, idCol: String, vecCol: String,
+                        queryPred: Column, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val pairs = broadcast(q)
+      .join(base, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    pairs
+      .groupByKey(_._1)
+      .mapValues(p => graft.functions.Scored(p._2, p._3))
+      .agg(topk)
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
+      }
+      .toDF("qid", "rank", "nid", "sim")
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to the
     * id-range `pred` (at scale: LSH-bucket first, or cap the universe). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

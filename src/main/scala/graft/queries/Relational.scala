@@ -261,21 +261,21 @@ object Relational {
         cents(lit(1.2) * (lit(10) * col("o_totalprice") + lit(6.25) * 182 - lit(5) * 34 + lit(5)))
           .as("rmr_cents"))
 
-    // A4: per-order actual (NULL when no lines — row later dropped by F9).
-    val actual = lineitem
+    // A4 + A3 in ONE pass over the fact table: conditional aggregation
+    // replaces two scans + two shuffles of lineitem with one (values are
+    // identical — quantities are integral so the sum is exact either way,
+    // and the no-'R'-rows case lands on the same 0 the reference's COALESCE
+    // produces).
+    val lineAgg = lineitem
       .groupBy(col("l_orderkey").as("a_orderkey"))
-      .agg(sum(cents(col("l_extendedprice"))).as("actual_cents"))
-
-    // A3: per-order burned with COALESCE default 0.
-    val burned = lineitem
-      .where(col("l_returnflag") === "R")
-      .groupBy(col("l_orderkey").as("b_orderkey"))
-      .agg(cents(sum(col("l_quantity"))).as("burned_cents"))
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("actual_cents"),
+        cents(sum(when(col("l_returnflag") === "R", col("l_quantity"))
+          .otherwise(lit(0.0)))).as("burned_cents"))
 
     val base = orders
       .join(broadcast(userstats), col("o_custkey") === col("custkey")) // J1
-      .join(actual, col("o_orderkey") === col("a_orderkey"), "left_outer")
-      .join(burned, col("o_orderkey") === col("b_orderkey"), "left_outer")
+      .join(lineAgg, col("o_orderkey") === col("a_orderkey"), "left_outer")
       .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp"))
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),

@@ -1,9 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** Keyed session accumulator for [[EventsStream.sessionize]]. */
+case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+/** Emitted closed session. */
+case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                   session_end: java.sql.Timestamp, n_events: Long,
+                   total_value: Double)
 
 /** Structured-Streaming upgrade of the reference's incremental batch ingest
   * (SURVEY §2.10 — an extension, not a reference semantic): file-source
@@ -44,6 +52,56 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total"))
+
+  /** Per-user gap-based sessionization via `flatMapGroupsWithState` —
+    * custom keyed state the built-in windowed aggregates can't express.
+    * A session closes when the next event arrives more than `gapMinutes`
+    * later (emitted immediately) or when event time moves past the gap
+    * (state timeout). State per key is one small struct; the watermark
+    * bounds it. */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def update(uid: Long, it: Iterator[(Long, java.sql.Timestamp, Double)],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(uid, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.lastTs), s.n, s.total))
+      } else {
+        val evs = it.toSeq.sortBy(_._2.getTime)
+        var cur = state.getOption
+        val closed = Seq.newBuilder[Session]
+        evs.foreach { case (_, ts, v) =>
+          val t = ts.getTime
+          cur match {
+            case Some(s) if t - s.lastTs <= gapMs =>
+              cur = Some(SessionState(s.start, t, s.n + 1, s.total + v))
+            case Some(s) =>
+              closed += Session(uid, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.lastTs), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, v))
+            case None =>
+              cur = Some(SessionState(t, t, 1, v))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastTs + gapMs)
+        }
+        closed.result().iterator
+      }
+    }
+
+    events.select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** Run the ingest to a parquet sink and block until the available data is
     * fully processed (append mode: only watermark-finalized windows emit —

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, Skew}
+import graft.streaming.EventsStream
+
+/** Scale-path operators: top-k aggregator ≡ window ranking, salted join ≡
+  * plain join, gap sessionization semantics. */
+class ScaleOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("TopKAggregator path produces exactly the window-ranking result") {
+    val emb = (0L until 60L).map { i =>
+      (i, Seq.tabulate(12)(j => math.sin(i * 2.3 + j * 0.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val win = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 4, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    val agg = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
+      col("id") < 4, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(win.toSeq == agg.toSeq)
+  }
+
+  test("salted join ≡ plain join on a skewed key distribution") {
+    val big = (0 until 5000).map(i =>
+      (if (i % 10 == 0) 1L else (i % 50).toLong, i.toLong)).toDF("k", "payload")
+    val small = (0L until 50L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val plain = big.join(small, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Skew.saltedJoin(big, small, "k", 8).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("sessionize: gap closes a session with correct bounds and totals") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
+    // user 7: 3 events within 10 min, then a 2h gap, then 2 more;
+    // user 9's late event pushes processing along
+    val rows = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(5), 7L, "view", 2.0, "{}"),
+      (3L, ts(10), 7L, "click", 3.0, "{}"),
+      (4L, ts(130), 7L, "view", 4.0, "{}"),
+      (5L, ts(135), 7L, "purchase", 5.0, "{}"),
+      (6L, ts(300), 9L, "view", 9.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    val src = tmpDir("sess-src")
+    rows.write.mode("overwrite").parquet(src)
+    val out = tmpDir("sess-out")
+    val q = EventsStream.sessionize(
+      spark.readStream.schema(rows.schema).parquet(src)
+        .withWatermark("ts", "10 minutes"), gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("sess-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4)))
+    // the first user-7 session must be closed by the in-batch gap
+    val s1 = sessions.find(s => s._1 == 7L && s._2 == ts(0))
+    assert(s1.isDefined, s"missing first session in ${sessions.mkString(", ")}")
+    assert(s1.get._3 == ts(10) && s1.get._4 == 3L && s1.get._5 == 6.0)
+  }
+}
