@@ -51,7 +51,8 @@ object SparkEntry {
     "q30_event_hourly"        -> (Analytics.q30EventHourly _),
     "q31_embed_neardup"       -> (Analytics.q31EmbeddingNearDup _),
     "q32_event_dedup"         -> (Analytics.q32EventDedup _),
-    "q33_multimodal"          -> (Analytics.q33Multimodal _)
+    "q33_multimodal"          -> (Analytics.q33Multimodal _),
+    "q34_sessionize"          -> (Analytics.q34Sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -123,6 +123,26 @@ object Analytics {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  // Batch twin of streaming gap-sessionization (gaps-and-islands: lag flags
+  // a >30-min gap, running sum numbers the sessions, then one grouped
+  // rollup). The streaming twin is EventsStream.sessionize.
+  def q34Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val newSess = when(lag(us, 1).over(w).isNull ||
+      us - lag(us, 1).over(w) > 1800000000L, 1).otherwise(0)
+    t(s, dir)("events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        sum(newSess).over(run).cast("int").as("session_id"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        round(sum(cents(col("value"))) / 100.0, 2).as("total"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

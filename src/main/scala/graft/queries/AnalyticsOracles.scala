@@ -144,6 +144,27 @@ object AnalyticsOracles {
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q34_sessionize" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                      ORDER BY ts, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT user_id, CAST(sess AS INTEGER) AS session_id, count(*) AS n,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_id""".stripMargin,
+
     "q33_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -1,0 +1,64 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.reports.ReportRender
+import graft.reports.ReportRender.ReportRow
+
+/** Driver-side report assembly (D16/D17/S6) against the reference's
+  * types.py:129-201 semantics. */
+class ReportRenderSpec extends SparkSpec {
+
+  private val today = LocalDate.of(2021, 3, 10)
+  private def row(day: Int, date: String, actual: Option[Int], acc: Int) =
+    ReportRow(day, date, 2000, 100, actual, acc)
+
+  test("D16: null rows dropped, stale last row empties the report, tail-N kept") {
+    val rows = (1 to 10).map { i =>
+      row(i, f"${i}%02d-Mar-2021",
+        if (i == 4) None else Some(10 * i), 100 * i)
+    }
+    // last non-null row is 09-Mar = yesterday → keep last 7 non-null rows
+    val ok = ReportRender.prepareNutritionTable(
+      rows.filter(_.dayNumber <= 9), numRows = 7, today = today)
+    assert(ok.length == 7)
+    assert(ok.head.dayNumber == 2) // 8 non-null rows (1..9 minus day 4) → tail 7
+    assert(ok.last.date == "09-Mar-2021")
+
+    // stale: last row is 10-Mar ≠ yesterday? (10-Mar IS today, not yesterday)
+    val stale = ReportRender.prepareNutritionTable(rows, 7, today)
+    assert(stale.isEmpty)
+    assert(ReportRender.prepareNutritionTable(Seq.empty, 7, today).isEmpty)
+  }
+
+  test("D17: positive deficit → accent segments (sum = goal − actual, per reference)") {
+    val tbl = Seq(row(9, "09-Mar-2021", Some(300), 2500))
+    val bar = ReportRender.progressBarData(tbl, endGoal = 150000).get
+    assert(bar.color == "accent0")
+    assert(bar.segments == ((2200L, 300L, 147200L)))
+    // types.py:151: remaining = goal − acc − actual ⇒ segments total goal − actual
+    assert(bar.segments._1 + bar.segments._2 + bar.segments._3 == 149700L)
+    assert(bar.offsets == ((2200L, 2500L, 149700L)))
+  }
+
+  test("D17: negative deficit → warning variant (types.py:135-147 arithmetic)") {
+    val tbl = Seq(row(9, "09-Mar-2021", Some(-400), 2500))
+    val bar = ReportRender.progressBarData(tbl, endGoal = 150000).get
+    assert(bar.color == "warning")
+    // (acc-|a|, |a|, (goal-acc+|a|)+a) per the reference
+    assert(bar.segments == ((2100L, 400L, 147500L)))
+  }
+
+  test("S6/S7: HTML renders table and saves locally") {
+    val tbl = Seq(row(8, "08-Mar-2021", Some(10), 100),
+      row(9, "09-Mar-2021", Some(20), 120))
+    val html = ReportRender.renderHtml("user@example.com", tbl,
+      ReportRender.progressBarData(tbl, 150000), today)
+    assert(html.contains("Progress Report (Day 9)"))
+    assert(html.contains("<td>09-Mar-2021</td>"))
+    assert(html.contains("running deficit"))
+    val path = tmpDir("report") + "/report.html"
+    ReportRender.saveLocally(html, path)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == html)
+  }
+}
