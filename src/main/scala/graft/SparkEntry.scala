@@ -52,7 +52,11 @@ object SparkEntry {
     "q31_embed_neardup"       -> (Analytics.q31EmbeddingNearDup _),
     "q32_event_dedup"         -> (Analytics.q32EventDedup _),
     "q33_multimodal"          -> (Analytics.q33Multimodal _),
-    "q34_sessionize"          -> (Analytics.q34Sessionize _)
+    "q34_sessionize"          -> (Analytics.q34Sessionize _),
+    "q35_tfidf"               -> (Analytics.q35TfIdf _),
+    "q36_percentiles"         -> (Analytics.q36Percentiles _),
+    "q37_rollup"              -> (Analytics.q37Rollup _),
+    "q38_asof"                -> (Analytics.q38AsOf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

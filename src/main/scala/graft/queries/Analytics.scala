@@ -143,6 +143,54 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // TF-IDF top-3 terms per doc (three partial aggregations + term join).
+  def q35TfIdf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)
+      .orderBy(col("id"), col("rank"))
+
+  // Exact interpolated percentiles per group. Restricted to the integral
+  // l_quantity column: quantile neighbors are equal or integer-adjacent, so
+  // interpolation is exact in both engines (percentiles of arbitrary doubles
+  // would differ at the last ulp between interpolation formulas).
+  def q36Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"),
+        round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"))
+      .orderBy(col("l_returnflag"))
+
+  // ROLLUP hierarchy totals (beyond the reference's surface — free via the
+  // relational layer). Group markers coalesced to 'ALL' so the cross-engine
+  // NULL-ordering difference can't bite.
+  def q37Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  // As-of join: each purchase matched to the user's most recent view at or
+  // before it (union-sort-carry — no range join).
+  def q38AsOf(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir)("events")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("tb_id"))
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+        col("event_id").as("tb_id"))
+    graft.operators.AsOf.asofJoin(purchases, views, "user_id",
+      "ts", "ts", Seq("view_id"), tiebreakCol = "tb_id")
+      .select(col("event_id"), col("asof_view_id").as("view_id"))
+      .orderBy(col("event_id"))
+  }
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

@@ -144,6 +144,55 @@ object AnalyticsOracles {
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q35_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term),
+        |total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT id, tf.term, tf, df,
+        |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total),
+        |ranked AS (
+        |  SELECT id, term, tf, df, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |                            ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT id, rank, term, tf, df, round(tfidf, 4) AS tfidf
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    "q36_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q37_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q38_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'view' THEN event_id END AS view_id
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |carried AS (
+        |  SELECT *,
+        |    last_value(view_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, side, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view
+        |  FROM tagged)
+        |SELECT event_id, asof_view AS view_id
+        |FROM carried WHERE side = 1 ORDER BY event_id""".stripMargin,
+
     "q34_sessionize" ->
       """WITH f AS (
         |  SELECT user_id, ts, event_id, value,
