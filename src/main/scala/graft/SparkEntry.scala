@@ -56,7 +56,8 @@ object SparkEntry {
     "q35_tfidf"               -> (Analytics.q35TfIdf _),
     "q36_percentiles"         -> (Analytics.q36Percentiles _),
     "q37_rollup"              -> (Analytics.q37Rollup _),
-    "q38_asof"                -> (Analytics.q38AsOf _)
+    "q38_asof"                -> (Analytics.q38AsOf _),
+    "q39_knn_ivf"             -> (Analytics.q39KnnIvf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -115,6 +115,59 @@ object Similarity {
       .toDF("qid", "rank", "nid", "sim")
   }
 
+  /** IVF-style ANN: the corpus is partitioned into `nCentroids` cells
+    * around deterministically-chosen seed centroids (smallest xxhash64(id) —
+    * reproducible without RNG state; a k-means refinement would slot in
+    * here); each query probes its `nProbe` nearest cells and reranks only
+    * those cells' members exactly. The inverted-file structure is the
+    * classic scale path: candidate cost ~ nProbe/nCentroids of the corpus,
+    * all joins hash-partitioned on the cell id. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              nCentroids: Int, nProbe: Int, queryPred: Column,
+              k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val seeds = base
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id"))
+      .limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val centroidSim = dotFast(col("v"), col("cv")) / (col("nrm") * col("cn"))
+
+    // assign every vector to its nearest centroid (broadcast K centroids)
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(seeds))
+      .select(col("id"), col("v"), col("nrm"), col("cid"),
+        centroidSim.as("csim"))
+      .withColumn("rn", row_number().over(assignW))
+      .where(col("rn") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cid"))
+
+    // each query probes its nProbe nearest cells
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .crossJoin(broadcast(seeds))
+      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+        dotFast(col("qv"), col("cv")).divide(col("qn") * col("cn")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+
+    // exact rerank within the probed cells only
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val rankW = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+    probes.join(assigned, "cid")
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to the
     * id-range `pred` (at scale: LSH-bucket first, or cap the universe). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

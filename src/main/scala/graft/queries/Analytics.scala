@@ -61,6 +61,13 @@ object Analytics {
       dim = 64, queryPred = col("id") < 8, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  // IVF-bucketed ANN (deterministic seed centroids; rows-only gate —
+  // recall < 1 by construction, exactness of the rerank pinned in spec).
+  def q39KnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
+      nCentroids = 16, nProbe = 4, queryPred = col("id") < 8, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")

@@ -1,0 +1,59 @@
+package graft
+
+import java.time.LocalDate
+
+import graft.api.Api
+
+/** The public facade end-to-end: ETL → both reports → backup rotation,
+  * through the same surface a library user calls. */
+class ApiSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("etl → reports → backup through the Api facade") {
+    val api = new Api(tmpDir("api-store"))
+    assert(api.runEtl(spark.createDataset(
+      Fixtures.fakeDays :+ Fixtures.fullDay)) == 4)
+
+    // progress report over the loaded store (fullDay has goals+meals+cardio)
+    val progress = api.runProgressReport(Fixtures.user, "2021-01-01")
+    val rows = progress.collect()
+    assert(rows.length == 1) // only fullDay has goals AND meals
+    assert(rows.head.getAs[Int]("calories_target") == 2000)
+
+    val nutrition = api.runNutritionReport(Fixtures.user,
+      "2021-01-01", "2021-12-31")
+    assert(nutrition.count() == 1)
+
+    // window planning defaults (D14)
+    assert(api.planWindow(today = LocalDate.of(2021, 6, 15)) ==
+      (LocalDate.of(2021, 6, 9), LocalDate.of(2021, 6, 14)))
+
+    // backup + FIFO rotation
+    val backups = tmpDir("api-backups")
+    (1 to 7).foreach { i =>
+      api.runBackup(backups, today = LocalDate.of(2021, 3, i), maxBackups = 5)
+    }
+    val remaining = new java.io.File(backups).list().sorted.toSeq
+    assert(remaining == (3 to 7).map(i => f"mfp_db_backup_2021-03-0$i"))
+  }
+
+  test("IVF ANN: results are exact-similarity true neighbors") {
+    import org.apache.spark.sql.functions._
+    val emb = (0L until 120L).map { i =>
+      (i, Seq.tabulate(10)(j => math.sin(i * 1.9 + j * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivf = graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCentroids = 8, nProbe = 3, queryPred = col("id") < 3, k = 5).collect()
+    assert(ivf.nonEmpty)
+    val exact = graft.operators.Similarity.bruteForceTopK(emb, "vec_id",
+      "embedding", col("id") < 3, 120).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivf.foreach { r => // every IVF hit carries the true exact similarity
+      assert(exact((r.getLong(0), r.getLong(2))) == r.getDouble(3))
+    }
+    // ranks are consecutive from 1 per query
+    ivf.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(1)).sorted.toSeq == (1 to g.length))
+    }
+  }
+}
