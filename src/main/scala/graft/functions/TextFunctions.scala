@@ -91,10 +91,20 @@ object TextFunctions {
       (acc, t) => pmod(acc * 31 + pmod(xxhash64(t), m), m))
   }
 
-  /** MinHash signature: `numPerms` permutations approximated by seeding
-    * xxhash64 with the permutation index. For a non-empty shingle array the
-    * signature is null-free. */
+  /** MinHash signature: `numPerms` permutations approximated by re-hashing a
+    * per-shingle base hash with the permutation index.
+    *
+    * Structured so each shingle STRING is hashed exactly once: the base-hash
+    * array is the `aggregate` input collection (evaluated once — an
+    * expression referenced inside a lambda body would be re-evaluated per
+    * outer element, there is no let-binding in Catalyst), and the fold takes
+    * element-wise minima over each shingle's permutation array. For a
+    * non-empty shingle array the signature is null-free. */
   def minhashSignature(shingleArr: Column, numPerms: Int): Column =
-    transform(sequence(lit(0), lit(numPerms - 1)),
-      p => array_min(transform(shingleArr, s => xxhash64(s, p))))
+    aggregate(
+      transform(shingleArr, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), numPerms),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(numPerms - 1)), p => xxhash64(h, p)),
+        (a, b) => least(a, b)))
 }
