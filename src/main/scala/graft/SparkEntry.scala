@@ -57,7 +57,11 @@ object SparkEntry {
     "q36_percentiles"         -> (Analytics.q36Percentiles _),
     "q37_rollup"              -> (Analytics.q37Rollup _),
     "q38_asof"                -> (Analytics.q38AsOf _),
-    "q39_knn_ivf"             -> (Analytics.q39KnnIvf _)
+    "q39_knn_ivf"             -> (Analytics.q39KnnIvf _),
+    "q40_window_suite"        -> (Relational.q40WindowSuite _),
+    "q41_string_suite"        -> (Relational.q41StringSuite _),
+    "q42_stats_suite"         -> (Relational.q42StatsSuite _),
+    "q43_null_suite"          -> (Relational.q43NullSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -238,6 +238,66 @@ object Relational {
       .limit(10)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
 
+  // Window-function breadth: lead/lag/first/last/ntile over the per-customer
+  // order sequence (beyond the reference's row_number+sum — free via the
+  // relational layer).
+  def q40WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir)("orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(framed).as("first_price"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // String-function breadth (all ASCII-deterministic cross-engine).
+  def q41StringSuite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        length(col("c_name")).as("nlen"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        replace(col("c_name"), lit("Customer"), lit("Cst")).as("shortened"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+      .orderBy(col("c_custkey"))
+
+  // Statistical aggregates (sample stddev/variance, conditional counts).
+  def q42StatsSuite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        count(when(col("l_discount") > 0.05, 1)).as("high_discount"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  // NULL semantics: nullif-manufactured NULLs, null-safe equality, coalesce
+  // chains, and NULL-aware counting.
+  def q43NullSuite(s: SparkSession, dir: String): DataFrame = {
+    val withNulls = t(s, dir)("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+    withNulls
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("status_n")).as("n_nonnull"),
+        count(when(col("status_n").isNull, 1)).as("n_null"),
+        count(when(col("status_n") <=> lit("F"), 1)).as("n_f_nullsafe"),
+        coalesce(max(col("status_n")), lit("none")).as("max_status"))
+      .orderBy(col("o_custkey"))
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

@@ -144,6 +144,49 @@ object RelationalOracles {
       """SELECT c_custkey, c_name, c_acctbal
         |FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
 
+    "q40_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q41_string_suite" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  CAST(length(c_name) AS INTEGER) AS nlen,
+        |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+        |  replace(c_name, 'Customer', 'Cst') AS shortened,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q42_stats_suite" ->
+      """SELECT l_returnflag,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  count(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_discount,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_null_suite" ->
+      """SELECT o_custkey,
+        |  count(*) AS n_rows,
+        |  count(status_n) AS n_nonnull,
+        |  count(CASE WHEN status_n IS NULL THEN 1 END) AS n_null,
+        |  count(CASE WHEN status_n IS NOT DISTINCT FROM 'F' THEN 1 END) AS n_f_nullsafe,
+        |  coalesce(max(status_n), 'none') AS max_status
+        |FROM (SELECT o_custkey, nullif(o_orderstatus, 'O') AS status_n
+        |      FROM orders) s
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
     "q19_progress_report" ->
       """WITH latest AS (
         |  SELECT o_custkey, o_totalprice FROM (
