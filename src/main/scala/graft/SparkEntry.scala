@@ -61,7 +61,10 @@ object SparkEntry {
     "q40_window_suite"        -> (Relational.q40WindowSuite _),
     "q41_string_suite"        -> (Relational.q41StringSuite _),
     "q42_stats_suite"         -> (Relational.q42StatsSuite _),
-    "q43_null_suite"          -> (Relational.q43NullSuite _)
+    "q43_null_suite"          -> (Relational.q43NullSuite _),
+    "q44_cube"                -> (Analytics.q44Cube _),
+    "q45_range_frame"         -> (Analytics.q45RangeFrame _),
+    "q46_dedup_clusters"      -> (Analytics.q46DedupClusters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -90,6 +90,42 @@ object Dedup {
       .select(col("id1"), col("id2"), (j * 1e6).cast("int").as("jaccard_ppm"))
   }
 
+  /** Duplicate-cluster formation from near-dup pairs: connected components
+    * by iterative min-label propagation (the Pregel pattern as plain
+    * DataFrame joins — each iteration is one distributed join + aggregate,
+    * converging in O(component diameter) rounds, which for dedup clusters
+    * is tiny). The driver only coordinates the loop and checks convergence;
+    * at scale each iteration's frames should be checkpointed to cut lineage
+    * (persist here). Returns (id, cluster) with cluster = min member id. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, col("b") === col("id"))
+        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.id") === col("a"), "left_outer")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
+            .as("label"))
+        .persist()
+      val changed = updated.as("u").join(labels.as("old"), "id")
+        .where(col("u.label") =!= col("old.label")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash per document: explode tokens, hash once, then a single
     * partial-aggregatable groupBy with 64 per-bit majority-vote sums —
     * shuffle carries 64 ints per doc, not the tokens. */

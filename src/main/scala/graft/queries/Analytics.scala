@@ -150,6 +150,39 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // CUBE over both rollup dimensions (all four grouping combinations).
+  def q44Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("flag"), col("status"))
+
+  // RANGE-frame moving window (value-based frame, not row-based): per
+  // customer, sum of order cents across the orderkey range [k−1000, k].
+  def q45RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rangeBetween(-1000L, Window.currentRow)
+    t(s, dir)("orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(cents(col("o_totalprice"))).over(w) / 100.0, 2)
+          .as("nearby_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  // Duplicate clusters: MinHash-LSH pairs at τ=0.8 → connected components
+  // (iterative min-label propagation; oracle is a recursive-CTE transitive
+  // closure over the exact pairwise jaccard edges).
+  def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashLshPairs(t(s, dir)("documents"),
+        "doc_id", "text", shingleSize = 3, numPerms = 64, bands = 16,
+        threshold = 0.8))
+      .orderBy(col("id"))
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

@@ -5,12 +5,13 @@ package graft.queries
   */
 object AnalyticsOracles {
 
-  /** Shared CTE text: exact all-pairs n-gram jaccard over a doc universe.
+  /** Shared CTE list: exact all-pairs n-gram jaccard over a doc universe.
     * Tokens are exploded with positions (zip-unnest), trigrams built by
     * positional self-join, then an inverted-index join counts intersections.
-    */
-  private def jaccardSql(pred: String, threshold: String): String =
-    s"""WITH tok AS (
+    * Exposed as a CTE-list + final-select pair so q46 can embed it inside a
+    * WITH RECURSIVE. */
+  private def jaccardCtes(pred: String): String =
+    s"""tok AS (
        |  SELECT doc_id,
        |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER) AS pos,
        |    unnest(string_split(text,' ')) AS w
@@ -24,14 +25,18 @@ object AnalyticsOracles {
        |inter AS (
        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
        |  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id < y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id)
-       |SELECT id1, id2,
+       |  GROUP BY x.doc_id, y.doc_id)""".stripMargin
+
+  private def jaccardSelect(threshold: String): String =
+    s"""SELECT id1, id2,
        |  CAST(trunc((i * 1.0 / (sx.sz + sy.sz - i)) * 1000000.0) AS INTEGER) AS jaccard_ppm
        |FROM inter
        |JOIN sizes sx ON sx.doc_id = id1
        |JOIN sizes sy ON sy.doc_id = id2
-       |WHERE (i * 1.0 / (sx.sz + sy.sz - i)) >= $threshold
-       |ORDER BY id1, id2""".stripMargin
+       |WHERE (i * 1.0 / (sx.sz + sy.sz - i)) >= $threshold""".stripMargin
+
+  private def jaccardSql(pred: String, threshold: String): String =
+    s"WITH ${jaccardCtes(pred)}\n${jaccardSelect(threshold)}\nORDER BY id1, id2"
 
   val sql: Map[String, String] = Map(
     "q20_dedup_exact" ->
@@ -143,6 +148,35 @@ object AnalyticsOracles {
         |                       ORDER BY ts, event_id) AS rn
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+
+    "q45_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0, 2)
+        |    AS nearby_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q46_dedup_clusters" ->
+      (s"""WITH RECURSIVE ${jaccardCtes("true")},
+          |pairs AS (${jaccardSelect("0.8")}),
+          |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+          |        UNION ALL SELECT id2, id1 FROM pairs),
+          |cnodes AS (SELECT DISTINCT a AS id FROM sym),
+          |reach AS (
+          |  SELECT id, id AS r FROM cnodes
+          |  UNION
+          |  SELECT s.a AS id, reach.r FROM reach JOIN sym s ON reach.id = s.b
+          |)
+          |SELECT id, min(r) AS cluster FROM reach GROUP BY id
+          |ORDER BY id""".stripMargin),
 
     "q35_tfidf" ->
       """WITH toks AS (
