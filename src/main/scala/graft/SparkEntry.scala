@@ -64,7 +64,10 @@ object SparkEntry {
     "q43_null_suite"          -> (Relational.q43NullSuite _),
     "q44_cube"                -> (Analytics.q44Cube _),
     "q45_range_frame"         -> (Analytics.q45RangeFrame _),
-    "q46_dedup_clusters"      -> (Analytics.q46DedupClusters _)
+    "q46_dedup_clusters"      -> (Analytics.q46DedupClusters _),
+    "q47_funnel"              -> (Analytics.q47Funnel _),
+    "q48_histogram"           -> (Analytics.q48Histogram _),
+    "q49_join_suite"          -> (Relational.q49JoinSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

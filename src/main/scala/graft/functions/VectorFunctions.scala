@@ -32,6 +32,22 @@ object VectorFunctions {
     transform(v, x => x / n)
   }
 
+  /** Scalar int8 quantization for embedding storage (4× smaller than
+    * float32, 8× smaller than the double working set — at 100 TB of
+    * embeddings this is the difference between one scan tier and four).
+    * Returns struct(scale, q ARRAY<TINYINT>); [[dequantizeInt8]] inverts
+    * with max relative error scale/127 per component. */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
+    struct(
+      scale.as("scale"),
+      transform(v, x => round(x / scale * 127, 0).cast("tinyint")).as("q"))
+  }
+
+  def dequantizeInt8(qv: Column): Column =
+    transform(qv.getField("q"),
+      b => b.cast("double") * qv.getField("scale") / 127.0)
+
   /** Deterministic random-hyperplane LSH signature (`nbits` sign bits packed
     * into a long). Plane weights are derived from xxhash64(plane, dim) — no
     * RNG state, so signatures are reproducible across runs and executors. */

@@ -150,6 +150,33 @@ object Analytics {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  // Conversion funnel: users whose first purchase follows their first
+  // signup within 7 days (per-user conditional min aggregation — one pass,
+  // no self-join).
+  def q47Funnel(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .select(col("user_id"),
+        (col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+          col("first_purchase") >= col("first_signup") &&
+          col("first_purchase") <= col("first_signup") + expr("INTERVAL 7 DAYS"))
+          .as("converted_7d"),
+        date_format(col("first_signup"), "yyyy-MM-dd HH:mm:ss").as("signup_at"),
+        date_format(col("first_purchase"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
+      .orderBy(col("user_id"))
+
+  // Value histogram via exact integer bucketing (floor of an IEEE division —
+  // bit-stable cross-engine, unlike width_bucket variants).
+  def q48Histogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .groupBy(floor(col("value") / 25.0).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(cents(col("value"))) / 100.0, 2).as("total"))
+      .orderBy(col("bucket"))
+
   // CUBE over both rollup dimensions (all four grouping combinations).
   def q44Cube(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem")

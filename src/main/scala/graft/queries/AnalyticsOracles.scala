@@ -149,6 +149,26 @@ object AnalyticsOracles {
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q47_funnel" ->
+      """SELECT user_id,
+        |  (first_signup IS NOT NULL AND first_purchase IS NOT NULL
+        |   AND first_purchase >= first_signup
+        |   AND first_purchase <= first_signup + INTERVAL 7 DAY) AS converted_7d,
+        |  strftime(first_signup, '%Y-%m-%d %H:%M:%S') AS signup_at,
+        |  strftime(first_purchase, '%Y-%m-%d %H:%M:%S') AS purchase_at
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id) f
+        |ORDER BY user_id""".stripMargin,
+
+    "q48_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0, 2) AS total
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q44_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

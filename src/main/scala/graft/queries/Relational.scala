@@ -298,6 +298,24 @@ object Relational {
       .orderBy(col("o_custkey"))
   }
 
+  // Join-type breadth beyond the reference's inner/outer/anti: LEFT SEMI
+  // (customers having any open order) and FULL OUTER (order-count vs
+  // high-balance customer sets).
+  def q49JoinSuite(s: SparkSession, dir: String): DataFrame = {
+    val openOrders = t(s, dir)("orders").where(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val semi = t(s, dir)("customer")
+      .join(openOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+    val rich = t(s, dir)("customer").where(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("rich_key"))
+    semi.join(rich, col("c_custkey") === col("rich_key"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), lit(-1L)).as("open_customer"),
+        coalesce(col("rich_key"), lit(-1L)).as("rich_customer"))
+      .orderBy(col("open_customer"), col("rich_customer"))
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

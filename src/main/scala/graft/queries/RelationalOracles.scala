@@ -187,6 +187,19 @@ object RelationalOracles {
         |      FROM orders) s
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
+    "q49_join_suite" ->
+      """SELECT
+        |  coalesce(s1.c_custkey, -1) AS open_customer,
+        |  coalesce(s2.rich_key, -1) AS rich_customer
+        |FROM (
+        |  SELECT c_custkey FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders
+        |                WHERE o_custkey = c_custkey AND o_orderstatus = 'O')) s1
+        |FULL OUTER JOIN (
+        |  SELECT c_custkey AS rich_key FROM customer WHERE c_acctbal > 5000) s2
+        |ON s1.c_custkey = s2.rich_key
+        |ORDER BY open_customer, rich_customer""".stripMargin,
+
     "q19_progress_report" ->
       """WITH latest AS (
         |  SELECT o_custkey, o_totalprice FROM (

@@ -113,6 +113,13 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Small-file compaction: rewrite the table into `targetPartitions`
+    * output files (incremental upserts accumulate per-batch files; compacted
+    * scans restore full parquet row-group efficiency). Same atomic-swap
+    * path as upsert, so readers never see a partial table. */
+  def compact(table: String, targetPartitions: Int = 1): Unit =
+    swapIn(table, read(table).repartition(targetPartitions))
+
   /** Project/cast an incoming frame onto the declared schema (column order
     * and types pinned by the DDL port). */
   private def align(table: String, df: DataFrame): DataFrame = {
