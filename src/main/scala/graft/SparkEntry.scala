@@ -67,7 +67,9 @@ object SparkEntry {
     "q46_dedup_clusters"      -> (Analytics.q46DedupClusters _),
     "q47_funnel"              -> (Analytics.q47Funnel _),
     "q48_histogram"           -> (Analytics.q48Histogram _),
-    "q49_join_suite"          -> (Relational.q49JoinSuite _)
+    "q49_join_suite"          -> (Relational.q49JoinSuite _),
+    "q50_pivot"               -> (Analytics.q50Pivot _),
+    "q51_gapfill"             -> (Analytics.q51GapFill _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

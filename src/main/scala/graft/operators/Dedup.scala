@@ -67,9 +67,11 @@ object Dedup {
     // itself, then combine each band's hashes with an order-independent,
     // perm-salted bit_xor under partial aggregation — the shuffle carries
     // one row per (doc, band).
+    graft.plans.TextExpressions.register(df.sparkSession)
     val sigRows = docs.where(size(col("sh")) > 0)
       .select(col("id"),
-        posexplode(minhashSignature(col("sh"), numPerms)).as(Seq("perm", "h")))
+        posexplode(call_function("minhash_signature", col("sh"), lit(numPerms)))
+          .as(Seq("perm", "h")))
     val banded = sigRows
       .groupBy(col("id"), (col("perm") / r).cast("int").as("band"))
       .agg(bit_xor(xxhash64(col("h"), col("perm"))).as("bh"))

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+
+/** Codegen'd MinHash signature over a shingle array.
+  *
+  * The `aggregate`/`zip_with` lambda composition in
+  * [[graft.functions.TextFunctions.minhashSignature]] is evaluated
+  * interpreted with per-element boxing — measured ~5 s for 5k docs × 64
+  * perms at sf0.1, dominating the LSH dedup pipeline. This expression emits
+  * the same computation as a tight primitive loop: per shingle one string
+  * hash, then one `hashInt` per permutation, taking minima in a local
+  * array.
+  *
+  * Hash recipe matches the lambda composition EXACTLY (xxhash64(s) =
+  * hashUTF8String(s, 42); xxhash64(h, p) = hashInt(p, hashLong(h, 42))), so
+  * signatures — and therefore LSH candidates — are bit-identical; pinned in
+  * TextExpressionsSpec.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int)
+    extends UnaryExpression {
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val seeded = XXH64.hashLong(
+        XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+      var p = 0
+      while (p < numPerms) {
+        val hp = XXH64.hashInt(p, seeded)
+        if (hp < sig(p)) sig(p) = hp
+        p += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val seeded = ctx.freshName("seeded")
+      val hp = ctx.freshName("hp")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $sig = new long[$numPerms];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $seeded = $xxh.hashLong(
+         |    $xxh.hashUTF8String($a.getUTF8String($i), 42L), 42L);
+         |  for (int $p = 0; $p < $numPerms; $p++) {
+         |    long $hp = $xxh.hashInt($p, $seeded);
+         |    if ($hp < $sig[$p]) $sig[$p] = $hp;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextExpressions {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+}

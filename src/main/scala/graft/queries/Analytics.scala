@@ -258,6 +258,39 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  // Pivot: one row per user, one count column per event type (Spark's
+  // pivot API; the oracle spells the equivalent conditional aggregation).
+  def q50Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  // Calendar gap-fill: every (day, event_type) cell over the observed span,
+  // zero-filled — the D13 date generator composed with a grid cross join
+  // and left-outer lookup (J4).
+  def q51GapFill(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir)("events")
+    val days = events
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"))
+    val types = events.select(col("event_type")).distinct()
+    val counts = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("cday"),
+        col("event_type").as("ctype"))
+      .agg(count(lit(1)).as("cnt"))
+    days.crossJoin(types)
+      .join(counts,
+        col("day") === col("cday") && col("event_type") === col("ctype"),
+        "left_outer")
+      .select(col("day"), col("event_type"),
+        coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

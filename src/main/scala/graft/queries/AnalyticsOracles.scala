@@ -149,6 +149,33 @@ object AnalyticsOracles {
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q50_pivot" ->
+      """SELECT user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q51_gapfill" ->
+      """WITH mm AS (SELECT CAST(min(ts) AS DATE) AS d0,
+        |                   CAST(max(ts) AS DATE) AS d1 FROM events),
+        |days AS (
+        |  SELECT strftime(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |                                         CAST(d1 AS TIMESTAMP),
+        |                                         INTERVAL 1 DAY)), '%Y-%m-%d') AS day
+        |  FROM mm),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS cday, event_type AS ctype,
+        |         count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, coalesce(cnt, 0) AS n
+        |FROM days CROSS JOIN types
+        |LEFT JOIN counts ON day = cday AND event_type = ctype
+        |ORDER BY day, event_type""".stripMargin,
+
     "q47_funnel" ->
       """SELECT user_id,
         |  (first_signup IS NOT NULL AND first_purchase IS NOT NULL
