@@ -100,8 +100,12 @@ object Dedup {
     * at scale each iteration's frames should be checkpointed to cut lineage
     * (persist here). Returns (id, cluster) with cluster = min member id. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // persist the pair source FIRST: the symmetric union references it twice,
+    // which would otherwise recompute the (expensive) candidate pipeline in
+    // both branches
+    val p = pairs.persist()
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .unionAll(p.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -125,6 +129,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("label").as("cluster"))
   }
 

@@ -35,14 +35,19 @@ object EventsStream {
 
   /** Source → cleaned, watermarked, deduplicated event frame. */
   def readEvents(spark: SparkSession, srcPath: String,
-                 watermark: String = "1 hour"): DataFrame = {
+                 watermark: String = "1 hour"): DataFrame =
+    readEventsNoDedup(spark, srcPath)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Source without the watermark/dedup stage (stream–stream joins attach
+    * their own per-side watermarks). */
+  def readEventsNoDedup(spark: SparkSession, srcPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream
       .schema(rawSchema)
       .parquet(srcPath)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("event_id")
   }
 
   /** Tumbling-window rollup per event type. */
@@ -101,6 +106,28 @@ object EventsStream {
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Stream–stream interval join: attribute each purchase to the views by
+    * the same user in the preceding `attributionWindow`. Both sides carry
+    * watermarks and the join condition bounds the time range, so state for
+    * either side is evicted once the watermark passes the interval — the
+    * canonical bounded-state stream join. */
+  def purchaseAttribution(events: DataFrame,
+                          attributionWindow: String = "1 hour"): DataFrame = {
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"))
   }
 
   /** Run the ingest to a parquet sink and block until the available data is
