@@ -69,7 +69,8 @@ object SparkEntry {
     "q48_histogram"           -> (Analytics.q48Histogram _),
     "q49_join_suite"          -> (Relational.q49JoinSuite _),
     "q50_pivot"               -> (Analytics.q50Pivot _),
-    "q51_gapfill"             -> (Analytics.q51GapFill _)
+    "q51_gapfill"             -> (Analytics.q51GapFill _),
+    "q52_split"               -> (Analytics.q52Split _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -291,6 +291,21 @@ object Analytics {
       .orderBy(col("day"), col("event_type"))
   }
 
+  // Deterministic train/val/test split: a multiplicative-mix bucket on the
+  // stable doc id (no RNG state — the property a reproducible training-data
+  // pipeline needs; engine-agnostic integer arithmetic, unlike hash- or
+  // rand-based sampling). 80/10/10 by bucket.
+  def q52Split(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * 1000003L + 12345L, lit(100L))
+    val split = when(bucket < 80, "train")
+      .when(bucket < 90, "val").otherwise("test")
+    t(s, dir)("documents")
+      .select(col("lang"), split.as("split"), col("n_chars"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

@@ -149,6 +149,16 @@ object AnalyticsOracles {
         |  FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
+    "q52_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 1000003 + 12345) % 100 < 80 THEN 'train'
+        |       WHEN (doc_id * 1000003 + 12345) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
     "q50_pivot" ->
       """SELECT user_id,
         |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
