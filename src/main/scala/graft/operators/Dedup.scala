@@ -93,44 +93,78 @@ object Dedup {
   }
 
   /** Duplicate-cluster formation from near-dup pairs: connected components
-    * by iterative min-label propagation (the Pregel pattern as plain
-    * DataFrame joins — each iteration is one distributed join + aggregate,
-    * converging in O(component diameter) rounds, which for dedup clusters
-    * is tiny). The driver only coordinates the loop and checks convergence;
-    * at scale each iteration's frames should be checkpointed to cut lineage
-    * (persist here). Returns (id, cluster) with cluster = min member id. */
+    * by alternating large-star / small-star edge rewriting (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Converges in
+    * O(log n) rounds regardless of component diameter — min-label
+    * propagation is O(diameter), and chained near-dups are exactly the
+    * long-diameter case. Scale discipline per round:
+    *   - ONE action: the new edge set is materialized with an eager
+    *     `localCheckpoint` (truncating lineage so it cannot grow with the
+    *     iteration count), and the convergence fingerprint (edge count +
+    *     order-independent xor of edge hashes) rides on that same job via
+    *     `observe()` — no separate join-and-count action.
+    *   - Star operations are groupBy-min + join-back (never collect_set), so
+    *     a high-degree node costs a shuffle of its edges, not an array.
+    * Returns (id, cluster) with cluster = min member id. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    // persist the pair source FIRST: the symmetric union references it twice,
-    // which would otherwise recompute the (expensive) candidate pipeline in
-    // both branches
-    val p = pairs.persist()
-    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
-      .unionAll(p.select(col("id2").as("a"), col("id1").as("b")))
-      .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist()
+    // Materialize the (expensive — usually an LSH pipeline) pair source once
+    // and cut its lineage; the loop re-reads it only to seed nodes/edges.
+    val p = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .where(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    val nodes = p.select(col("a").as("id"))
+      .unionAll(p.select(col("b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+
+    // large-star: each node u connects its strictly-larger neighbors to
+    // m = min(Γ(u) ∪ {u}). Emitted edges are (v, m) with v > m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a").as("u"), least(col("a"), col("mn")).as("m"))
+      sym.as("s").join(mins.as("t"), col("s.a") === col("t.u"))
+        .where(col("s.b") > col("s.a"))
+        .select(col("s.b").as("a"), col("t.m").as("b"))
+        .distinct()
+    }
+    // small-star: orient edges (u = max, v = min); each u connects its
+    // smaller neighborhood (and itself) to m = min neighbor.
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins = o.groupBy(col("u")).agg(min(col("v")).as("m"))
+      o.as("s").join(mins.as("t"), col("s.u") === col("t.u"))
+        .where(col("s.v") =!= col("t.m"))
+        .select(col("s.v").as("a"), col("t.m").as("b"))
+        .unionAll(mins.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+
+    var e = p.select(greatest(col("a"), col("b")).as("a"),
+      least(col("a"), col("b")).as("b")).distinct().localCheckpoint(true)
+    var lastFp: Option[(Long, Long)] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, col("b") === col("id"))
-        .groupBy(col("a")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.as("l")
-        .join(neighborMin, col("l.id") === col("a"), "left_outer")
-        .select(col("l.id").as("id"),
-          least(col("l.label"), coalesce(col("nlabel"), col("l.label")))
-            .as("label"))
-        .persist()
-      val changed = updated.as("u").join(labels.as("old"), "id")
-        .where(col("u.label") =!= col("old.label")).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      e = smallStar(largeStar(e))
+        .observe(obs, count(lit(1)).as("cnt"),
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("fp"))
+        .localCheckpoint(true) // the one action; fingerprint rides along
+      val m = obs.get
+      val fp = (m("cnt").asInstanceOf[Long], m("fp").asInstanceOf[Long])
+      converged = lastFp.contains(fp)
+      lastFp = Some(fp)
       iter += 1
     }
-    edges.unpersist()
-    p.unpersist()
-    labels.select(col("id"), col("label").as("cluster"))
+    // At the fixed point the edge set is a star forest (child → min root).
+    // groupBy-min instead of a bare join keeps the result well-formed even
+    // if maxIters was hit before convergence.
+    val parent = e.groupBy(col("a")).agg(min(col("b")).as("cluster"))
+    nodes.as("n").join(parent.as("pr"), col("n.id") === col("pr.a"), "left_outer")
+      .select(col("n.id").as("id"),
+        coalesce(col("pr.cluster"), col("n.id")).as("cluster"))
   }
 
   /** 64-bit SimHash per document: explode tokens, hash once, then a single
