@@ -14,22 +14,28 @@ import graft.sources.TableStore
   *   intent-faithful replace-days semantics (M3) / keyed upsert (M2).
   *
   * Lineage replaces the Prefect DAG; the only shuffles are the anti-join
-  * (J3) and the per-table upsert joins. The diff is persisted because nine
-  * branches re-read it — the reference does the same by hand, re-parsing the
-  * in-memory diff rather than re-reading the DB (flows.py:66-74).
+  * (J3) and the per-table upsert joins. The diff is STAGED (written to
+  * parquet and re-read, [[TableStore.stage]]), not merely persisted: the M1
+  * upsert atomically swaps away the very directory the diff's lineage reads,
+  * so a cache eviction between upsert and the eight child branches would
+  * recompute an empty diff and silently skip the changed days. The reference
+  * has the same invariant by construction — it re-parses the in-memory diff,
+  * never the DB (flows.py:66-74).
   */
 object EtlPipeline {
 
-  def run(store: TableStore, days: Dataset[MaterializedDay])
+  def run(store: TableStore, days: Dataset[MaterializedDay],
+          afterUpsert: () => Unit = () => ())
          (implicit spark: SparkSession): Long = {
     store.init()
     val serialized = Extractors.serializeDays(days.toDF())
-    val diff = Extractors.changedDays(serialized, store.read("RawDayData"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (diff, dropStaged) = store.stage(
+      Extractors.changedDays(serialized, store.read("RawDayData")))
     try {
       val nChanged = diff.count()
       if (nChanged > 0) {
         store.upsert("RawDayData", diff) // M1
+        afterUpsert() // test seam: simulate eviction between M1 and children
         val parsed = Extractors.deserializeDays(diff)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -44,6 +50,6 @@ object EtlPipeline {
         } finally parsed.unpersist()
       }
       nChanged
-    } finally diff.unpersist()
+    } finally dropStaged()
   }
 }

@@ -36,6 +36,28 @@ object Similarity {
   private def dotFast(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
+  /** Rank (qid, nid, sim) candidate pairs to top-k per query via the
+    * k-bounded typed [[graft.functions.TopKAggregator]]: partial (map-side)
+    * aggregation caps the shuffle at k rows per partition per query. The
+    * window alternative (`row_number` over sim) must shuffle AND sort every
+    * candidate pair — the scale-killer this replaces (see
+    * [[bruteForceTopKWindow]], kept only as the spec reference).
+    * Ordering is deterministic: sim desc, nid asc on ties — identical to the
+    * window path's ordering, asserted equal in ScaleOpsSpec. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val topk = new graft.functions.TopKAggregator(k).toColumn
+    pairs.select(col("qid"), col("nid"), col("sim"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(p => graft.functions.Scored(p._2, p._3))
+      .agg(topk)
+      .flatMap { case (qid, hits) =>
+        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
+      }
+      .toDF("qid", "rank", "nid", "sim")
+  }
+
   /** Exact cosine top-k of each query vector against the whole corpus. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int): DataFrame = {
@@ -43,14 +65,31 @@ object Similarity {
     val q = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val ranked = broadcast(q)
+    val pairs = broadcast(q)
+      .join(base, col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
+    rankTopK(pairs, k)
+  }
+
+  /** Window-ranked variant of [[bruteForceTopK]] — the reference
+    * implementation ScaleOpsSpec proves the aggregator path equal to. NOT
+    * the catalog path: `row_number` over all q·n pairs shuffles and sorts
+    * the whole candidate set. */
+  private[graft] def bruteForceTopKWindow(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame = {
+    val base = prepared(emb, idCol, vecCol)
+    val q = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    broadcast(q)
       .join(base, col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), sim.as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("sim").desc, col("nid"))))
       .where(col("rank") <= k)
-    ranked.select(col("qid"), col("rank"), col("nid"), col("sim"))
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
   /** LSH-bucketed ANN: 32-bit hyperplane signature split into 4 tables of
@@ -79,40 +118,7 @@ object Similarity {
         col("id").as("nid"), col("v"), col("nrm"))
       .dropDuplicates("qid", "nid")
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    candidates
-      .select(col("qid"), col("nid"), sim.as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
-  }
-
-  /** [[bruteForceTopK]] with the ranking done by the k-bounded typed
-    * [[graft.functions.TopKAggregator]] instead of a window sort: partial
-    * aggregation caps the shuffle at k rows per partition per query, where
-    * the window path shuffles and sorts every (query, candidate) pair.
-    * Same output (same deterministic ordering) — asserted in spec. */
-  def bruteForceTopKAgg(emb: DataFrame, idCol: String, vecCol: String,
-                        queryPred: Column, k: Int): DataFrame = {
-    import emb.sparkSession.implicits._
-    val base = prepared(emb, idCol, vecCol)
-    val q = base.where(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val pairs = broadcast(q)
-      .join(base, col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
-      .as[(Long, Long, Double)]
-    val topk = new graft.functions.TopKAggregator(k).toColumn
-    pairs
-      .groupByKey(_._1)
-      .mapValues(p => graft.functions.Scored(p._2, p._3))
-      .agg(topk)
-      .flatMap { case (qid, hits) =>
-        hits.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
-      }
-      .toDF("qid", "rank", "nid", "sim")
+    rankTopK(candidates.select(col("qid"), col("nid"), sim.as("sim")), k)
   }
 
   /** IVF-style ANN: the corpus is partitioned into `nCentroids` cells
@@ -133,17 +139,24 @@ object Similarity {
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val centroidSim = dotFast(col("v"), col("cv")) / (col("nrm") * col("cn"))
 
-    // assign every vector to its nearest centroid (broadcast K centroids)
-    val assignW = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cid"))
+    // Assign every vector to its nearest centroid (broadcast K centroids).
+    // max_by over a (csim, -cid) ordering struct instead of a per-id window:
+    // a partial-aggregating hash aggregate keeps one candidate per id per
+    // partition, where row_number would shuffle AND sort all n·K rows. The
+    // -cid component pins the tie-break (highest csim, then smallest cid) —
+    // identical to the window ordering it replaces.
     val assigned = base.crossJoin(broadcast(seeds))
       .select(col("id"), col("v"), col("nrm"), col("cid"),
         centroidSim.as("csim"))
-      .withColumn("rn", row_number().over(assignW))
-      .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cid"))
+      .groupBy(col("id"))
+      .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
+        struct(col("csim"), negate(col("cid")))).as("m"))
+      .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cid").as("cid"))
 
-    // each query probes its nProbe nearest cells
+    // Each query probes its nProbe nearest cells. This window is over q·K
+    // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
+    // acceptable; the corpus-sized rankings below use rankTopK.
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
     val probes = base.where(queryPred)
@@ -157,15 +170,11 @@ object Similarity {
 
     // exact rerank within the probed cells only
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val rankW = Window.partitionBy(col("qid"))
-      .orderBy(col("sim").desc, col("nid"))
-    probes.join(assigned, "cid")
+    val pairs = probes.join(assigned, "cid")
       .where(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), sim.as("sim"))
       .dropDuplicates("qid", "nid")
-      .withColumn("rank", row_number().over(rankW))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+    rankTopK(pairs, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to the

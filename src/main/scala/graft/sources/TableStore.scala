@@ -113,6 +113,21 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Durably materialize `df` into a staging parquet dir under the store
+    * root and hand back (re-read frame, cleanup). Required before mutating a
+    * table the frame derives from: [[upsert]]'s atomic swap DELETES the source
+    * directory, so a merely `persist()`ed frame whose cache is evicted would
+    * recompute against the already-mutated store — an empty diff and silently
+    * missing child rows (reference semantics: flows.py:66-74 re-parses the
+    * in-memory diff, never the DB). The staged copy has no lineage back to
+    * the store and, unlike localCheckpoint, survives executor loss. */
+  def stage(df: DataFrame): (DataFrame, () => Unit) = {
+    val dir = new Path(s"$root/_staging/${java.util.UUID.randomUUID()}")
+    df.write.mode("errorifexists").parquet(dir.toString)
+    val staged = spark.read.schema(df.schema).parquet(dir.toString)
+    (staged, () => { fs.delete(dir, true); () })
+  }
+
   /** Small-file compaction: rewrite the table into `targetPartitions`
     * output files (incremental upserts accumulate per-batch files; compacted
     * scans restore full parquet row-group efficiency). Same atomic-swap

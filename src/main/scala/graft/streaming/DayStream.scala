@@ -34,8 +34,10 @@ object DayStream {
         // on full record equality)
         val deduped = batch.dropDuplicates("username", "date")
         val serialized = Extractors.serializeDays(deduped)
-        val diff = Extractors.changedDays(serialized, store.read("RawDayData"))
-          .persist()
+        // staged, not persisted: upsert swaps away the diff's source dir, so
+        // eviction+recompute would silently lose the batch (see EtlPipeline)
+        val (diff, dropStaged) = store.stage(
+          Extractors.changedDays(serialized, store.read("RawDayData")))
         try {
           if (diff.count() > 0) {
             store.upsert("RawDayData", diff)
@@ -49,7 +51,7 @@ object DayStream {
             store.replaceDays("StrengthExercises", Extractors.extractStrength(parsed))
             store.upsert("Measurements", Extractors.extractMeasurements(parsed))
           }
-        } finally diff.unpersist()
+        } finally dropStaged()
         ()
       }
       .option("checkpointLocation", checkpointDir)

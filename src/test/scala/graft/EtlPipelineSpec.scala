@@ -42,4 +42,33 @@ class EtlPipelineSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(w.toSeq == Seq(777.0))
   }
+
+  test("diff survives cache eviction between upsert and child loads") {
+    // The hazard: upsert atomically swaps away RawDayData — the directory the
+    // diff's lineage reads. If the diff were only persist()ed, evicting it
+    // here would recompute an empty diff (new store state == incoming) and
+    // the child tables would silently miss the changed days. The staged diff
+    // has no lineage back to the store, so a full cache wipe must not matter.
+    val store = new TableStore(spark, tmpDir("etl-evict"))
+    val days = Fixtures.fakeDays :+ Fixtures.fullDay
+    val wipeCaches = () => {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
+    val n = EtlPipeline.run(store, spark.createDataset(days), wipeCaches)
+    assert(n == 4)
+    assert(store.read("Water").count() == 4)
+    assert(store.read("Meals").count() == 2)
+    assert(store.read("Measurements").count() == 4)
+
+    // changed-day rerun under the same eviction pressure
+    val changed = Fixtures.fakeDays.head.copy(water = 888.0)
+    val n2 = EtlPipeline.run(store,
+      spark.createDataset(changed +: days.tail), wipeCaches)
+    assert(n2 == 1)
+    val w = store.read("Water")
+      .where($"date" === java.sql.Date.valueOf("2021-01-01"))
+      .collect().map(_.getDouble(2))
+    assert(w.toSeq == Seq(888.0))
+  }
 }

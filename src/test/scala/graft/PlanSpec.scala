@@ -42,6 +42,23 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregate:\n$p")
   }
 
+  test("kNN catalog paths rank via k-bounded aggregate, not a window sort") {
+    // The window top-k would show a Window operator fed by an Exchange+Sort
+    // over every (query, candidate) pair; the TopKAggregator path must not.
+    for (q <- Seq(graft.queries.Analytics.q24KnnBruteForce _,
+                  graft.queries.Analytics.q25KnnLsh _)) {
+      val p = plan(q(spark, dir))
+      assert(!p.contains("Window"), s"pair-level window sort in plan:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"expected typed top-k aggregate:\n$p")
+    }
+    // q39's probe window is over q·nCentroids rows (bounded grid) and is
+    // allowed; its corpus-sized assignment and rerank must still aggregate.
+    val p39 = plan(graft.queries.Analytics.q39KnnIvf(spark, dir))
+    assert(p39.contains("max_by") || p39.contains("ObjectHashAggregate"),
+      s"expected aggregate-based assignment/rerank:\n$p39")
+  }
+
   test("whole-stage codegen covers the date-formatting projection") {
     val df = Relational.q11DateParts(spark, dir)
     df.collect() // finalize the adaptive plan
