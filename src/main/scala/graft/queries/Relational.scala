@@ -368,7 +368,12 @@ object Relational {
     val deficitCents =
       col("target_cents") - col("actual_cents") + col("burned_cents")
 
+    // F9 FIRST: in the reference the outer WHERE is evaluated before its
+    // ROW_NUMBER (sql.py:208,234), so day numbering has no gaps where the
+    // NULL-actual days sat — same order as reports.ProgressReport. The
+    // running total is unaffected (the dropped rows contributed 0).
     base
+      .where(col("actual_cents").isNotNull)
       .select(
         col("o_custkey"),
         row_number().over(seqW).as("day_number"), // W1
@@ -377,10 +382,7 @@ object Relational {
         (col("rmr_cents") / 100.0).as("rmr"),
         (deficitCents / 100.0).cast("int").as("deficit"), // F4 truncation
         round(sum(coalesce(deficitCents, lit(0L))).over(runW) / 100.0, 0)
-          .cast("int").as("deficit_accumulated"), // W2 + F5
-        col("actual_cents"))
-      .where(col("actual_cents").isNotNull) // F9 — A4's NULL drop
-      .drop("actual_cents")
+          .cast("int").as("deficit_accumulated")) // W2 + F5
       .orderBy(col("o_custkey"), col("day_number"))
   }
 }

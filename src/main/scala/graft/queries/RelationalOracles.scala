@@ -228,10 +228,10 @@ object RelationalOracles {
         |  JOIN userstats u ON o.o_custkey = u.custkey
         |  LEFT JOIN actual a ON o.o_orderkey = a.l_orderkey
         |  LEFT JOIN burned b ON o.o_orderkey = b.l_orderkey
-        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'),
+        |  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND a.actual_cents IS NOT NULL),
         |win AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, target_cents, rmr_cents,
-        |    actual_cents,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
         |                            ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS day_number,
         |    target_cents - actual_cents + burned_cents AS deficit_cents,
@@ -246,7 +246,6 @@ object RelationalOracles {
         |  CAST(trunc(deficit_cents / 100.0) AS INTEGER) AS deficit,
         |  CAST(round(acc_cents / 100.0, 0) AS INTEGER) AS deficit_accumulated
         |FROM win
-        |WHERE actual_cents IS NOT NULL
         |ORDER BY o_custkey, day_number""".stripMargin
   )
 }

@@ -76,6 +76,22 @@ class ReportsSpec extends SparkSpec {
     assert(got.length == 1)
   }
 
+  test("q19 analog: day_number renumbers after the NULL-actual drop (no gaps)") {
+    // Reference semantics (sql.py:208,234): the WHERE that drops NULL-actual
+    // days is evaluated before ROW_NUMBER, so surviving days are numbered
+    // 1..n contiguously per user — the pre-fix analog numbered first and
+    // left gaps where dropped days sat.
+    val rows = graft.queries.Relational
+      .q19ProgressReport(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "day_number").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    val gaps = rows.groupBy(_._1).filter { case (_, g) =>
+      g.map(_._2).sorted.toSeq != (1 to g.length).toSeq
+    }
+    assert(gaps.isEmpty, s"non-contiguous day_number for users ${gaps.keys.take(5)}")
+  }
+
   test("nutrition report golden: sums, goals join, day-of-week, order") {
     val nmeal = Row(u, d("2021-03-01"), "breakfast",
       1000: Integer, 100: Integer, 30: Integer, 50: Integer,
