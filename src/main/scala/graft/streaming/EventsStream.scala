@@ -96,7 +96,13 @@ object EventsStream {
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.lastTs + gapMs)
+          // A user whose latest event lags the global watermark by more than
+          // the gap (multi-batch catch-up) would set a timeout in the past —
+          // Spark throws "Timeout timestamp cannot be earlier than the
+          // current watermark" and kills the query. The session is already
+          // closeable, so clamp forward to the next watermark tick.
+          state.setTimeoutTimestamp(
+            math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
         }
         closed.result().iterator
       }
@@ -110,19 +116,21 @@ object EventsStream {
 
   /** Stream–stream interval join: attribute each purchase to the views by
     * the same user in the preceding `attributionWindow`. Both sides carry
-    * watermarks and the join condition bounds the time range, so state for
-    * either side is evicted once the watermark passes the interval — the
-    * canonical bounded-state stream join. */
+    * watermarks DERIVED FROM the window (a fixed 1-hour delay would silently
+    * evict view state still inside a longer window, dropping late pairs) and
+    * the join condition bounds the time range, so state for either side is
+    * evicted once the watermark passes the interval — the canonical
+    * bounded-state stream join. */
   def purchaseAttribution(events: DataFrame,
                           attributionWindow: String = "1 hour"): DataFrame = {
     val purchases = events.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", attributionWindow)
     val views = events.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("v_ts", "1 hour")
+      .withWatermark("v_ts", attributionWindow)
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow") &&

@@ -6,6 +6,21 @@ import graft.streaming.EventsStream
   * match the batch computation for every window the watermark finalized. */
 class EventsStreamSpec extends SparkSpec {
 
+  /** Write `df` as a single parquet file named `name` inside `dir`, with a
+    * controlled modification time so the file source's per-trigger order
+    * (sorted by mtime) is deterministic. */
+  private def stageFile(df: org.apache.spark.sql.DataFrame, dir: String,
+                        name: String, mtimeMs: Long): Unit = {
+    val tmp = tmpDir(s"stage-$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    val dest = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.copy(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   test("availableNow ingest emits watermark-finalized hourly windows matching batch") {
     val out = tmpDir("stream-out")
     val ckpt = tmpDir("stream-ckpt")
@@ -38,6 +53,95 @@ class EventsStreamSpec extends SparkSpec {
     val maxBatchHour = batch.agg(max(col("hour_start"))).collect().head.getTimestamp(0)
     val maxStreamed = streamed.agg(max(col("hour_start"))).collect().head.getTimestamp(0)
     assert(maxStreamed.before(maxBatchHour))
+  }
+
+  test("sessionize: laggy user in multi-batch catch-up does not kill the query") {
+    import sqlImplicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
+    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // batch 1: user 7 opens a session at t=0; user 9 is 10h ahead in event
+    // time, so the watermark after this batch is far past user 7's state
+    val src = tmpDir("lag-src")
+    stageFile(rows((1L, ts(0), 7L, "view", 1.0, "{}"),
+                   (2L, ts(600), 9L, "view", 1.0, "{}")), src, "b1.parquet", 1000000L)
+    // batch 2: user 7's next event is hundreds of minutes behind the global
+    // watermark — the unclamped setTimeoutTimestamp(lastTs + gap) here threw
+    // "Timeout timestamp cannot be earlier than the current watermark"
+    stageFile(rows((3L, ts(20), 7L, "view", 2.0, "{}"),
+                   (4L, ts(610), 9L, "view", 1.0, "{}")), src, "b2.parquet", 2000000L)
+
+    val out = tmpDir("lag-out")
+    val schema = rows().schema
+    val q = EventsStream.sessionize(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "10 minutes"), gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("lag-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // throws StreamingQueryException on the old code
+    val sessions = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(sessions.exists(s => s._1 == 7L && s._2 == ts(0)),
+      s"user 7's first session missing from ${sessions.mkString(", ")}")
+  }
+
+  test("attribution window longer than 1h keeps views the old fixed delay dropped") {
+    import sqlImplicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def nanos(minOffset: Long) = (t0 + minOffset * 60000L) * 1000000L
+    def rows(xs: (Long, Long, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // Views are evicted from join state once the watermark passes
+    // v_ts + window; the watermark itself is maxEventTime − delay. With the
+    // old hardcoded 1h delay a view was only retained for window+1h behind
+    // the newest event; deriving the delay from the window buys window+window.
+    // Fixture: user 5's view at t=30 must still be in state when their
+    // purchase at t=130 (in the 2h window) arrives in a later batch, with
+    // event time already at t=240. Old: wm=180 → view evicted end of b3,
+    // purchase late → pair silently lost. Derived: wm=120 → view retained.
+    val src = tmpDir("attr-src")
+    stageFile(rows((1L, nanos(180), 9L, "view", 1.0, "{}"),
+                   (2L, nanos(180), 9L, "purchase", 2.0, "{}")),
+      src, "b1.parquet", 1000000L)
+    stageFile(rows((3L, nanos(30), 5L, "view", 1.0, "{}")),
+      src, "b2.parquet", 2000000L)
+    stageFile(rows((4L, nanos(240), 9L, "view", 1.0, "{}"),
+                   (5L, nanos(240), 9L, "purchase", 2.0, "{}")),
+      src, "b3.parquet", 3000000L)
+    // spacer batch: state eviction runs with the watermark the b3 data
+    // produced (watermark updates lag a batch)
+    stageFile(rows((7L, nanos(240), 9L, "view", 1.0, "{}")),
+      src, "b4.parquet", 4000000L)
+    stageFile(rows((6L, nanos(130), 5L, "purchase", 9.0, "{}")),
+      src, "b5.parquet", 5000000L)
+
+    val out = tmpDir("attr-out")
+    val q = EventsStream.purchaseAttribution(
+        spark.readStream.schema(EventsStream.rawSchema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))),
+        attributionWindow = "2 hours")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("attr-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs = spark.read.parquet(out)
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((6L, 3L)),
+      s"in-window pair dropped by watermark eviction: $pairs")
   }
 
   test("stream-stream interval join matches the batch interval join") {
