@@ -92,22 +92,39 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
-  /** LSH-bucketed ANN: 32-bit hyperplane signature split into 4 tables of
-    * 8 bits; a candidate must collide in at least one table. Exact cosine
-    * rerank of candidates; recall < 1 by construction (no oracle — covered
-    * by the rows-only gate + ScalaTest recall assertions). */
+  /** LSH-bucketed ANN: random-hyperplane signature split into `tables`
+    * tables of `bitsPerTable` bits; a candidate must collide in at least one
+    * table. Exact cosine rerank of candidates; recall < 1 by construction
+    * (no oracle — RecallSpec pins recall >= 0.9 vs brute force at the
+    * catalog parameters).
+    *
+    * Parameter math (P[bit agrees] = 1 − θ/π): per-neighbor recall is
+    * 1 − (1 − p^b)^L, expected candidate fraction ≈ 1 − (1 − 2^-b)^L on
+    * unclustered data. The 21×3 default hits recall ≈ 0.99 even for
+    * neighbors at cos ≈ 0.3 (near-random corpora — the worst case); on such
+    * data the candidate set approaches the corpus, which is the honest
+    * price of high recall without cluster structure. Clustered real-world
+    * embeddings concentrate buckets, shrinking candidates dramatically at
+    * the same recall — fewer, wider tables (e.g. 4×8) only suit corpora
+    * where neighbors sit at cos ≥ 0.8. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-              queryPred: Column, k: Int): DataFrame = {
+              queryPred: Column, k: Int,
+              tables: Int = 21, bitsPerTable: Int = 3): DataFrame = {
+    require(tables * bitsPerTable <= 64,
+      s"signature needs ${tables * bitsPerTable} bits; max 64")
+    val mask = (1L << bitsPerTable) - 1
     val base = prepared(emb, idCol, vecCol)
-      .withColumn("sig", hyperplaneSignature(col("v"), dim, 32))
+      .withColumn("sig",
+        hyperplaneSignature(col("v"), dim, tables * bitsPerTable))
     // Explode the table index first and derive the bucket from the (already
-    // materialized) signature attribute afterward — building 4 bucket
+    // materialized) signature attribute afterward — building per-table bucket
     // expressions inside the generator would let CollapseProject inline the
-    // 2048-term signature tree into every slot (see Dedup.minhashLshPairs).
+    // large signature tree into every slot (see Dedup.minhashLshPairs).
     val banded = base
       .select(col("id"), col("v"), col("nrm"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("tbl"))
-      .withColumn("bucket", expr("shiftright(sig, 8 * tbl) & 255"))
+        explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
+      .withColumn("bucket",
+        expr(s"shiftright(sig, $bitsPerTable * tbl) & $mask"))
       .drop("sig")
     val q = banded.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),

@@ -55,17 +55,23 @@ object Analytics {
       queryPred = col("id") < 8, k = 5)
       .orderBy(col("qid"), col("rank"))
 
-  // LSH-bucketed ANN, exact rerank of candidates (rows-only gate).
+  // LSH-bucketed ANN, exact rerank of candidates (rows-only gate; RecallSpec
+  // pins recall >= 0.9 vs brute force at these parameters). 21 tables × 3
+  // bits: sized for this table's near-random neighbor structure (top-1
+  // cos ≈ 0.36) — see the lshTopK scaladoc for the parameter math.
   def q25KnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
-      dim = 64, queryPred = col("id") < 8, k = 5)
+      dim = 64, queryPred = col("id") < 8, k = 5,
+      tables = 21, bitsPerTable = 3)
       .orderBy(col("qid"), col("rank"))
 
   // IVF-bucketed ANN (deterministic seed centroids; rows-only gate —
-  // recall < 1 by construction, exactness of the rerank pinned in spec).
+  // RecallSpec pins recall >= 0.9 vs brute force). nProbe = 12 of 16: the
+  // embeddings table is near-random, so recall tracks nProbe/nCentroids;
+  // clustered corpora reach the same recall at far smaller ratios.
   def q39KnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
-      nCentroids = 16, nProbe = 4, queryPred = col("id") < 8, k = 5)
+      nCentroids = 16, nProbe = 12, queryPred = col("id") < 8, k = 5)
       .orderBy(col("qid"), col("rank"))
 
   // Language-ID heuristic.

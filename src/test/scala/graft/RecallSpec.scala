@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Recall floors for the three no-oracle operators (q23/q25/q39), measured
+  * against exact in-engine truth on the real sf0.001 tables with the SAME
+  * parameters the catalog queries use — the hard check the rows-only
+  * CORRECTNESS gate can't provide.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def emb = graft.sources.Tables(spark, dir, "embeddings")
+  private def docs = graft.sources.Tables(spark, dir, "documents")
+
+  private def hitSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("q25 LSH ANN: recall >= 0.9 vs brute-force at catalog parameters") {
+    val truth = hitSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 8, k = 5))
+    val got = hitSet(Similarity.lshTopK(emb, "vec_id", "embedding", dim = 64,
+      col("id") < 8, k = 5, tables = 21, bitsPerTable = 3))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (${(truth -- got).size} missed)")
+  }
+
+  test("q39 IVF ANN: recall >= 0.9 vs brute-force at catalog parameters") {
+    val truth = hitSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 8, k = 5))
+    val got = hitSet(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      nCentroids = 16, nProbe = 12, col("id") < 8, k = 5))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 (${(truth -- got).size} missed)")
+  }
+
+  test("q23 simhash bands: every exact Hamming<=3 pair is found (recall 1)") {
+    // 4 bands of 16 bits pigeonhole any <=3-bit difference into at least one
+    // untouched band, so band-bucketing must surface EVERY such pair; the
+    // operator's exact verify then keeps exactly the true ones. Truth is the
+    // full pairwise Hamming computation on the driver (500 docs at sf0.001).
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (idA, hA) <- sh; (idB, hB) <- sh
+      if idA < idB && java.lang.Long.bitCount(hA ^ hB) <= 3
+    } yield (idA, idB)).toSet
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture produced no exact pairs — test is vacuous")
+    assert(got == truth,
+      s"missed ${(truth -- got).size} exact pairs, ${(got -- truth).size} spurious")
+  }
+}
