@@ -55,7 +55,8 @@ object Dedup {
     * split into `bands` bands of `numPerms/bands` rows. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numPerms: Int = 64,
-                      bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 16, threshold: Double = 0.8,
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val r = numPerms / bands
     val docs = df.select(col(idCol).as("id"),
@@ -72,9 +73,10 @@ object Dedup {
       .select(col("id"),
         posexplode(call_function("minhash_signature", col("sh"), lit(numPerms)))
           .as(Seq("perm", "h")))
-    val banded = sigRows
+    val banded = cappedBuckets(sigRows
       .groupBy(col("id"), (col("perm") / r).cast("int").as("band"))
-      .agg(bit_xor(xxhash64(col("h"), col("perm"))).as("bh"))
+      .agg(bit_xor(xxhash64(col("h"), col("perm"))).as("bh")),
+      Seq("band", "bh"), maxBucket)
     val candidates = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -184,20 +186,51 @@ object Dedup {
       .select(col("id"), packed.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 64-bit hash into 4×16-bit chunks
-    * (pigeonhole: any pair within Hamming distance 3 shares ≥1 exact chunk),
-    * equi-join on the chunk, verify with bit_count(xor). */
+  /** Drop rows whose (bucket-key) group exceeds `maxBucket` members — the
+    * posting-list cap from IR. Mega-buckets (templated/short docs hashing
+    * identically in a band) make the band self-join Σ(bucket²)-quadratic; the
+    * cap bounds any bucket's cost at maxBucket². Contract: a pair inside an
+    * over-cap bucket is found only via its OTHER bands — exact duplicates
+    * (which over-cap every band) should be removed by [[exact]] first.
+    * No-op (and no extra aggregation in the plan) at the default. */
+  private def cappedBuckets(banded: DataFrame, keys: Seq[String],
+                            maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else {
+      val sizes = banded.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= maxBucket)
+        .drop("bsz")
+      banded.join(sizes, keys) // hash join on the same key as the band join
+    }
+
+  /** SimHash near-dup pairs: band the 64-bit hash into `maxHamming + 1`
+    * near-equal chunks (pigeonhole: a pair within Hamming distance h differs
+    * in at most h bands, so at least one of h+1 chunks matches exactly),
+    * equi-join on the chunk, verify with bit_count(xor). The band count is
+    * DERIVED from maxHamming, so the recall-1 guarantee holds for any
+    * distance — a fixed 4-band split only guaranteed h <= 3. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
+                          maxHamming: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming $maxHamming outside [0, 63]")
+    val nBands = maxHamming + 1
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val sh = simhash(df, idCol, textCol)
-    val bandStructs = (0 until 4).map(i =>
+    val bandStructs = (0 until nBands).map { i =>
+      val lo = bounds(i)
+      val w = bounds(i + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(i).as("band"),
-        shiftright(col("simhash"), 16 * i)
-          .bitwiseAND(lit(0xFFFFL)).as("bv")))
-    val banded = sh.select(col("id"), col("simhash"),
-      explode(array(bandStructs: _*)).as("e"))
-      .select(col("id"), col("simhash"),
-        col("e.band").as("band"), col("e.bv").as("bv"))
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
+    }
+    val banded = cappedBuckets(
+      sh.select(col("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("e"))
+        .select(col("id"), col("simhash"),
+          col("e.band").as("band"), col("e.bv").as("bv")),
+      Seq("band", "bv"), maxBucket)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

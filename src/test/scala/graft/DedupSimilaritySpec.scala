@@ -52,6 +52,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("posting-list cap bounds mega-bucket candidate cost") {
+    // Adversarial input: hundreds of identical short docs put one value in
+    // every band bucket — uncapped, the band self-join forms n²/2 candidate
+    // pairs; capped, the mega-buckets are dropped and only the distinct
+    // near-dup pair (whose buckets stay small) survives.
+    val mega = (0L until 300L).map(i => (i, "spam spam spam spam"))
+    val distinctPair = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1001L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+    val adversarial = (mega ++ distinctPair).toDF("doc_id", "text")
+
+    val uncapped = Dedup.simhashNearDupPairs(adversarial, "doc_id", "text", 3)
+      .count()
+    assert(uncapped >= 300L * 299 / 2) // the quadratic blowup is real
+    val capped = Dedup.simhashNearDupPairs(adversarial, "doc_id", "text", 3,
+      maxBucket = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1000L, 1001L)))
+
+    val cappedMinhash = Dedup.minhashLshPairs(adversarial, "doc_id", "text",
+      shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5,
+      maxBucket = 50)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cappedMinhash.toSeq == Seq((1000L, 1001L)))
+  }
+
   test("brute-force knn: exact ordering on crafted vectors") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),

@@ -53,4 +53,19 @@ class RecallSpec extends SparkSpec {
     assert(got == truth,
       s"missed ${(truth -- got).size} exact pairs, ${(got -- truth).size} spurious")
   }
+
+  test("simhash banding derived from maxHamming keeps recall 1 beyond h=3") {
+    // 6 bands for h=5: the old fixed 4-band split only guaranteed h <= 3.
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val truth = (for {
+      (idA, hA) <- sh; (idB, hB) <- sh
+      if idA < idB && java.lang.Long.bitCount(hA ^ hB) <= 5
+    } yield (idA, idB)).toSet
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(got == truth,
+      s"missed ${(truth -- got).size} exact pairs, ${(got -- truth).size} spurious")
+  }
 }
