@@ -100,15 +100,51 @@ object Dedup {
     * O(log n) rounds regardless of component diameter — min-label
     * propagation is O(diameter), and chained near-dups are exactly the
     * long-diameter case. Scale discipline per round:
-    *   - ONE action: the new edge set is materialized with an eager
-    *     `localCheckpoint` (truncating lineage so it cannot grow with the
-    *     iteration count), and the convergence fingerprint (edge count +
-    *     order-independent xor of edge hashes) rides on that same job via
-    *     `observe()` — no separate join-and-count action.
+    *   - ONE action: the new edge set is materialized eagerly (truncating
+    *     lineage so it cannot grow with the iteration count), and the
+    *     convergence fingerprint rides on that same job via `observe()` —
+    *     no separate join-and-count action.
+    *   - The PREVIOUS round's materialized edge set is unpersisted as soon
+    *     as the new one exists — a 30-round run holds two edge copies, not
+    *     thirty (executor storage would otherwise accumulate until driver
+    *     GC happened to trigger the ContextCleaner).
     *   - Star operations are groupBy-min + join-back (never collect_set), so
     *     a high-degree node costs a shuffle of its edges, not an array.
-    * Returns (id, cluster) with cluster = min member id. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    *   - Convergence detection is PROBABILISTIC: two independent 64-bit
+    *     xor-of-hash fingerprints plus the edge count must all repeat. A
+    *     double collision on a changing edge set (~2^-128) could in
+    *     principle stop a round early; the result would still be a valid
+    *     coarser clustering of true clusters, never a wrong merge.
+    *
+    * `checkpointDir`: by default rounds materialize via `localCheckpoint`
+    * (executor-local storage — fast, but an executor loss mid-loop is
+    * unrecoverable because lineage is truncated). Pass a reliable directory
+    * (HDFS/S3 at cluster scale) to write every `reliableInterval`-th round
+    * through `Dataset.checkpoint` instead, bounding replay after a failure
+    * to the rounds since the last reliable checkpoint.
+    *
+    * Returns (id, cluster) with cluster = min member id, materialized — the
+    * loop's working sets are freed before returning. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
+                          checkpointDir: Option[String] = None,
+                          reliableInterval: Int = 5): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // The persisted RDD behind an (local)checkpointed Dataset, for explicit
+    // round-to-round storage reclamation.
+    def persistedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+        case _ => None
+      }
+    def free(df: DataFrame): Unit =
+      persistedRdd(df).foreach(_.unpersist(blocking = false))
+    def materialize(df: DataFrame, round: Int): DataFrame =
+      if (checkpointDir.isDefined && round % reliableInterval == 0)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
     // Materialize the (expensive — usually an LSH pipeline) pair source once
     // and cut its lineage; the loop re-reads it only to seed nodes/edges.
     val p = pairs.select(col("id1").as("a"), col("id2").as("b"))
@@ -145,17 +181,22 @@ object Dedup {
 
     var e = p.select(greatest(col("a"), col("b")).as("a"),
       least(col("a"), col("b")).as("b")).distinct().localCheckpoint(true)
-    var lastFp: Option[(Long, Long)] = None
+    var lastFp: Option[(Long, Long, Long)] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      e = smallStar(largeStar(e))
+      val prev = e
+      // the one action per round; fingerprints ride along via observe()
+      e = materialize(smallStar(largeStar(e))
         .observe(obs, count(lit(1)).as("cnt"),
-          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("fp"))
-        .localCheckpoint(true) // the one action; fingerprint rides along
+          coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("fp"),
+          coalesce(bit_xor(xxhash64(lit(0x9E3779B9L), col("b"), col("a"))),
+            lit(0L)).as("fp2")), iter)
+      free(prev) // new round is materialized — reclaim the superseded copy
       val m = obs.get
-      val fp = (m("cnt").asInstanceOf[Long], m("fp").asInstanceOf[Long])
+      val fp = (m("cnt").asInstanceOf[Long], m("fp").asInstanceOf[Long],
+        m("fp2").asInstanceOf[Long])
       converged = lastFp.contains(fp)
       lastFp = Some(fp)
       iter += 1
@@ -164,9 +205,13 @@ object Dedup {
     // groupBy-min instead of a bare join keeps the result well-formed even
     // if maxIters was hit before convergence.
     val parent = e.groupBy(col("a")).agg(min(col("b")).as("cluster"))
-    nodes.as("n").join(parent.as("pr"), col("n.id") === col("pr.a"), "left_outer")
+    val result = nodes.as("n")
+      .join(parent.as("pr"), col("n.id") === col("pr.a"), "left_outer")
       .select(col("n.id").as("id"),
         coalesce(col("pr.cluster"), col("n.id")).as("cluster"))
+      .localCheckpoint(true)
+    Seq(e, nodes, p).foreach(free) // result is self-contained now
+    result
   }
 
   /** 64-bit SimHash per document: explode tokens, hash once, then a single

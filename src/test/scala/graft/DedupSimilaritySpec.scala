@@ -52,6 +52,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("connected components: long chain, reliable-checkpoint mode, bounded storage") {
+    // chain 0-1-2-...-63 (worst case for label propagation), plus a separate
+    // triangle and a singleton-pair: 3 clusters
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val extra = Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L))
+    val pairs = (chain ++ extra).toDF("id1", "id2")
+    val expect = ((0L to 63L).map(_ -> 0L) ++
+      Seq(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L, 201L -> 200L)).toSet
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val local = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == expect)
+    // superseded per-round checkpoints are reclaimed: a ~7-round run must
+    // not leave a persisted RDD per round behind (result + slack allowed;
+    // unpersist is async)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 4, s"persisted RDDs grew $before -> $after")
+
+    // reliable checkpoint-dir mode: identical clusters
+    val reliable = Dedup.connectedComponents(pairs,
+      checkpointDir = Some(tmpDir("cc-ckpt")), reliableInterval = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(reliable == expect)
+  }
+
   test("posting-list cap bounds mega-bucket candidate cost") {
     // Adversarial input: hundreds of identical short docs put one value in
     // every band bucket — uncapped, the band self-join forms n²/2 candidate
