@@ -49,7 +49,10 @@ final class Api(storeRoot: String)(implicit spark: SparkSession) {
                 maxBackups: Int = 5): Seq[String] = {
     val name = Snapshot.backupName(today)
     Snapshot.copyDir(storeRoot, s"$backupRoot/$name")
-    val existing = new java.io.File(backupRoot).list().toSeq
+    // File.list is null for a missing dir — guard the first-ever backup
+    // (copyDir creates backupRoot/name, but stay robust to races/failures)
+    val existing = Option(new java.io.File(backupRoot).list())
+      .map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.startsWith("mfp_db_backup_"))
     val victims = Snapshot.rotationVictims(existing, maxBackups)
     victims.foreach { v =>

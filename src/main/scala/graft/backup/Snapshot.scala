@@ -27,17 +27,23 @@ object Snapshot {
     else sorted.take(sorted.length - maxNum)
   }
 
-  /** Filesystem snapshot of a table-store directory (S9 equivalent). */
+  /** Filesystem snapshot of a table-store directory (S9 equivalent). A
+    * missing/uninitialized source yields an empty snapshot dir — the
+    * first-ever backup must not fail. The walk stream is closed via
+    * `Using` (it holds directory handles). */
   def copyDir(src: String, dest: String): Unit = {
     import java.nio.file._
     val s = Paths.get(src)
     val d = Paths.get(dest)
-    Files.walk(s).forEach { p =>
-      val t = d.resolve(s.relativize(p))
-      if (Files.isDirectory(p)) Files.createDirectories(t)
-      else {
-        Files.createDirectories(t.getParent)
-        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+    if (!Files.exists(s)) { Files.createDirectories(d); return }
+    scala.util.Using.resource(Files.walk(s)) { walk =>
+      walk.forEach { p =>
+        val t = d.resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else {
+          Files.createDirectories(t.getParent)
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        }
       }
     }
   }

@@ -37,6 +37,18 @@ class ApiSpec extends SparkSpec {
     assert(remaining == (3 to 7).map(i => f"mfp_db_backup_2021-03-0$i"))
   }
 
+  test("first backup on an uninitialized store and fresh backup root") {
+    // Neither the store dir nor the backup root exists yet — the first-ever
+    // backup run must produce an empty snapshot, no NPE, no victims.
+    val ghostStore = tmpDir("api-ghost") + "/never-created"
+    val api = new Api(ghostStore)
+    val backups = tmpDir("api-fresh") + "/backups"
+    val victims = api.runBackup(backups, today = LocalDate.of(2021, 3, 1))
+    assert(victims.isEmpty)
+    assert(new java.io.File(backups).list().toSeq ==
+      Seq("mfp_db_backup_2021-03-01"))
+  }
+
   test("IVF ANN: results are exact-similarity true neighbors") {
     import org.apache.spark.sql.functions._
     val emb = (0L until 120L).map { i =>
