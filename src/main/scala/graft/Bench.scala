@@ -6,8 +6,25 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Each query is materialized through the noop sink so
   * the full plan executes (a bare count() would let Catalyst prune the
   * projections being measured).
+  *
+  * Per-query regression tracking: if `bench_baseline.json` (override via
+  * SPARK_GRAFT_BASELINE) exists and was recorded at the same sf dir, the
+  * output carries a `regressions` map — queries ≥1.5× their baseline time
+  * and ≥0.2 s absolute (sub-second noise on a shared box stays out). Set
+  * SPARK_GRAFT_UPDATE_BASELINE=1 to (re)write the baseline from this run.
   */
 object Bench {
+
+  private def parseBaseline(path: String): Option[(String, Map[String, Double])] = {
+    val f = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(f)) return None
+    val s = java.nio.file.Files.readString(f)
+    val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    val qs = """"(q\d+[a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    sf.map(_ -> qs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -34,7 +51,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
+      "bench_baseline.json")
+    val regressions = parseBaseline(baselinePath) match {
+      case Some((baseSf, base)) if baseSf == sfDir =>
+        val slow = results.collect {
+          case (name, t) if base.get(name).exists(b =>
+            t >= b * 1.5 && t - b >= 0.2) =>
+            f""""$name":${t / base(name)}%.2f"""
+        }
+        s""","regressions":${slow.mkString("{", ",", "}")}"""
+      case _ => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$regressions}""")
+    if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(baselinePath),
+        s"""{"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,15 +36,32 @@ object Similarity {
   private def dotFast(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
 
-  /** Rank (qid, nid, sim) candidate pairs to top-k per query via the
-    * k-bounded typed [[graft.functions.TopKAggregator]]: partial (map-side)
-    * aggregation caps the shuffle at k rows per partition per query. The
-    * window alternative (`row_number` over sim) must shuffle AND sort every
-    * candidate pair — the scale-killer this replaces (see
-    * [[bruteForceTopKWindow]], kept only as the spec reference).
-    * Ordering is deterministic: sim desc, nid asc on ties — identical to the
-    * window path's ordering, asserted equal in ScaleOpsSpec. */
-  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+  /** Rank (qid, nid, sim) candidate pairs to top-k per query.
+    *
+    * The `row_number <= k` window pattern is NOT a full-shuffle sort on
+    * Spark 4: the optimizer inserts `WindowGroupLimit(..., Partial)` BELOW
+    * the exchange, so each map partition locally keeps its top k per query
+    * and the shuffle carries k rows per partition per query — the same
+    * k-bounded shuffle as the typed [[graft.functions.TopKAggregator]]
+    * (see [[rankTopKAgg]]), but in whole-stage-codegen'd Tungsten rows
+    * instead of deserialized objects (measured ~2× faster at sf0.1).
+    * PlanSpec pins the pre-shuffle Partial WindowGroupLimit so a Spark
+    * upgrade or plan change that loses the property fails loudly. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.select(col("qid"), col("nid"), col("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("nid"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+
+  /** [[rankTopK]] via the k-bounded typed [[graft.functions.TopKAggregator]]
+    * — identical output (same deterministic sim-desc/nid-asc ordering;
+    * asserted in ScaleOpsSpec). The alternative for clusters where the
+    * map-side sort behind WindowGroupLimit would spill (enormous skewed
+    * partitions): the aggregator's buffer is O(k) per query regardless of
+    * partition size. */
+  private[graft] def rankTopKAgg(pairs: DataFrame, k: Int): DataFrame = {
     import pairs.sparkSession.implicits._
     val topk = new graft.functions.TopKAggregator(k).toColumn
     pairs.select(col("qid"), col("nid"), col("sim"))
@@ -58,26 +75,8 @@ object Similarity {
       .toDF("qid", "rank", "nid", "sim")
   }
 
-  /** Exact cosine top-k of each query vector against the whole corpus. */
-  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryPred: Column, k: Int): DataFrame = {
-    val base = prepared(emb, idCol, vecCol)
-    val q = base.where(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val pairs = broadcast(q)
-      .join(base, col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
-    rankTopK(pairs, k)
-  }
-
-  /** Window-ranked variant of [[bruteForceTopK]] — the reference
-    * implementation ScaleOpsSpec proves the aggregator path equal to. NOT
-    * the catalog path: `row_number` over all q·n pairs shuffles and sorts
-    * the whole candidate set. */
-  private[graft] def bruteForceTopKWindow(
-      emb: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int): DataFrame = {
+  private def bruteForcePairs(emb: DataFrame, idCol: String, vecCol: String,
+                              queryPred: Column): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
     val q = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -85,12 +84,18 @@ object Similarity {
     broadcast(q)
       .join(base, col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), sim.as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("nid"))))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
+
+  /** Exact cosine top-k of each query vector against the whole corpus. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame =
+    rankTopK(bruteForcePairs(emb, idCol, vecCol, queryPred), k)
+
+  /** [[bruteForceTopK]] ranked through [[rankTopKAgg]] (spec twin). */
+  private[graft] def bruteForceTopKAgg(
+      emb: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int): DataFrame =
+    rankTopKAgg(bruteForcePairs(emb, idCol, vecCol, queryPred), k)
 
   /** LSH-bucketed ANN: random-hyperplane signature split into `tables`
     * tables of `bitsPerTable` bits; a candidate must collide in at least one

@@ -86,10 +86,14 @@ case class MinHashSignature(child: Expression, numPerms: Int)
 }
 
 object TextExpressions {
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      new FunctionIdentifier("minhash_signature"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val id = new FunctionIdentifier("minhash_signature")
+    // idempotent — see VectorExpressions.register
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+        (args: Seq[Expression]) => MinHashSignature(args(0),
+          args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+  }
 }

@@ -128,7 +128,10 @@ object VectorExpressions {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+      // idempotent: operators call register() defensively per query; blind
+      // re-registration spams "replaced a previously registered function"
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }
 

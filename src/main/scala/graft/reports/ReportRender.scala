@@ -54,29 +54,162 @@ object ReportRender {
       ProgressBar(segments, (c1, c2, c3), color)
     }
 
-  /** S6: minimal HTML shell standing in for the jinja2 template
-    * (templates/mfp_progress_report.jinja2) — same table columns, same
-    * title shape. */
+  /** Color palette (reference styles.py:1-38 COLOR_PALETTES). */
+  case class Palette(bg0: String, bg1: String, bg2: String,
+                     fg0: String, fg1: String, fg2: String,
+                     text0: String, text1: String, text2: String,
+                     accent0: String, accent1: String,
+                     gray0: String, gray1: String,
+                     warning: String, error: String)
+
+  object Palettes {
+    val lisk: Palette = Palette(
+      bg0 = "#FEF1E2", bg1 = "#FEDBAB", bg2 = "#FEC478",
+      fg0 = "#FE9923", fg1 = "#FE8821", fg2 = "#E5741A",
+      text0 = "#827F85", text1 = "#57555C", text2 = "#3C3A41",
+      accent0 = "#21D8FF", accent1 = "#185B66",
+      gray0 = "#DCC09B", gray1 = "#9E8E7D",
+      warning = "#FF3D14", error = "#FF0000")
+    val solarized: Palette = Palette(
+      bg0 = "#FDF6E3", bg1 = "#EEE8D5", bg2 = "#DBD3BB",
+      fg0 = "#C2BBA5", fg1 = "#A8A28F", fg2 = "#8F8979",
+      text0 = "#586E75", text1 = "#073642", text2 = "#002B36",
+      accent0 = "#268BD2", accent1 = "#2AA198",
+      gray0 = "#93A1A1", gray1 = "#657B83",
+      warning = "#CB4B16", error = "#DC322F")
+    val default: Palette = lisk
+  }
+
+  /** S11: the stacked progress-bar chart (reference types.py:129-190 renders
+    * it through matplotlib to a PNG attachment) as inline SVG — same three
+    * segments laid left-to-right from the cumulative offsets, same category
+    * colors [gray1, warning|accent0, gray0], transparent background. SVG
+    * keeps the render deterministic and dependency-free; a PNG encoder would
+    * slot in at this same seam. */
+  def renderChartSvg(bar: ProgressBar, style: Palette = Palettes.default,
+                     width: Int = 550, height: Int = 70): String = {
+    val total = math.max(bar.offsets._3, 1L).toDouble
+    val mid = if (bar.color == "warning") style.warning else style.accent0
+    val colors = Seq(style.gray1, mid, style.gray0)
+    val segs = Seq(bar.segments._1, bar.segments._2, bar.segments._3)
+    val lefts = Seq(0L, bar.offsets._1, bar.offsets._2)
+    val rects = colors.lazyZip(segs).lazyZip(lefts).map { (c, w, l) =>
+      val x = l / total * width
+      val rw = math.max(w, 0L) / total * width
+      f"""<rect x="$x%.1f" y="20" width="$rw%.1f" height="30" fill="$c"/>"""
+    }.mkString("\n  ")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">
+       |  $rects
+       |</svg>""".stripMargin
+  }
+
+  /** S6: the progress-report HTML (templates/mfp_progress_report.jinja2:1-111
+    * extending lisko_report_base.jinja2, style dict from types.py:113-126) —
+    * same row structure (header band / title row / article with intro, chart
+    * and details table / footer), same style mapping (title bg = fg1, table
+    * header bg = bg2, footer bg = text2, ...), same per-CELL alternation of
+    * the two table background colors (the reference's `loop.cycle` sits in
+    * the cell loop, so colors alternate by column, not by row — ported
+    * faithfully). `generatedTs` is injectable for golden tests. */
   def renderHtml(user: String, table: Seq[ReportRow], bar: Option[ProgressBar],
-                 today: LocalDate = LocalDate.now()): String = {
+                 today: LocalDate = LocalDate.now(),
+                 style: Palette = Palettes.default,
+                 generatedTs: Option[String] = None): String = {
     val day = table.lastOption.map(_.dayNumber).getOrElse(0)
-    val header = Seq("day", "date", "cal target", "deficit target",
-      "deficit actual", "running deficit")
-    val rowsHtml = table.map { r =>
-      s"<tr><td>${r.dayNumber}</td><td>${r.date}</td><td>${r.caloriesTarget}</td>" +
-        s"<td>${r.deficitTarget}</td><td>${r.deficitActual.getOrElse("")}</td>" +
-        s"<td>${r.deficitAccumulated}</td></tr>"
-    }.mkString("\n")
-    val barHtml = bar.map { b =>
-      s"""<div class="bar ${b.color}" data-segments="${b.segments}" data-offsets="${b.offsets}"></div>"""
-    }.getOrElse("")
-    s"""<html><head><title>MyFitnessPaw Progress Report (Day $day)</title></head>
-       |<body><h1>MyFitnessPaw Progress Report (Day $day)</h1>
-       |<p>${user.capitalize} — ${today.format(DateTimeFormatter.ofPattern("dd MMM yyyy", Locale.US))}</p>
-       |$barHtml
-       |<table><tr>${header.map(h => s"<th>$h</th>").mkString}</tr>
-       |$rowsHtml
-       |</table></body></html>""".stripMargin
+    val title = s"MyFitnessPaw Progress Report (Day $day)"
+    val todayStr = today.format(DateTimeFormatter.ofPattern("dd MMM yyyy", Locale.US))
+    val ts = generatedTs.getOrElse(
+      java.time.LocalDateTime.now().format(
+        DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))
+
+    val headerCells = Seq("day", "date", "cal target", "deficit target",
+      "deficit actual", "running deficit").map { h =>
+      s"""<th style="background-color: ${style.bg2}; color: ${style.text2}; font-family: 'Roboto Condensed', sans-serif; text-align: center; font-size: 13px; line-height: 13px; padding: 4px 0 4px 0; border-bottom: 2px solid ${style.fg1}">$h</th>"""
+    }.mkString("\n              ")
+
+    def dataRow(r: ReportRow): String = {
+      val cells = Seq(r.dayNumber.toString, r.date, r.caloriesTarget.toString,
+        r.deficitTarget.toString, r.deficitActual.map(_.toString).getOrElse(""),
+        r.deficitAccumulated.toString)
+      val tds = cells.zipWithIndex.map { case (c, i) =>
+        val bg = if (i % 2 == 0) style.bg1 else style.bg2 // loop.cycle per cell
+        s"""<td style="background-color: $bg; color: ${style.text2}; font-family: 'Roboto Condensed', sans-serif; text-align: right; font-size: 13px; line-height: 13px; padding: 4px 5px 4px 0; border-bottom: 1px solid ${style.fg1};">$c</td>"""
+      }.mkString("\n                ")
+      s"<tr>\n                $tds\n              </tr>"
+    }
+    val rowsHtml = table.map(dataRow).mkString("\n            ")
+    val chartHtml = bar.map(b => renderChartSvg(b, style)).getOrElse("")
+    val sectionTitle = (label: String) =>
+      s"""<td colspan="6" style="background-color: ${style.fg1}; color: ${style.text2}; font-family: 'Roboto Condensed', sans-serif; font-size: 18px; line-height: 20px; padding: 10px 5px 10px 5px;">$label</td>"""
+
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |  <meta http-equiv="Content-Type" content="text/html; charset=UTF-8" />
+       |  <title>$title</title>
+       |  <meta name="viewport" content="width=device-width, initial-scale=1.0"/>
+       |  <style type="text/css">a[x-apple-data-detectors] {color: inherit !important;}</style>
+       |</head>
+       |<body style="margin: 0; padding: 0;">
+       |<table class="outer-container" role="presentation" border="0" cellpadding="0" cellspacing="0" width="100%">
+       |<tr><td style="padding: 0;">
+       |<table class="main-container" border="0" cellpadding="0" cellspacing="0" style="width: 600px; border-collapse: collapse; border: none;">
+       |  <tr class="header-row">
+       |    <td style="padding-top: 20px;">
+       |      <table class="header-table" width="100%" border="0" cellpadding="0" cellspacing="0" style="border-collapse: collapse; border: none;">
+       |        <tr><td colspan="3" style="height: 30px; width: 100%; background-color: ${style.text2.toLowerCase};"></td></tr>
+       |      </table>
+       |    </td>
+       |  </tr>
+       |  <tr class="title-row">
+       |    <td bgcolor="${style.fg1}" padding="0" margin="0">
+       |      <table border="0" cellpadding="0" cellspacing="0" width="100%" style="border-collapse: collapse;">
+       |        <tr>
+       |          <td style="text-align: left; font-weight: bold; color: ${style.text2}; font-family: Roboto Slab, serif; font-size: 22px; line-height: 24px; padding: 15px 20px 10px 20px;">
+       |            <p style="margin: 0;"> $title </p>
+       |          </td>
+       |        </tr>
+       |      </table>
+       |    </td>
+       |  </tr>
+       |  <tr class="article-row">
+       |    <td style="background-color: ${style.bg0}; padding: 20px;">
+       |      <table border="0" cellpadding="0" cellspacing="0" width="100%" style="border-collapse: collapse;">
+       |        <tr>
+       |          <td style="vertical-align: top; font-family: Roboto, sans-serif; font-size: 14px; line-height: 22px; padding: 10px 0 0 0;">
+       |            <p style="margin: 0; display: block;"> Hello, ${user.capitalize}!</p>
+       |            <p style="margin: 0; display: block;"> This is your daily MyFitnessPaw progress report for <strong>$todayStr</strong>.
+       |          </td>
+       |        </tr>
+       |        <tr>
+       |          <td style="padding: 10px 0 0 0;">
+       |          <table width="100%" style="border-collapse: collapse;">
+       |            <tr>${sectionTitle("Progress chart:")}</tr>
+       |            <tr><td colspan="6">$chartHtml</td></tr>
+       |            <tr>${sectionTitle("Progress details:")}</tr>
+       |            <tr>
+       |              $headerCells
+       |            </tr>
+       |            $rowsHtml
+       |          </table>
+       |          </td>
+       |        </tr>
+       |      </table>
+       |    </td>
+       |  </tr>
+       |  <tr class="footer-row">
+       |    <td style="background-color: ${style.text2}; color: ${style.text0}; font-family: 'Roboto Condensed', serif; font-weight: bold; font-size: 12px; line-height: 14px; padding: 0 20px 0 20px;">
+       |      <table border="0" cellpadding="0" cellspacing="0" width="100%" style="border-collapse: collapse;">
+       |        <tr><td width="80%"><p style="margin: 0; padding-top: 10px;">Generated on $ts</p></td></tr>
+       |        <tr><td><p style="margin: 0; padding: 4px 0 10px 0;"><a href="#" style="color: ${style.accent0};">MyFitnessPaw</a></p></td></tr>
+       |      </table>
+       |    </td>
+       |  </tr>
+       |</table>
+       |</td></tr>
+       |</table>
+       |</body>
+       |</html>""".stripMargin
   }
 
   /** S7: save the rendered report locally (tasks.py:746-750). */

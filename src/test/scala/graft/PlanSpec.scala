@@ -42,21 +42,24 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregate:\n$p")
   }
 
-  test("kNN catalog paths rank via k-bounded aggregate, not a window sort") {
-    // The window top-k would show a Window operator fed by an Exchange+Sort
-    // over every (query, candidate) pair; the TopKAggregator path must not.
+  test("kNN rankings k-bound the shuffle: Partial WindowGroupLimit pre-exchange") {
+    // The rank<=k window is only scale-safe because Spark inserts
+    // WindowGroupLimit(Partial) BELOW the exchange — each map partition
+    // ships its top k per query, not every candidate pair. Pin it so a
+    // Spark upgrade or plan change that loses the property fails loudly.
     for (q <- Seq(graft.queries.Analytics.q24KnnBruteForce _,
-                  graft.queries.Analytics.q25KnnLsh _)) {
+                  graft.queries.Analytics.q25KnnLsh _,
+                  graft.queries.Analytics.q39KnnIvf _)) {
       val p = plan(q(spark, dir))
-      assert(!p.contains("Window"), s"pair-level window sort in plan:\n$p")
-      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
-        s"expected typed top-k aggregate:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+        s"no map-side WindowGroupLimit in plan:\n$p")
     }
-    // q39's probe window is over q·nCentroids rows (bounded grid) and is
-    // allowed; its corpus-sized assignment and rerank must still aggregate.
+    // q39's corpus-sized centroid assignment must be a hash aggregate
+    // (max_by), not a per-id window at all
     val p39 = plan(graft.queries.Analytics.q39KnnIvf(spark, dir))
-    assert(p39.contains("max_by") || p39.contains("ObjectHashAggregate"),
-      s"expected aggregate-based assignment/rerank:\n$p39")
+    assert(p39.contains("max_by"),
+      s"expected max_by aggregate-based assignment:\n$p39")
   }
 
   test("whole-stage codegen covers the date-formatting projection") {

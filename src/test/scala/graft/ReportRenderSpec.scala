@@ -49,16 +49,58 @@ class ReportRenderSpec extends SparkSpec {
     assert(bar.segments == ((2100L, 400L, 147500L)))
   }
 
-  test("S6/S7: HTML renders table and saves locally") {
+  test("S6/S7: template-faithful HTML, lisk palette, per-cell striping; saves locally") {
     val tbl = Seq(row(8, "08-Mar-2021", Some(10), 100),
       row(9, "09-Mar-2021", Some(20), 120))
     val html = ReportRender.renderHtml("user@example.com", tbl,
-      ReportRender.progressBarData(tbl, 150000), today)
-    assert(html.contains("Progress Report (Day 9)"))
-    assert(html.contains("<td>09-Mar-2021</td>"))
-    assert(html.contains("running deficit"))
+      ReportRender.progressBarData(tbl, 150000), today,
+      generatedTs = Some("2021-03-10 08:00:00"))
+    // title shape (types.py:90) in <title>, title row, intro
+    assert(html.contains("<title>MyFitnessPaw Progress Report (Day 9)</title>"))
+    assert(html.contains("Hello, User@example.com!"))
+    assert(html.contains("progress report for <strong>10 Mar 2021</strong>"))
+    // style dict mapping (types.py:113-126) with the lisk palette:
+    // title bg = fg1, table header bg = bg2, footer bg = text2 / text = text0
+    assert(html.contains("""bgcolor="#FE8821""""))
+    assert(html.contains("border-bottom: 2px solid #FE8821"))
+    assert(html.contains("background-color: #FEC478; color: #3C3A41"))
+    assert(html.contains("background-color: #3C3A41; color: #827F85"))
+    // per-CELL color alternation (jinja loop.cycle in the cell loop):
+    // column 0 gets bg1, column 1 gets bg2, on every row
+    assert(html.contains("background-color: #FEDBAB") &&
+      html.contains(">09-Mar-2021</td>"))
+    val cells = "background-color: (#FEDBAB|#FEC478); color: #3C3A41[^>]*>([^<]*)</td>".r
+      .findAllMatchIn(html).map(m => (m.group(1), m.group(2))).toSeq
+    assert(cells.take(6).map(_._1) == Seq("#FEDBAB", "#FEC478", "#FEDBAB",
+      "#FEC478", "#FEDBAB", "#FEC478"))
+    assert(html.contains("Generated on 2021-03-10 08:00:00"))
+
+    // solarized palette swaps cleanly
+    val sol = ReportRender.renderHtml("u", tbl, None, today,
+      style = ReportRender.Palettes.solarized,
+      generatedTs = Some("x"))
+    assert(sol.contains("""bgcolor="#A8A28F"""") && !sol.contains("#FE8821"))
+
     val path = tmpDir("report") + "/report.html"
     ReportRender.saveLocally(html, path)
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == html)
+  }
+
+  test("S11: chart SVG — three segments at cumulative offsets, warning color") {
+    val accent = ReportRender.renderChartSvg(
+      ReportRender.progressBarData(
+        Seq(row(9, "09-Mar-2021", Some(300), 2500)), 150000).get)
+    // category colors [gray1, accent0, gray0] (types.py:162-166, lisk)
+    assert(accent.contains("""fill="#9E8E7D""""))
+    assert(accent.contains("""fill="#21D8FF""""))
+    assert(accent.contains("""fill="#DCC09B""""))
+    // widths proportional to (2200, 300, 147200) of 149700 over 550px
+    assert(accent.contains("""<rect x="0.0" y="20" width="8.1""""))
+
+    val warning = ReportRender.renderChartSvg(
+      ReportRender.progressBarData(
+        Seq(row(9, "09-Mar-2021", Some(-400), 2500)), 150000).get)
+    assert(warning.contains("""fill="#FF3D14"""") &&
+      !warning.contains("#21D8FF"))
   }
 }

@@ -14,10 +14,10 @@ class ScaleOpsSpec extends SparkSpec {
     val emb = (0L until 60L).map { i =>
       (i, Seq.tabulate(12)(j => math.sin(i * 2.3 + j * 0.7).toFloat))
     }.toDF("vec_id", "embedding")
-    val win = Similarity.bruteForceTopKWindow(emb, "vec_id", "embedding",
+    val win = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       col("id") < 4, 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
-    val agg = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+    val agg = Similarity.bruteForceTopKAgg(emb, "vec_id", "embedding",
       col("id") < 4, 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
     assert(win.toSeq == agg.toSeq)
