@@ -145,14 +145,18 @@ object Similarity {
 
   /** IVF-style ANN: the corpus is partitioned into `nCentroids` cells
     * around deterministically-chosen seed centroids (smallest xxhash64(id) —
-    * reproducible without RNG state; a k-means refinement would slot in
-    * here); each query probes its `nProbe` nearest cells and reranks only
-    * those cells' members exactly. The inverted-file structure is the
-    * classic scale path: candidate cost ~ nProbe/nCentroids of the corpus,
-    * all joins hash-partitioned on the cell id. */
+    * reproducible without RNG state), optionally refined by `kmeansIters`
+    * rounds of spherical Lloyd iteration (assign via max_by, recompute each
+    * cell's mean vector); each query probes its `nProbe` nearest cells and
+    * reranks only those cells' members exactly. The inverted-file structure
+    * is the classic scale path: candidate cost ~ nProbe/nCentroids of the
+    * corpus, all joins hash-partitioned on the cell id. Each k-means round
+    * costs one n·K assignment plus an n·dim exploded mean — an offline
+    * index-build cost that buys tighter cells (smaller nProbe at the same
+    * recall) on clustered corpora. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, nProbe: Int, queryPred: Column,
-              k: Int): DataFrame = {
+              k: Int, kmeansIters: Int = 0): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
     val seeds = base
       .withColumn("h", xxhash64(col("id")))
@@ -167,14 +171,33 @@ object Similarity {
     // partition, where row_number would shuffle AND sort all n·K rows. The
     // -cid component pins the tie-break (highest csim, then smallest cid) —
     // identical to the window ordering it replaces.
-    val assigned = base.crossJoin(broadcast(seeds))
-      .select(col("id"), col("v"), col("nrm"), col("cid"),
-        centroidSim.as("csim"))
-      .groupBy(col("id"))
-      .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
-        struct(col("csim"), negate(col("cid")))).as("m"))
-      .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
-        col("m.cid").as("cid"))
+    def assign(centroids: DataFrame): DataFrame =
+      base.crossJoin(broadcast(centroids))
+        .select(col("id"), col("v"), col("nrm"), col("cid"),
+          centroidSim.as("csim"))
+        .groupBy(col("id"))
+        .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
+          struct(col("csim"), negate(col("cid")))).as("m"))
+        .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+          col("m.cid").as("cid"))
+
+    // Spherical k-means step: per-cell element-wise mean (posexplode →
+    // partial-agg avg on (cid, pos) → re-pack ordered array). The cell id
+    // keeps the seed's id so tie-breaks stay deterministic across rounds.
+    def recenter(assignedNow: DataFrame): DataFrame =
+      assignedNow
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("x")))).as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => p("x")).as("cv"))
+        .withColumn("cn", l2Norm(col("cv")))
+
+    val centroids = (1 to kmeansIters).foldLeft(seeds: DataFrame) {
+      case (cs, _) => recenter(assign(cs))
+    }
+    val assigned = assign(centroids)
 
     // Each query probes its nProbe nearest cells. This window is over q·K
     // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
@@ -183,7 +206,7 @@ object Similarity {
       .orderBy(col("csim").desc, col("cid"))
     val probes = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-      .crossJoin(broadcast(seeds))
+      .crossJoin(broadcast(centroids))
       .select(col("qid"), col("qv"), col("qn"), col("cid"),
         dotFast(col("qv"), col("cv")).divide(col("qn") * col("cn")).as("csim"))
       .withColumn("rn", row_number().over(probeW))

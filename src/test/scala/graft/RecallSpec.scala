@@ -36,6 +36,36 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF recall $recall < 0.9 (${(truth -- got).size} missed)")
   }
 
+  test("IVF k-means refinement: tighter cells raise recall on clustered data") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    // 4 well-separated clusters of 30 vectors in 16 dims: each member is its
+    // cluster's one-hot-ish center plus a small deterministic perturbation
+    val emb = (0L until 120L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(16) { j =>
+        val center = if (j / 4 == c) 1.0f else 0.0f
+        center + 0.05f * math.sin(i * 3.1 + j * 1.7).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      col("id") < 4, k = 5).select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(iters: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCentroids = 4, nProbe = 1, col("id") < 4, k = 5,
+        kmeansIters = iters).select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val seedRecall = recallAt(0)
+    val refinedRecall = recallAt(3)
+    assert(refinedRecall >= seedRecall,
+      s"refinement degraded recall: $seedRecall -> $refinedRecall")
+    assert(refinedRecall >= 0.9,
+      s"refined single-probe recall $refinedRecall < 0.9 on separable clusters")
+  }
+
   test("q23 simhash bands: every exact Hamming<=3 pair is found (recall 1)") {
     // 4 bands of 16 bits pigeonhole any <=3-bit difference into at least one
     // untouched band, so band-bucketing must surface EVERY such pair; the
