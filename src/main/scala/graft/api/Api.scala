@@ -44,6 +44,35 @@ final class Api(storeRoot: String)(implicit spark: SparkSession) {
                          dateTo: String): DataFrame =
     NutritionReport.fromStore(store, username, dateFrom, dateTo)
 
+  /** The full report flow (reference flows.py:127-168: query → prepare
+    * table → render HTML + chart → email + local save): D16 tail-window
+    * guard, D17 progress bar, template-faithful HTML, PNG chart attachment
+    * under the template's Content-ID, delivery through the transport seam.
+    * Returns None when the D16 guard empties the report (stale data — the
+    * reference sends nothing in that case). */
+  def runProgressReportEmail(username: String, startingDate: String,
+                             emailTo: String,
+                             transport: graft.reports.EmailSink.Transport,
+                             endGoal: Long = 150000L,
+                             today: LocalDate = LocalDate.now(),
+                             saveTo: Option[String] = None)
+      : Option[graft.reports.EmailSink.Email] = {
+    import graft.reports.{EmailSink, ReportRender}
+    val rows = runProgressReport(username, startingDate, endGoal)
+      .collect()
+      .map(r => ReportRender.ReportRow(r.getInt(0), r.getString(1),
+        r.getInt(2), r.getInt(3), Some(r.getInt(4)), r.getInt(5)))
+    val table = ReportRender.prepareNutritionTable(rows, numRows = 7, today)
+    if (table.isEmpty) None
+    else {
+      val bar = ReportRender.progressBarData(table, endGoal)
+      val html = ReportRender.renderHtml(username, table, bar, today)
+      saveTo.foreach(ReportRender.saveLocally(html, _))
+      Some(EmailSink.sendReport(html, table.last.dayNumber, emailTo,
+        bar.map(ReportRender.renderChartPng(_)), transport))
+    }
+  }
+
   /** Backup flow: snapshot + FIFO rotation of local snapshots (S9/D15). */
   def runBackup(backupRoot: String, today: LocalDate = LocalDate.now(),
                 maxBackups: Int = 5): Seq[String] = {

@@ -103,6 +103,37 @@ object ReportRender {
        |</svg>""".stripMargin
   }
 
+  /** S11, PNG variant (reference types.py:129-190 matplotlib barh →
+    * `tmp/temp.png`): the same stacked horizontal bar rasterized through the
+    * JDK's own imaging (headless BufferedImage + ImageIO PNG encoder — no
+    * external deps). Same geometry as [[renderChartSvg]]: three segments at
+    * the cumulative offsets, category colors [gray1, warning|accent0,
+    * gray0], transparent background, figure 550×70 as the reference's
+    * 5.5×0.7 in @100 dpi. Returns the PNG bytes for the email attachment
+    * (Content-ID `test.png@lisko.id`, tasks.py:217). */
+  def renderChartPng(bar: ProgressBar, style: Palette = Palettes.default,
+                     width: Int = 550, height: Int = 70): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
+    val g = img.createGraphics()
+    try {
+      val total = math.max(bar.offsets._3, 1L).toDouble
+      val mid = if (bar.color == "warning") style.warning else style.accent0
+      val colors = Seq(style.gray1, mid, style.gray0)
+      val segs = Seq(bar.segments._1, bar.segments._2, bar.segments._3)
+      val lefts = Seq(0L, bar.offsets._1, bar.offsets._2)
+      colors.lazyZip(segs).lazyZip(lefts).foreach { (c, w, l) =>
+        g.setColor(java.awt.Color.decode(c))
+        val x = (l / total * width).round.toInt
+        val rw = (math.max(w, 0L) / total * width).round.toInt
+        g.fillRect(x, 20, rw, 30)
+      }
+    } finally g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** S6: the progress-report HTML (templates/mfp_progress_report.jinja2:1-111
     * extending lisko_report_base.jinja2, style dict from types.py:113-126) —
     * same row structure (header band / title row / article with intro, chart

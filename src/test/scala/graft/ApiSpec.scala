@@ -37,6 +37,34 @@ class ApiSpec extends SparkSpec {
     assert(remaining == (3 to 7).map(i => f"mfp_db_backup_2021-03-0$i"))
   }
 
+  test("report flow end-to-end: store → table → HTML + PNG chart → .eml") {
+    val api = new Api(tmpDir("api-report-store"))
+    api.runEtl(spark.createDataset(Fixtures.fakeDays :+ Fixtures.fullDay))
+    val outbox = tmpDir("api-outbox")
+    val htmlPath = tmpDir("api-html") + "/report.html"
+    // fullDay (2021-02-01) is the one report row; make it "yesterday"
+    val sent = api.runProgressReportEmail(Fixtures.user, "2021-01-01",
+      emailTo = "to@example.com",
+      transport = new graft.reports.EmailSink.FileTransport(outbox),
+      today = LocalDate.of(2021, 2, 2), saveTo = Some(htmlPath))
+    assert(sent.isDefined)
+    assert(sent.get.subject == "MyfitnessPaw Progress Report (Day 1)")
+    val eml = java.nio.file.Files.readString(
+      new java.io.File(outbox).listFiles().head.toPath)
+    assert(eml.contains("Content-ID: <test.png@lisko.id>"))
+    assert(eml.contains("01-Feb-2021")) // the report row inside the HTML part
+    val html = java.nio.file.Files.readString(java.nio.file.Paths.get(htmlPath))
+    assert(html.contains("<svg")) // inline chart in the html body too
+
+    // stale data (today far past the last row) → D16 guard → nothing sent
+    val none = api.runProgressReportEmail(Fixtures.user, "2021-01-01",
+      emailTo = "to@example.com",
+      transport = new graft.reports.EmailSink.FileTransport(outbox),
+      today = LocalDate.of(2021, 6, 1))
+    assert(none.isEmpty)
+    assert(new java.io.File(outbox).listFiles().length == 1)
+  }
+
   test("first backup on an uninitialized store and fresh backup root") {
     // Neither the store dir nor the backup root exists yet — the first-ever
     // backup run must produce an empty snapshot, no NPE, no victims.

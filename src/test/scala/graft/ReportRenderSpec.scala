@@ -103,4 +103,29 @@ class ReportRenderSpec extends SparkSpec {
     assert(warning.contains("""fill="#FF3D14"""") &&
       !warning.contains("#21D8FF"))
   }
+
+  test("S11: chart PNG — decodable, right pixels at segment positions") {
+    val bar = ReportRender.progressBarData(
+      Seq(row(9, "09-Mar-2021", Some(300), 2500)), 150000).get
+    val png = ReportRender.renderChartPng(bar)
+    assert(png.take(8).toSeq ==
+      Seq(0x89, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n').map(_.toByte.toInt.toByte))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 550 && img.getHeight == 70)
+    def rgb(x: Int, y: Int) = img.getRGB(x, y) & 0xFFFFFF
+    // segment 1 (0..2200 of 149700 → ~8px) is gray1; far right is gray0
+    assert(rgb(3, 35) == 0x9E8E7D)
+    assert(rgb(540, 35) == 0xDCC09B)
+    // above/below the bar band is transparent
+    assert((img.getRGB(300, 5) >>> 24) == 0)
+    // warning variant colors the middle segment with the warning hex
+    val wbar = ReportRender.progressBarData(
+      Seq(row(9, "09-Mar-2021", Some(-400), 2500)), 150000).get
+    val wimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(ReportRender.renderChartPng(wbar)))
+    // middle segment (|actual|=400 at offset 2100 of 150100 → ~px 7.7-9.2)
+    val midX = ((wbar.offsets._1 + wbar.segments._2 / 2.0) /
+      wbar.offsets._3 * 550).toInt
+    assert((wimg.getRGB(midX, 35) & 0xFFFFFF) == 0xFF3D14)
+  }
 }
