@@ -70,7 +70,9 @@ object SparkEntry {
     "q49_join_suite"          -> (Relational.q49JoinSuite _),
     "q50_pivot"               -> (Analytics.q50Pivot _),
     "q51_gapfill"             -> (Analytics.q51GapFill _),
-    "q52_split"               -> (Analytics.q52Split _)
+    "q52_split"               -> (Analytics.q52Split _),
+    "q53_dedup_keep_best"     -> (Analytics.q53DedupKeepBest _),
+    "q54_stratified_sample"   -> (Analytics.q54StratifiedSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

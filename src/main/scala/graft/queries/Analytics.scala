@@ -216,6 +216,47 @@ object Analytics {
         threshold = 0.8))
       .orderBy(col("id"))
 
+  // Cluster dedup with retention policy: near-dup clusters (q46's CC), then
+  // KEEP the best-quality member per cluster (argmax quality_bp, smallest id
+  // on ties) — the canonical "dedup keeping the canonical document" step of
+  // a training-data pipeline. Singleton docs keep themselves. One partial-agg
+  // max_by per cluster; no windows over the corpus.
+  def q53DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val clusters = graft.operators.Dedup.connectedComponents(
+      graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.8))
+    docs.select(col("doc_id").as("id"),
+        TextFunctions.qualityScoreBp(col("text")).as("q"))
+      .join(clusters, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"),
+        col("q"))
+      .groupBy(col("cluster"))
+      .agg(
+        max_by(struct(col("id"), col("q")),
+          struct(col("q"), negate(col("id")))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.id").as("kept_id"),
+        col("m.q").as("kept_quality_bp"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  // Deterministic stratified sampling for corpus curation: stratum =
+  // predicted language, per-stratum keep rate, membership decided by an md5
+  // of the salted id — reproducible across engines and runs (no RNG state),
+  // embarrassingly parallel (pure map over the scan). Rates: ~30% of the
+  // dominant 'en' stratum, ~80% of everything else (hex prefix compare).
+  def q54StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("documents")
+      .select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        substring(md5(concat(lit("graft:"), col("doc_id").cast("string"))),
+          1, 4).as("hh"))
+      .where((col("lang_pred") === "en" && col("hh") < "4ccd") ||
+        (col("lang_pred") =!= "en" && col("hh") < "cccc"))
+      .select(col("doc_id"), col("lang_pred"))
+      .orderBy(col("doc_id"))
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

@@ -235,6 +235,65 @@ object AnalyticsOracles {
           |SELECT id, min(r) AS cluster FROM reach GROUP BY id
           |ORDER BY id""".stripMargin),
 
+    "q53_dedup_keep_best" ->
+      (s"""WITH RECURSIVE ${jaccardCtes("true")},
+          |pairs AS (${jaccardSelect("0.8")}),
+          |sym AS (SELECT id1 AS a, id2 AS b FROM pairs
+          |        UNION ALL SELECT id2, id1 FROM pairs),
+          |cnodes AS (SELECT DISTINCT a AS id FROM sym),
+          |reach AS (
+          |  SELECT id, id AS r FROM cnodes
+          |  UNION
+          |  SELECT s.a AS id, reach.r FROM reach JOIN sym s ON reach.id = s.b
+          |),
+          |clu AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+          |qual AS (
+          |  SELECT doc_id,
+          |    CAST(trunc((CASE WHEN n BETWEEN 20 AND 80 THEN 2 ELSE 1 END)
+          |               * (n - stop) * 10000.0 / (n * 2)) AS INTEGER) AS q
+          |  FROM (
+          |    SELECT doc_id, len(string_split(text,' ')) AS n,
+          |      len(list_filter(string_split(text,' '), x -> x = 'the'))
+          |        + len(list_filter(string_split(text,' '), x -> x = 'a')) AS stop
+          |    FROM documents)),
+          |joined AS (
+          |  SELECT qual.doc_id AS id, coalesce(clu.cluster, qual.doc_id) AS cluster, qual.q
+          |  FROM qual LEFT JOIN clu ON qual.doc_id = clu.id),
+          |ranked AS (
+          |  SELECT cluster, id, q,
+          |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, id) AS rn,
+          |    count(*) OVER (PARTITION BY cluster) AS n
+          |  FROM joined)
+          |SELECT cluster, id AS kept_id, q AS kept_quality_bp,
+          |  CAST(n AS BIGINT) AS n_members
+          |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin),
+
+    "q54_stratified_sample" ->
+      """WITH langs AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN en = 0 AND es = 0 AND de = 0 THEN 'und'
+        |      WHEN en >= es AND en >= de THEN 'en'
+        |      WHEN es >= de THEN 'es'
+        |      ELSE 'de' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text,' '), x -> x = 'the'))
+        |        + len(list_filter(string_split(text,' '), x -> x = 'a')) AS en,
+        |      len(list_filter(string_split(text,' '), x -> x = 'data'))
+        |        + len(list_filter(string_split(text,' '), x -> x = 'table')) AS es,
+        |      len(list_filter(string_split(text,' '), x -> x = 'group'))
+        |        + len(list_filter(string_split(text,' '), x -> x = 'fast')) AS de
+        |    FROM documents) s),
+        |hashed AS (
+        |  SELECT doc_id, lang_pred,
+        |    substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 4) AS hh
+        |  FROM langs)
+        |SELECT doc_id, lang_pred FROM hashed
+        |WHERE (lang_pred = 'en' AND hh < '4ccd')
+        |   OR (lang_pred <> 'en' AND hh < 'cccc')
+        |ORDER BY doc_id""".stripMargin,
+
     "q35_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
