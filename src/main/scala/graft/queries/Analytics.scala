@@ -257,6 +257,28 @@ object Analytics {
       .select(col("doc_id"), col("lang_pred"))
       .orderBy(col("doc_id"))
 
+  // Contamination check (decontamination): flag corpus docs sharing >= K
+  // distinct trigram shingles with any document of a benchmark set (here:
+  // doc_id < 50 stands in for the eval benchmark). Inverted-index equi-join
+  // on the shingle — identical scale shape to the jaccard join: quadratic
+  // only within a shingle's posting list, never a cross join; benchmark side
+  // is small and broadcast by AQE.
+  def q55Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    def sh(pred: org.apache.spark.sql.Column) = docs.where(pred)
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+    val corpus = sh(col("doc_id") >= 50)
+    val bench = sh(col("doc_id") < 50)
+    corpus.as("c")
+      .join(bench.as("b"), col("c.sh") === col("b.sh"))
+      .groupBy(col("c.doc_id").as("doc_id"),
+        col("b.doc_id").as("bench_id"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .where(col("shared_shingles") >= 10)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

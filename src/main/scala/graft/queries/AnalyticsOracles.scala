@@ -294,6 +294,15 @@ object AnalyticsOracles {
         |   OR (lang_pred <> 'en' AND hh < 'cccc')
         |ORDER BY doc_id""".stripMargin,
 
+    "q55_contamination" ->
+      (s"""WITH ${jaccardCtes("true")}
+          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+          |  count(*) AS shared_shingles
+          |FROM tri c JOIN tri b ON c.sh = b.sh
+          |WHERE c.doc_id >= 50 AND b.doc_id < 50
+          |GROUP BY 1, 2 HAVING count(*) >= 10
+          |ORDER BY doc_id, bench_id""".stripMargin),
+
     "q35_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
