@@ -62,6 +62,30 @@ class PlanSpec extends SparkSpec {
       s"expected max_by aggregate-based assignment:\n$p39")
   }
 
+  test("no catalog query plans a CartesianProduct; BNLJ only where intended") {
+    // The 100 TB safety sweep: a cartesian product anywhere means a join
+    // lost its equi-condition; a BroadcastNestedLoopJoin is only acceptable
+    // where the build side is the deliberately-tiny broadcast query/grid
+    // side of a kNN scan.
+    val bnljAllowed = Set(
+      "q24_knn_brute", // broadcast query side vs corpus — by design
+      "q31_embed_neardup", // bounded-universe pairwise, id1<id2 — documented
+      "q35_tfidf", // broadcast single-row corpus-size scalar
+      "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
+      "q51_gapfill" // broadcast calendar grid (users × bounded date range)
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("whole-stage codegen covers the date-formatting projection") {
     val df = Relational.q11DateParts(spark, dir)
     df.collect() // finalize the adaptive plan
