@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-layout variant of the store (SURVEY §4.3's co-location story):
+  * writing both sides of a recurring join bucketed AND sorted by the join
+  * key lets SortMergeJoin run with NO exchange and NO per-query sort — the
+  * shuffle is paid once at write time instead of on every query. At 100 TB
+  * this is the difference between re-shuffling the fact table per join and
+  * a partition-local merge.
+  *
+  * Bucketing metadata lives in the session catalog (`saveAsTable`), so this
+  * is the deploy-time layout for the always-joined tables (orders⋈lineitem,
+  * RawDayData⋈children); the plain [[TableStore]] parquet dirs stay the
+  * default for ad-hoc layouts. BucketSpec survives in the metastore-backed
+  * catalog; in-memory catalogs (tests, local runs) keep it for the session.
+  */
+object Bucketing {
+
+  /** Write `df` bucketed+sorted by `key` into `nBuckets` buckets as a
+    * catalog table (path under the session's warehouse dir). The
+    * pre-repartition on the bucket key gives exactly ONE file per bucket —
+    * the condition under which Spark's scan trusts the per-bucket sort
+    * order and elides the per-query Sort (multi-file buckets would need an
+    * interleaved merge read, so Spark re-sorts instead). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write
+      .format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key. With matching
+    * bucket specs Catalyst plans a SortMergeJoin whose children are the
+    * bucketed scans directly — zero Exchange always; zero Sort too when
+    * ordered bucketed scans are opted into
+    * (`spark.sql.legacy.bucketedTableScan.outputOrdering`, off by default
+    * since SPARK-28632 because multi-file buckets would need merge reads —
+    * our one-file-per-bucket writes satisfy it). Pinned in BucketingSpec. */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

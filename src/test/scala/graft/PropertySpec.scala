@@ -35,6 +35,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKAggregator: merge laws partial aggregation depends on") {
+    // Spark may split the input into arbitrary partial buffers and merge
+    // them in any grouping/order; correctness therefore REQUIRES that
+    // reduce-then-merge over any partitioning equals a global sort-take,
+    // and that merge is commutative and associative on pruned buffers.
+    val agg = new graft.functions.TopKAggregator(5)
+    val scoredGen = Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(0, 9))
+      .map { case (id, s) => graft.functions.Scored(id, s / 3.0) } // forced ties
+    val gen = Gen.zip(Gen.listOfN(40, scoredGen), Gen.chooseNum(1, 39))
+    samples(gen, 20).foreach { case (xs, cut) =>
+      val want = xs.sortBy(s => (-s.score, s.id)).take(5)
+      // arbitrary two-way split, reduced independently, merged both ways
+      val (a, b) = xs.splitAt(cut)
+      val bufA = a.foldLeft(agg.zero)(agg.reduce)
+      val bufB = b.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(agg.merge(bufA, bufB)) == want)
+      assert(agg.merge(bufA, bufB) == agg.merge(bufB, bufA)) // commutative
+      // associativity across a three-way split
+      val (c, d) = b.splitAt(b.length / 2)
+      val bufC = c.foldLeft(agg.zero)(agg.reduce)
+      val bufD = d.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(agg.merge(bufA, bufC), bufD) ==
+        agg.merge(bufA, agg.merge(bufC, bufD)))
+      assert(agg.merge(bufA, agg.zero) == bufA) // identity on pruned buffers
+    }
+  }
+
   test("M1 upsert: idempotent, last writer wins per key") {
     val gen = Gen.zip(Gen.listOfN(8, Gen.chooseNum(1, 5)),
       Gen.listOfN(8, Gen.chooseNum(1, 5)))
