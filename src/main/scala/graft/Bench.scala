@@ -20,7 +20,9 @@ object Bench {
     if (!java.nio.file.Files.exists(f)) return None
     val s = java.nio.file.Files.readString(f)
     val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
-    val qs = """"(q\d+[a-z0-9_]*)":([0-9.]+)""".r.findAllMatchIn(s)
+    // value pattern must cover Double.toString's scientific notation
+    // (8.53E-4) — truncating at the mantissa would inflate the baseline
+    val qs = """"(q\d+[a-z0-9_]*)":([0-9.Ee+\-]+)""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     sf.map(_ -> qs)
   }
@@ -59,7 +61,10 @@ object Bench {
         val slow = results.collect {
           case (name, t) if base.get(name).exists(b =>
             t >= b * 1.5 && t - b >= 0.2) =>
-            f""""$name":${t / base(name)}%.2f"""
+            // Locale.ROOT: a comma-decimal default locale would emit
+            // "q22":1,53 and break the JSON line
+            String.format(java.util.Locale.ROOT, """"%s":%.2f""",
+              name, Double.box(t / base(name)))
         }
         s""","regressions":${slow.mkString("{", ",", "}")}"""
       case _ => ""

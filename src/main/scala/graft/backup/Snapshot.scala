@@ -29,20 +29,28 @@ object Snapshot {
 
   /** Filesystem snapshot of a table-store directory (S9 equivalent). A
     * missing/uninitialized source yields an empty snapshot dir — the
-    * first-ever backup must not fail. The walk stream is closed via
-    * `Using` (it holds directory handles). */
-  def copyDir(src: String, dest: String): Unit = {
+    * first-ever backup must not fail. Transient store internals (the
+    * `_staging` diff area) are excluded: backing them up would inflate
+    * every rotated snapshot and resurrect stale staging data on restore.
+    * The walk stream is closed via `Using` (it holds directory handles). */
+  def copyDir(src: String, dest: String,
+              exclude: Set[String] = Set("_staging")): Unit = {
     import java.nio.file._
     val s = Paths.get(src)
     val d = Paths.get(dest)
     if (!Files.exists(s)) { Files.createDirectories(d); return }
     scala.util.Using.resource(Files.walk(s)) { walk =>
       walk.forEach { p =>
-        val t = d.resolve(s.relativize(p))
-        if (Files.isDirectory(p)) Files.createDirectories(t)
-        else {
-          Files.createDirectories(t.getParent)
-          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+        val rel = s.relativize(p)
+        val excluded = rel.getNameCount > 0 &&
+          exclude.contains(rel.getName(0).toString)
+        if (!excluded) {
+          val t = d.resolve(rel)
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else {
+            Files.createDirectories(t.getParent)
+            Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+          }
         }
       }
     }

@@ -132,18 +132,41 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     // The persisted RDD behind an (local)checkpointed Dataset, for explicit
-    // round-to-round storage reclamation.
+    // round-to-round storage reclamation. Freeing a superseded RELIABLE
+    // round also deletes its checkpoint files — the ContextCleaner does not
+    // (cleanCheckpoints defaults off), and leaving one edge-set copy per
+    // reliable round on HDFS/S3 is exactly the storage leak the local path
+    // avoids.
     def persistedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
         case _ => None
       }
-    def free(df: DataFrame): Unit =
-      persistedRdd(df).foreach(_.unpersist(blocking = false))
-    def materialize(df: DataFrame, round: Int): DataFrame =
-      if (checkpointDir.isDefined && round % reliableInterval == 0)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    def free(df: DataFrame): Unit = persistedRdd(df).foreach { rdd =>
+      rdd.unpersist(blocking = false)
+      rdd.getCheckpointFile.foreach { f =>
+        val path = new org.apache.hadoop.fs.Path(f)
+        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(path, true)
+      }
+    }
+    // Every round materializes via eager localCheckpoint — the ONE action
+    // the observe() fingerprints ride on. Reliable rounds then write that
+    // already-persisted copy through Dataset.checkpoint: its count + file
+    // write jobs read the local copy's LogicalRDD plan, which carries no
+    // CollectMetrics node, so the fingerprints fire exactly once. (Reliable-
+    // checkpointing the observed plan directly would run it twice — count
+    // then checkpoint write — XORing every edge hash twice and cancelling
+    // the fingerprint to 0, which would collapse convergence detection to
+    // edge-count equality.)
+    def materialize(df: DataFrame, round: Int): DataFrame = {
+      val local = df.localCheckpoint(eager = true)
+      if (checkpointDir.isDefined && round % reliableInterval == 0) {
+        val reliable = local.checkpoint(eager = true)
+        free(local) // data now lives in the checkpoint dir
+        reliable
+      } else local
+    }
 
     // Materialize the (expensive — usually an LSH pipeline) pair source once
     // and cut its lineage; the loop re-reads it only to seed nodes/edges.

@@ -80,22 +80,32 @@ object ReportRender {
     val default: Palette = lisk
   }
 
-  /** S11: the stacked progress-bar chart (reference types.py:129-190 renders
-    * it through matplotlib to a PNG attachment) as inline SVG — same three
-    * segments laid left-to-right from the cumulative offsets, same category
-    * colors [gray1, warning|accent0, gray0], transparent background. SVG
-    * keeps the render deterministic and dependency-free; a PNG encoder would
-    * slot in at this same seam. */
-  def renderChartSvg(bar: ProgressBar, style: Palette = Palettes.default,
-                     width: Int = 550, height: Int = 70): String = {
+  /** Shared S11 geometry: the three stacked segments as (color, x, width)
+    * in pixel space, scaled so the third cumulative offset fills `width`.
+    * Category colors [gray1, warning|accent0, gray0] per types.py:162-166.
+    * Single source of truth for both chart renderers — a divergence here
+    * would silently ship a PNG attachment disagreeing with the inline SVG
+    * of the same report. */
+  private def chartSegments(bar: ProgressBar, style: Palette,
+                            width: Int): Seq[(String, Double, Double)] = {
     val total = math.max(bar.offsets._3, 1L).toDouble
     val mid = if (bar.color == "warning") style.warning else style.accent0
     val colors = Seq(style.gray1, mid, style.gray0)
     val segs = Seq(bar.segments._1, bar.segments._2, bar.segments._3)
     val lefts = Seq(0L, bar.offsets._1, bar.offsets._2)
-    val rects = colors.lazyZip(segs).lazyZip(lefts).map { (c, w, l) =>
-      val x = l / total * width
-      val rw = math.max(w, 0L) / total * width
+    colors.lazyZip(segs).lazyZip(lefts).map { (c, w, l) =>
+      (c, l / total * width, math.max(w, 0L) / total * width)
+    }
+  }
+
+  /** S11: the stacked progress-bar chart (reference types.py:129-190 renders
+    * it through matplotlib to a PNG attachment) as inline SVG — same three
+    * segments laid left-to-right from the cumulative offsets, transparent
+    * background. SVG keeps the render deterministic and dependency-free;
+    * [[renderChartPng]] consumes the same geometry. */
+  def renderChartSvg(bar: ProgressBar, style: Palette = Palettes.default,
+                     width: Int = 550, height: Int = 70): String = {
+    val rects = chartSegments(bar, style, width).map { case (c, x, rw) =>
       f"""<rect x="$x%.1f" y="20" width="$rw%.1f" height="30" fill="$c"/>"""
     }.mkString("\n  ")
     s"""<svg xmlns="http://www.w3.org/2000/svg" width="$width" height="$height" viewBox="0 0 $width $height">
@@ -117,16 +127,9 @@ object ReportRender {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
     val g = img.createGraphics()
     try {
-      val total = math.max(bar.offsets._3, 1L).toDouble
-      val mid = if (bar.color == "warning") style.warning else style.accent0
-      val colors = Seq(style.gray1, mid, style.gray0)
-      val segs = Seq(bar.segments._1, bar.segments._2, bar.segments._3)
-      val lefts = Seq(0L, bar.offsets._1, bar.offsets._2)
-      colors.lazyZip(segs).lazyZip(lefts).foreach { (c, w, l) =>
+      chartSegments(bar, style, width).foreach { case (c, x, rw) =>
         g.setColor(java.awt.Color.decode(c))
-        val x = (l / total * width).round.toInt
-        val rw = (math.max(w, 0L) / total * width).round.toInt
-        g.fillRect(x, 20, rw, 30)
+        g.fillRect(x.round.toInt, 20, rw.round.toInt, 30)
       }
     } finally g.dispose()
     val out = new java.io.ByteArrayOutputStream()

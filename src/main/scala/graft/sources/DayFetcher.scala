@@ -2,7 +2,7 @@ package graft.sources
 
 import java.sql.Date
 
-import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.{ExecutionContext, TimeoutException}
 import scala.concurrent.duration.{Duration, DurationInt}
 
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -47,18 +47,26 @@ final class RetryingFetcher(
     var attempt = 0
     while (attempt <= maxRetries) {
       if (attempt > 0 && retryDelay.toMillis > 0) sleeper(retryDelay.toMillis)
+      // The attempt runs on a separate thread so a hung remote call is
+      // bounded by `timeout` (the reference's task-level timeout=15). On
+      // timeout the attempt is cancelled WITH interruption — without it,
+      // each timed-out attempt would strand a live thread (and its socket)
+      // in the cached pool forever. A fetch blocked in non-interruptible
+      // I/O can still linger; interruption is best effort, but the common
+      // blocking calls (sockets with timeouts, sleeps, locks) do unwind.
+      val task = new java.util.concurrent.FutureTask[MaterializedDay](
+        () => underlying.fetch(username, date))
+      RetryingFetcher.fetchPool.execute(task)
       try {
-        // The attempt runs on a separate thread so a hung remote call is
-        // abandoned at `timeout` (the reference's task-level timeout=15) —
-        // the fetch thread is interrupted, and the attempt counts as failed.
-        val attemptF = Future(underlying.fetch(username, date))(
-          RetryingFetcher.fetchPool)
-        return Await.result(attemptF, timeout)
+        return task.get(timeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
       } catch {
-        case e: TimeoutException =>
+        case _: java.util.concurrent.TimeoutException =>
+          task.cancel(true) // interrupt the attempt thread
           lastFailure = new TimeoutException(
             s"day fetch for ($username, $date) exceeded $timeout " +
               s"(attempt ${attempt + 1}/${maxRetries + 1})")
+        case e: java.util.concurrent.ExecutionException =>
+          lastFailure = e.getCause
         case scala.util.control.NonFatal(e) => lastFailure = e
       }
       attempt += 1

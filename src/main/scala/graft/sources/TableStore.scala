@@ -45,8 +45,14 @@ final class TableStore(spark: SparkSession, root: String,
 
   private def exists(table: String) = fs.exists(new Path(path(table)))
 
-  /** Idempotent create of every declared table (M5). */
-  def init(): Unit = Schemas.tables.keys.foreach(initTable)
+  /** Idempotent create of every declared table (M5). Also sweeps staging
+    * leftovers: a run killed between [[stage]] and its cleanup orphans a
+    * `_staging/<uuid>` diff copy that nothing would ever delete (single
+    * writer per store — the same assumption [[upsert]]'s swap makes). */
+  def init(): Unit = {
+    fs.delete(new Path(s"$root/_staging"), true)
+    Schemas.tables.keys.foreach(initTable)
+  }
 
   def initTable(table: String): Unit = {
     require(Schemas.tables.contains(table), s"unknown table $table")

@@ -114,23 +114,44 @@ object EventsStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Parse the simple "N unit" interval strings this module accepts, for
+    * comparing durations (not a general INTERVAL parser). */
+  private[streaming] def intervalMs(s: String): Long = {
+    val Array(n, unit) = s.trim.toLowerCase.split("\\s+")
+    val base = unit.stripSuffix("s") match {
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case u => throw new IllegalArgumentException(s"unsupported unit $u in '$s'")
+    }
+    n.toLong * base
+  }
+
   /** Stream–stream interval join: attribute each purchase to the views by
     * the same user in the preceding `attributionWindow`. Both sides carry
-    * watermarks DERIVED FROM the window (a fixed 1-hour delay would silently
-    * evict view state still inside a longer window, dropping late pairs) and
-    * the join condition bounds the time range, so state for either side is
+    * watermarks delayed by max(window, lateness): the window component keeps
+    * view state alive for the full attribution range (a fixed 1-hour delay
+    * silently evicted state inside a longer window), while `lateness` keeps
+    * the out-of-order tolerance independent of the window (deriving the
+    * delay from the window ALONE would shrink tolerance for short windows).
+    * The join condition bounds the time range, so state for either side is
     * evicted once the watermark passes the interval — the canonical
     * bounded-state stream join. */
   def purchaseAttribution(events: DataFrame,
-                          attributionWindow: String = "1 hour"): DataFrame = {
+                          attributionWindow: String = "1 hour",
+                          lateness: String = "1 hour"): DataFrame = {
+    val delay =
+      if (intervalMs(attributionWindow) >= intervalMs(lateness)) attributionWindow
+      else lateness
     val purchases = events.where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"))
-      .withWatermark("p_ts", attributionWindow)
+      .withWatermark("p_ts", delay)
     val views = events.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
-      .withWatermark("v_ts", attributionWindow)
+      .withWatermark("v_ts", delay)
     purchases.join(views,
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow") &&

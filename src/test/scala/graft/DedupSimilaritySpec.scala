@@ -76,6 +76,20 @@ class DedupSimilaritySpec extends SparkSpec {
       checkpointDir = Some(tmpDir("cc-ckpt")), reliableInterval = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == expect)
+
+    // every-round reliable (interval=1): the regression case where reliable
+    // checkpointing re-executed the observed plan, XORing each edge hash
+    // twice and collapsing the convergence fingerprint to (2n, 0, 0)
+    val ckptDir = tmpDir("cc-ckpt-all")
+    val allReliable = Dedup.connectedComponents(pairs,
+      checkpointDir = Some(ckptDir), reliableInterval = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allReliable == expect)
+    // superseded reliable rounds must have deleted their checkpoint files;
+    // at most the final round's copy may remain
+    val leftover = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+    assert(leftover <= 1, s"$leftover reliable checkpoint dirs leaked")
   }
 
   test("posting-list cap bounds mega-bucket candidate cost") {

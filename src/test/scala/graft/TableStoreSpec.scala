@@ -92,4 +92,24 @@ class TableStoreSpec extends SparkSpec {
     off.cascadeDelete(victims, enforce = false)
     assert(off.read("Water").count() == 3) // orphans remain, like FK off
   }
+
+  test("orphaned staging dirs are swept on init and excluded from backups") {
+    val root = tmpDir("store-staging")
+    val store = new TableStore(spark, root)
+    store.init()
+    // simulate a run killed between stage() and cleanup
+    val (staged, _) = store.stage(rawRows(("u", "2021-01-01", "{}")))
+    assert(staged.count() == 1)
+    assert(new java.io.File(s"$root/_staging").exists())
+
+    // backups must not carry the staging area
+    val snap = tmpDir("store-snap") + "/s1"
+    graft.backup.Snapshot.copyDir(root, snap)
+    assert(!new java.io.File(s"$snap/_staging").exists())
+    assert(new java.io.File(s"$snap/RawDayData").exists())
+
+    // a new run's init() sweeps the orphan
+    store.init()
+    assert(!new java.io.File(s"$root/_staging").exists())
+  }
 }
