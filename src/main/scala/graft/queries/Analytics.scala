@@ -279,6 +279,40 @@ object Analytics {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  // Sequence packing for pretraining (concatenate the id-ordered token
+  // stream, chunk at a 2048-token context boundary): each doc gets its
+  // global start offset, context-chunk id, and offset within the chunk.
+  // The global prefix sum is computed the scale-safe way — range-partition
+  // by id, per-partition token totals (one tiny row each) cumulated and
+  // broadcast back, then a WITHIN-partition running sum. A bare
+  // Window.orderBy with no partitioning would drag the whole table through
+  // one task; this shape keeps every corpus-sized operation partitioned.
+  // Values are invariant to where the range boundaries land (disjoint
+  // ordered ranges ⇒ partition offset + local prefix = global prefix).
+  def q56SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val B = 2048
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir)("documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+    val parts = toks.repartitionByRange(8, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
+      .withColumn("poffset",
+        coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("poffset")) // numPartitions rows — broadcast
+    val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("start",
+        col("poffset") + coalesce(sum(col("n_tok")).over(local), lit(0L)))
+      .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"),
+        expr(s"CAST(start div $B AS INT)").as("chunk_id"),
+        expr(s"CAST(start % $B AS INT)").as("chunk_offset"))
+      .orderBy(col("doc_id"))
+  }
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

@@ -303,6 +303,21 @@ object AnalyticsOracles {
           |GROUP BY 1, 2 HAVING count(*) >= 10
           |ORDER BY doc_id, bench_id""".stripMargin),
 
+    "q56_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(start // 2048 AS INTEGER) AS chunk_id,
+        |  CAST(start % 2048 AS INTEGER) AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q35_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
