@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def parseBaseline(path: String): Option[(String, Map[String, Double])] = {
+  private[graft] def parseBaseline(path: String): Option[(String, Map[String, Double])] = {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) return None
     val s = java.nio.file.Files.readString(f)

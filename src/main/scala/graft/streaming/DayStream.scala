@@ -20,11 +20,14 @@ import graft.sources.{DaySource, TableStore}
 object DayStream {
 
   def run(spark: SparkSession, stagingDir: String,
-          store: TableStore, checkpointDir: String): StreamingQuery = {
+          store: TableStore, checkpointDir: String,
+          maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     store.init()
-    val days = spark.readStream
+    val reader = spark.readStream
       .schema(DaySource.daySchema)
       .option("mode", "PERMISSIVE") // a poison file must not kill the stream
+    val days = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .json(stagingDir)
 
     val q = days.writeStream

@@ -32,4 +32,40 @@ class DayStreamSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(w.toSeq == Seq(555.0))
   }
+
+  test("multi-batch catch-up: sequential micro-batches stage diffs cleanly") {
+    val staging = tmpDir("day-staging-mb")
+    val root = tmpDir("day-store-mb")
+    val store = new TableStore(spark, root)
+    // several files, one per micro-batch: each batch runs the full
+    // diff-stage-upsert-extract path against the store state the previous
+    // batch left behind
+    DaySource.writeJsonl(spark.createDataset(Seq(Fixtures.fakeDays.head)),
+      s"$staging/f1")
+    DaySource.writeJsonl(spark.createDataset(Fixtures.fakeDays.tail),
+      s"$staging/f2")
+    DaySource.writeJsonl(spark.createDataset(Seq(Fixtures.fullDay)),
+      s"$staging/f3")
+    // flatten the jsonl part files into one source dir (a wave may span
+    // multiple part files; keep them all)
+    val src = tmpDir("day-src-mb")
+    for (d <- Seq("f1", "f2", "f3")) {
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(staging, d))
+        .filter(p => p.toString.endsWith(".json")).iterator()
+      var i = 0
+      parts.forEachRemaining { part =>
+        java.nio.file.Files.copy(part,
+          java.nio.file.Paths.get(src, s"$d-$i.json"))
+        i += 1
+      }
+    }
+    DayStream.run(spark, src, store, tmpDir("day-ckpt-mb"),
+      maxFilesPerTrigger = Some(1))
+    assert(store.read("RawDayData").count() == 4)
+    assert(store.read("Water").count() == 4)
+    assert(store.read("Meals").count() == 2) // fullDay's extraction ran
+    // every batch's staged diff was cleaned up
+    assert(!new java.io.File(s"$root/_staging").exists() ||
+      new java.io.File(s"$root/_staging").list().isEmpty)
+  }
 }
