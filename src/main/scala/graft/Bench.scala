@@ -9,8 +9,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Per-query regression tracking: if `bench_baseline.json` (override via
   * SPARK_GRAFT_BASELINE) exists and was recorded at the same sf dir, the
-  * output carries a `regressions` map — queries ≥1.5× their baseline time
-  * and ≥0.2 s absolute (sub-second noise on a shared box stays out). Set
+  * output carries a `regressions` map — queries ≥2× their baseline time
+  * AND ≥0.5 s absolute. Thresholds are calibrated to this box's measured
+  * run-to-run noise (identical code has shown 1.7× swings under transient
+  * load); a flagged query is therefore worth believing. Set
   * SPARK_GRAFT_UPDATE_BASELINE=1 to (re)write the baseline from this run.
   */
 object Bench {
@@ -60,7 +62,7 @@ object Bench {
       case Some((baseSf, base)) if baseSf == sfDir =>
         val slow = results.collect {
           case (name, t) if base.get(name).exists(b =>
-            t >= b * 1.5 && t - b >= 0.2) =>
+            t >= b * 2.0 && t - b >= 0.5) =>
             // Locale.ROOT: a comma-decimal default locale would emit
             // "q22":1,53 and break the JSON line
             String.format(java.util.Locale.ROOT, """"%s":%.2f""",

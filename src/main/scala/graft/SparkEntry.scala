@@ -74,7 +74,8 @@ object SparkEntry {
     "q53_dedup_keep_best"     -> (Analytics.q53DedupKeepBest _),
     "q54_stratified_sample"   -> (Analytics.q54StratifiedSample _),
     "q55_contamination"       -> (Analytics.q55Contamination _),
-    "q56_sequence_pack"       -> (Analytics.q56SequencePack _)
+    "q56_sequence_pack"       -> (Analytics.q56SequencePack _),
+    "q57_frame_sample"        -> (Analytics.q57FrameSample _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -48,6 +48,25 @@ object Multimodal {
       col("meta.nBytes").as("n_bytes"),
       upper(hex(substring(col("bytes"), 1, 8))).as("header_hex"))
 
+  /** Container-level frame sampling over the opaque payload: split the
+    * binary into fixed-size frames and keep every `stride`-th as a binary
+    * slice. Pure Column composition (sequence → explode → substring) — full
+    * whole-stage codegen, no UDF. This is the shortlist step a video/audio
+    * pipeline runs BEFORE paying decode cost: only sampled frames reach
+    * [[decodeFeatures]]'s per-partition codec. */
+  def frameSample(media: DataFrame, frameBytes: Int = 64,
+                  stride: Int = 4): DataFrame =
+    media
+      .where(col("meta.nBytes") > 0)
+      .select(col("media_id"), col("bytes"),
+        explode(sequence(lit(0),
+          expr(s"CAST((meta.nBytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1")))
+          .as("frame_idx"))
+      .where(col("frame_idx") % stride === 0)
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame_bytes"))
+
   /** Batched decode STUB via mapPartitions — the exact shape a real decoder
     * integration takes (per-partition init of the codec library, iterate
     * records, emit features). The byte-mean + frame-offset computation is a

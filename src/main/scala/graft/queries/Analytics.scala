@@ -313,6 +313,17 @@ object Analytics {
       .orderBy(col("doc_id"))
   }
 
+  // Frame sampling over multimodal binary payloads (every 4th 64-byte
+  // frame), emitted as hex for cross-engine comparison — DuckDB cannot
+  // slice BLOBs, so the oracle slices the hex projection of the same bytes.
+  def q57FrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(
+        Multimodal.fromDocuments(t(s, dir)("documents")),
+        frameBytes = 64, stride = 4)
+      .select(col("media_id"), col("frame_idx"),
+        upper(hex(col("frame_bytes"))).as("frame_hex"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

@@ -318,6 +318,20 @@ object AnalyticsOracles {
         |  CAST(start % 2048 AS INTEGER) AS chunk_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    "q57_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, upper(hex(encode(text))) AS h,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range((nb + 63) // 64)) AS INTEGER) AS frame_idx, h
+        |  FROM m WHERE nb > 0)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  substring(h, frame_idx * 128 + 1, 128) AS frame_hex
+        |FROM f WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
     "q35_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term

@@ -57,6 +57,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(colFeats.getAs[Long]("n_bytes") == f.nBytes)
   }
 
+  test("multimodal frame sampling: boundaries, stride, tail frame") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    // 150 bytes → frames of 64: idx 0 (64B), 1 (64B), 2 (22B tail);
+    // stride 2 keeps 0 and 2
+    val docs = Seq((1L, "a" * 150), (2L, "xy")).toDF("doc_id", "text")
+    val got = graft.operators.Multimodal.frameSample(
+        graft.operators.Multimodal.fromDocuments(docs),
+        frameBytes = 64, stride = 2)
+      .select($"media_id", $"frame_idx", length($"frame_bytes").as("len"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(got.toSeq == Seq((1L, 0, 64), (1L, 2, 22), (2L, 0, 2)))
+  }
+
   test("backup rotation: oldest beyond max are victims (test D15)") {
     val names = Seq(
       "mfp_db_backup_2021-01-05", "mfp_db_backup_2021-01-01",
