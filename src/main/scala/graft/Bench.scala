@@ -44,13 +44,22 @@ object Bench {
     try SparkEntry.queries.get("q18_topk")
       .foreach(_(spark, sfDir).write.mode("overwrite").format("noop").save())
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // A failed query must NOT record a (near-zero) time: it would poison a
+    // rewritten baseline and flip the regression gate's meaning. Failures
+    // are reported separately and excluded from timings and baseline.
+    val failed = Seq.newBuilder[String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
+            None
+        }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -71,7 +80,11 @@ object Bench {
         s""","regressions":${slow.mkString("{", ",", "}")}"""
       case _ => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$regressions}""")
+    val failures = failed.result() match {
+      case Nil => ""
+      case fs => fs.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$regressions$failures}""")
     if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(baselinePath),

@@ -59,10 +59,12 @@ object Multimodal {
     media
       .where(col("meta.nBytes") > 0)
       .select(col("media_id"), col("bytes"),
+        // the sequence step generates ONLY the kept indices — exploding
+        // every frame and filtering stride-1 of stride away would push
+        // stride× the rows through the Generate node for nothing
         explode(sequence(lit(0),
-          expr(s"CAST((meta.nBytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1")))
-          .as("frame_idx"))
-      .where(col("frame_idx") % stride === 0)
+          expr(s"CAST((meta.nBytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1"),
+          lit(stride))).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))

@@ -282,26 +282,31 @@ object Analytics {
   // Sequence packing for pretraining (concatenate the id-ordered token
   // stream, chunk at a 2048-token context boundary): each doc gets its
   // global start offset, context-chunk id, and offset within the chunk.
-  // The global prefix sum is computed the scale-safe way — range-partition
-  // by id, per-partition token totals (one tiny row each) cumulated and
-  // broadcast back, then a WITHIN-partition running sum. A bare
+  // The global prefix sum is computed the scale-safe way — deterministic
+  // id-range buckets, per-bucket token totals (one tiny row each) cumulated
+  // and broadcast back, then a WITHIN-bucket running sum. A bare
   // Window.orderBy with no partitioning would drag the whole table through
-  // one task; this shape keeps every corpus-sized operation partitioned.
-  // Values are invariant to where the range boundaries land (disjoint
-  // ordered ranges ⇒ partition offset + local prefix = global prefix).
+  // one task. The bucket is an EXPLICIT monotone function of doc_id, not
+  // spark_partition_id over repartitionByRange — the sampled range
+  // boundaries are seeded per physical plan, so two evaluations of the
+  // same frame can disagree at scale, silently corrupting the offsets
+  // wherever the two subtrees placed a boundary differently.
   def q56SequencePack(s: SparkSession, dir: String): DataFrame = {
     val B = 2048
+    val nBuckets = 8L
     import org.apache.spark.sql.expressions.Window
     val toks = t(s, dir)("documents")
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
-    val parts = toks.repartitionByRange(8, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val maxId = toks.agg(max(col("doc_id"))).first().getLong(0)
+    val span = math.max((maxId + nBuckets) / nBuckets, 1L) // ceil((max+1)/n)
+    val parts = toks.withColumn("pid",
+      expr(s"CAST(doc_id div $span AS INT)")) // monotone, deterministic
     val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
       .withColumn("poffset",
         coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("poffset")) // numPartitions rows — broadcast
+      .select(col("pid"), col("poffset")) // nBuckets rows — broadcast
     val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     parts.join(broadcast(offsets), "pid")

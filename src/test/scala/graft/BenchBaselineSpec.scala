@@ -23,10 +23,9 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(qs("q41_string_suite") == 280.0)
   }
 
-  test("parseBaseline: missing file is None; committed baseline parses") {
+  test("parseBaseline: missing file is None; sf absent means no baseline") {
     assert(Bench.parseBaseline("/nonexistent/baseline.json").isEmpty)
-    val Some((sf, qs)) = Bench.parseBaseline("bench_baseline.json")
-    assert(sf.endsWith("sf0.1"))
-    assert(qs.size >= 50 && qs.values.forall(v => v > 0 && v < 1000))
+    // a file without an sf marker must not produce a comparable baseline
+    assert(Bench.parseBaseline(write("""{"queries":{"q01":1.0}}""")).isEmpty)
   }
 }

@@ -50,13 +50,14 @@ class DayStreamSpec extends SparkSpec {
     // multiple part files; keep them all)
     val src = tmpDir("day-src-mb")
     for (d <- Seq("f1", "f2", "f3")) {
-      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(staging, d))
-        .filter(p => p.toString.endsWith(".json")).iterator()
-      var i = 0
-      parts.forEachRemaining { part =>
-        java.nio.file.Files.copy(part,
-          java.nio.file.Paths.get(src, s"$d-$i.json"))
-        i += 1
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(staging, d))) { s =>
+        var i = 0
+        s.filter(p => p.toString.endsWith(".json")).forEachOrdered { part =>
+          java.nio.file.Files.copy(part,
+            java.nio.file.Paths.get(src, s"$d-$i.json"))
+          i += 1
+        }
       }
     }
     DayStream.run(spark, src, store, tmpDir("day-ckpt-mb"),
