@@ -35,6 +35,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents ≡ union-find on random graphs") {
+    // The most intricate operator (alternating star rounds + probabilistic
+    // convergence) against ground truth: random edge lists, clusters must
+    // equal a driver-side union-find's min-representative labeling.
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
+    samples(edgeGen, 5).foreach { edges =>
+      val df = edges.toDF("id1", "id2")
+      val got = graft.operators.Dedup.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      // union-find truth (min id as representative)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.filter(e => e._1 != e._2)
+      nodes.foreach { case (a, b) => union(a, b) }
+      val want = nodes.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id)).toMap
+      assert(got == want,
+        s"CC mismatch on ${edges.take(10)}...: got $got want $want")
+    }
+  }
+
   test("TopKAggregator: merge laws partial aggregation depends on") {
     // Spark may split the input into arbitrary partial buffers and merge
     // them in any grouping/order; correctness therefore REQUIRES that
