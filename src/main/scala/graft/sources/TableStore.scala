@@ -46,12 +46,35 @@ final class TableStore(spark: SparkSession, root: String,
   private def exists(table: String) = fs.exists(new Path(path(table)))
 
   /** Idempotent create of every declared table (M5). Also sweeps staging
-    * leftovers: a run killed between [[stage]] and its cleanup orphans a
-    * `_staging/<uuid>` diff copy that nothing would ever delete (single
-    * writer per store — the same assumption [[upsert]]'s swap makes). */
+    * leftovers — a run killed between [[stage]] and its cleanup orphans a
+    * `_staging/<uuid>` diff copy that nothing would ever delete — and
+    * recovers interrupted swaps (single writer per store — the same
+    * assumption [[swapIn]] makes). */
   def init(): Unit = {
     fs.delete(new Path(s"$root/_staging"), true)
+    Schemas.tables.keys.foreach(recoverSwap)
     Schemas.tables.keys.foreach(initTable)
+  }
+
+  /** Crash recovery for [[swapIn]]'s two-rename window: a kill between
+    * `dest→old` and `tmp→dest` leaves the table ABSENT with a complete
+    * `.old-*` beside it — without recovery, `read()` would silently return
+    * an empty table and the next diff would treat every row as new. The
+    * `.tmp-*` (new data, possibly incomplete) is discarded: the swap never
+    * completed, so the pre-swap state is the durable truth. Leftover tmp/old
+    * dirs from crashes AFTER a completed swap are plain garbage — swept. */
+  private def recoverSwap(table: String): Unit = {
+    val glob = fs.globStatus(new Path(path(table) + ".{old,tmp}-*"))
+    if (glob == null || glob.isEmpty) return
+    if (!exists(table)) {
+      val olds = glob.filter(_.getPath.getName.contains(".old-"))
+      if (olds.nonEmpty) {
+        // at most one .old can exist (single writer, deleted per swap)
+        fs.rename(olds.head.getPath, new Path(path(table)))
+      }
+    }
+    fs.globStatus(new Path(path(table) + ".{old,tmp}-*"))
+      .foreach(st => fs.delete(st.getPath, true))
   }
 
   def initTable(table: String): Unit = {

@@ -93,6 +93,34 @@ class TableStoreSpec extends SparkSpec {
     assert(off.read("Water").count() == 3) // orphans remain, like FK off
   }
 
+  test("interrupted swap recovers the pre-swap table on init") {
+    val root = tmpDir("store-recover")
+    val store = new TableStore(spark, root)
+    store.init()
+    store.upsert("Water", waterRows(("u", "2021-01-01", 1.0)))
+
+    // simulate a crash inside swapIn between the two renames: dest was
+    // renamed away to .old-*, the new .tmp-* never moved into place
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.rename(p(s"$root/Water"), p(s"$root/Water.old-deadbeef"))
+    fs.mkdirs(p(s"$root/Water.tmp-cafebabe")) // incomplete new data
+
+    // without recovery this reads an empty table — silent data loss
+    val store2 = new TableStore(spark, root)
+    store2.init()
+    assert(store2.read("Water").count() == 1)
+    assert(!new java.io.File(s"$root/Water.old-deadbeef").exists())
+    assert(!new java.io.File(s"$root/Water.tmp-cafebabe").exists())
+
+    // garbage from a crash AFTER a completed swap is swept, table untouched
+    fs.mkdirs(p(s"$root/Water.old-feedf00d"))
+    store2.init()
+    assert(store2.read("Water").count() == 1)
+    assert(!new java.io.File(s"$root/Water.old-feedf00d").exists())
+  }
+
   test("orphaned staging dirs are swept on init and excluded from backups") {
     val root = tmpDir("store-staging")
     val store = new TableStore(spark, root)
