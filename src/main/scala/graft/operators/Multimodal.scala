@@ -21,6 +21,8 @@ object Multimodal {
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
                            headerHex: String, byteMean: Double,
                            frames: Seq[Long])
+  case class ResizedMedia(mediaId: Long, width: Int, height: Int,
+                          bytes: Array[Byte])
 
   /** Synthesize a media table from the documents table: payload = UTF-8
     * bytes, metadata derived deterministically. Stands in for a real
@@ -83,6 +85,37 @@ object Multimodal {
         // real integration: initialize the codec ONCE per partition here
         it.map { case (id, bytes, meta) => decodeOne(id, bytes, meta, frameStride) }
       }
+  }
+
+  /** Resize STUB with the real integration's exact Spark-side shape:
+    * per-partition batch over (payload, metadata), emitting the target
+    * dimensions plus a payload scaled to the target pixel count. The
+    * "resampling" is a deterministic fake (stride-sampled bytes — a real
+    * codec's decode→interpolate→encode slots into `resizeOne`); schema,
+    * typing, and partitioning are the production contract. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes"), col("meta"))
+      .as[(Long, Array[Byte], MediaMeta)]
+      .mapPartitions { it =>
+        // real integration: initialize the codec ONCE per partition here
+        it.map { case (id, bytes, meta) => resizeOne(id, bytes, meta, targetW, targetH) }
+      }
+  }
+
+  /** STUB resample: byte count scales with target/source pixel ratio via
+    * stride sampling — deterministic, proportional, codec-free. */
+  private def resizeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
+                        targetW: Int, targetH: Int): ResizedMedia = {
+    val srcPx = math.max(meta.width.toLong * meta.height, 1L)
+    val outLen = math.max(
+      (bytes.length.toLong * targetW * targetH / srcPx).toInt, 1)
+    val out = Array.tabulate(math.min(outLen, bytes.length).max(1)) { i =>
+      if (bytes.isEmpty) 0.toByte
+      else bytes((i.toLong * bytes.length / math.max(outLen, 1)).toInt)
+    }
+    ResizedMedia(id, targetW, targetH, out)
   }
 
   /** STUB decode: deterministic fake features from the raw payload. */

@@ -71,6 +71,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0, 64), (1L, 2, 22), (2L, 0, 2)))
   }
 
+  test("multimodal resize: batch shape, proportional payload, determinism") {
+    import sqlImplicits._
+    val docs = Seq((10L, "a" * 400), (11L, "b" * 40)).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.fromDocuments(docs)
+    val got = graft.operators.Multimodal.resize(media, targetW = 8, targetH = 8)
+      .collect().map(r => r.mediaId -> r).toMap
+    assert(got.keySet == Set(10L, 11L))
+    assert(got.values.forall(r => r.width == 8 && r.height == 8))
+    // payload scales with target/source pixel ratio, never empty
+    assert(got.values.forall(r => r.bytes.nonEmpty))
+    val again = graft.operators.Multimodal.resize(media, 8, 8)
+      .collect().map(r => r.mediaId -> r.bytes.toSeq).toMap
+    assert(got.view.mapValues(_.bytes.toSeq).toMap == again) // deterministic
+  }
+
   test("backup rotation: oldest beyond max are victims (test D15)") {
     val names = Seq(
       "mfp_db_backup_2021-01-05", "mfp_db_backup_2021-01-01",
