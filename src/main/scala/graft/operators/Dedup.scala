@@ -261,8 +261,8 @@ object Dedup {
     * over-cap bucket is found only via its OTHER bands — exact duplicates
     * (which over-cap every band) should be removed by [[exact]] first.
     * No-op (and no extra aggregation in the plan) at the default. */
-  private def cappedBuckets(banded: DataFrame, keys: Seq[String],
-                            maxBucket: Int): DataFrame =
+  private[graft] def cappedBuckets(banded: DataFrame, keys: Seq[String],
+                                   maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else {
       val sizes = banded.groupBy(keys.map(col): _*)
@@ -278,27 +278,43 @@ object Dedup {
     * equi-join on the chunk, verify with bit_count(xor). The band count is
     * DERIVED from maxHamming, so the recall-1 guarantee holds for any
     * distance — a fixed 4-band split only guaranteed h <= 3. */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** The pigeonhole band layout over a 64-bit `simhash` column for a given
+    * Hamming budget: maxHamming + 1 near-equal chunks. SHARED between the
+    * batch pair operator and the streaming admission index
+    * ([[graft.streaming.DocStream]]) — the index persists this layout
+    * across batches, so a divergent copy would silently void the recall
+    * guarantee against previously-indexed rows. */
+  private[graft] def simhashBandStructs(maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming $maxHamming outside [0, 63]")
     val nBands = maxHamming + 1
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
-    val sh = simhash(df, idCol, textCol)
-    val bandStructs = (0 until nBands).map { i =>
+    (0 until nBands).map { i =>
       val lo = bounds(i)
       val w = bounds(i + 1) - lo
       val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(i).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
     }
-    val banded = cappedBuckets(
-      sh.select(col("id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("e"))
+  }
+
+  /** (id, simhash, band, bv) rows for a doc frame — simhash plus exploded
+    * pigeonhole bands, posting-list capped. */
+  private[graft] def simhashBanded(df: DataFrame, idCol: String,
+                                   textCol: String, maxHamming: Int,
+                                   maxBucket: Int): DataFrame =
+    cappedBuckets(
+      simhash(df, idCol, textCol)
+        .select(col("id"), col("simhash"),
+          explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
         .select(col("id"), col("simhash"),
           col("e.band").as("band"), col("e.bv").as("bv")),
       Seq("band", "bv"), maxBucket)
+
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, maxHamming, maxBucket)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

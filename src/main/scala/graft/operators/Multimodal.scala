@@ -104,16 +104,21 @@ object Multimodal {
       }
   }
 
-  /** STUB resample: byte count scales with target/source pixel ratio via
-    * stride sampling — deterministic, proportional, codec-free. */
+  /** STUB resample: byte count scales with the target/source pixel ratio
+    * via even stride sampling over the WHOLE payload — deterministic,
+    * codec-free. Output is capped at the source length (a byte-sampling
+    * stub cannot synthesize data on upscale; the cap is the denominator
+    * too, so sampling always spans the full payload rather than repeating
+    * a prefix). */
   private def resizeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
                         targetW: Int, targetH: Int): ResizedMedia = {
     val srcPx = math.max(meta.width.toLong * meta.height, 1L)
-    val outLen = math.max(
+    val scaled = math.max(
       (bytes.length.toLong * targetW * targetH / srcPx).toInt, 1)
-    val out = Array.tabulate(math.min(outLen, bytes.length).max(1)) { i =>
+    val outLen = math.min(scaled, math.max(bytes.length, 1))
+    val out = Array.tabulate(outLen) { i =>
       if (bytes.isEmpty) 0.toByte
-      else bytes((i.toLong * bytes.length / math.max(outLen, 1)).toInt)
+      else bytes((i.toLong * bytes.length / outLen).toInt)
     }
     ResizedMedia(id, targetW, targetH, out)
   }

@@ -52,7 +52,6 @@ final class TableStore(spark: SparkSession, root: String,
     * assumption [[swapIn]] makes). */
   def init(): Unit = {
     fs.delete(new Path(s"$root/_staging"), true)
-    Schemas.tables.keys.foreach(recoverSwap)
     Schemas.tables.keys.foreach(initTable)
   }
 
@@ -79,6 +78,7 @@ final class TableStore(spark: SparkSession, root: String,
 
   def initTable(table: String): Unit = {
     require(Schemas.tables.contains(table), s"unknown table $table")
+    recoverSwap(table)
     if (!exists(table)) {
       val (schema, _) = Schemas.tables(table)
       val empty = spark.createDataFrame(
@@ -87,9 +87,14 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
-  /** Read a table; empty (typed) result when uninitialized. */
+  /** Read a table; empty (typed) result when uninitialized. Recovery runs
+    * first: without it, a read (or the upsert/replaceDays built on it)
+    * issued after a crashed swap would see an absent table, treat it as
+    * empty, and the next sweep would discard the stranded .old copy —
+    * turning a recoverable crash into permanent loss. */
   def read(table: String): DataFrame = {
     val (schema, _) = Schemas.tables(table)
+    recoverSwap(table)
     if (exists(table)) spark.read.schema(schema).parquet(path(table))
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }

@@ -16,47 +16,65 @@ import graft.operators.Dedup
   * This is the arrival-time shape of [[graft.operators.Dedup]]'s batch
   * near-dup pass — the pattern a training-data ingest runs so the corpus
   * stays deduplicated continuously instead of re-sweeping it:
-  *   - the index is (band, bv, simhash, id) rows in parquet, so the
-  *     candidate probe is the same hash-partitioned equi-join as the batch
-  *     operator (pigeonhole recall guarantee included) — never a scan of
-  *     the corpus text;
-  *   - per batch, work is O(batch × colliding-bucket width), not O(corpus);
-  *   - admission is deterministic: lowest id wins among in-batch
-  *     near-dup groups (min-id representative, like [[Dedup.exact]]).
+  *   - the index is (band, bv, simhash, id) rows in parquet sharing the
+  *     batch operator's band layout ([[Dedup.simhashBandStructs]]), so the
+  *     candidate probe is the same hash-partitioned equi-join with the same
+  *     pigeonhole recall guarantee — never a scan of the corpus text;
+  *   - per batch, work is O(batch × colliding-bucket width); `maxBucket`
+  *     caps posting lists like the batch operator (an over-cap templated
+  *     bucket would otherwise make every future batch quadratic as the
+  *     index grows), and [[compactIndex]] folds the per-batch file
+  *     accumulation back into full row groups;
+  *   - in-batch admission is GREEDY BY ID: a doc is rejected if it
+  *     near-dups any smaller id in the batch, even one itself rejected.
+  *     Conservative by design (a chain A~B~C admits only A); the invariant
+  *     maintained is that the ADMITTED corpus is near-dup-free — a doc
+  *     whose only conflicts were themselves rejected may be re-admitted if
+  *     re-delivered later, which keeps that invariant;
+  *   - RETRY-SAFE: the probe excludes index rows carrying this batch's own
+  *     ids and the append skips ids already indexed, so a foreachBatch
+  *     retry after a partial failure reproduces the same admission decision
+  *     instead of self-rejecting against its first attempt's writes.
   */
 object DocStream {
 
-  private val nBandsFor: Int => Int = maxHamming => maxHamming + 1
-
   /** One micro-batch of admission against (and update of) `indexDir`.
-    * Returns the admitted (doc_id, text) rows. Exposed for direct batch use
-    * and reused by [[run]]'s foreachBatch. */
+    * Returns the admitted (doc_id, text, ...) rows. Exposed for direct
+    * batch use and reused by [[run]]'s foreachBatch. Rows must carry
+    * non-null unique doc_id and non-null text — violations throw rather
+    * than silently vanish from both corpus and index. */
   def admitBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
-                 maxHamming: Int = 3): DataFrame = {
-    val nBands = nBandsFor(maxHamming)
-    val bounds = (0 to nBands).map(i => i * 64 / nBands)
-    val bandStructs = (0 until nBands).map { i =>
-      val lo = bounds(i)
-      val w = bounds(i + 1) - lo
-      val mask = if (w == 64) -1L else (1L << w) - 1
-      struct(lit(i).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("bv"))
-    }
+                 maxHamming: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
+    val stats = batch.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id").isNull || col("text").isNull, 1L)
+        .otherwise(0L)).as("bad"),
+      countDistinct(col("doc_id")).as("ids")).first()
+    require(stats.getLong(1) == 0,
+      s"${stats.getLong(1)} rows with null doc_id/text — refusing to drop silently")
+    require(stats.getLong(2) == stats.getLong(0),
+      s"duplicate doc_id in batch (${stats.getLong(0)} rows, " +
+        s"${stats.getLong(2)} ids) — dedup upstream")
 
-    // simhash + bands for the incoming docs, staged once (consumed twice)
-    val incoming = Dedup.simhash(batch, "doc_id", "text")
-      .select(col("id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("e"))
-      .select(col("id"), col("simhash"),
-        col("e.band").as("band"), col("e.bv").as("bv"))
-      .localCheckpoint(true)
+    // simhash + bands for the incoming docs, staged once (consumed thrice)
+    val incoming = Dedup.simhashBanded(batch, "doc_id", "text",
+      maxHamming, maxBucket).localCheckpoint(true)
 
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index: DataFrame =
+    val fullIndex: DataFrame =
       if (fs.exists(new Path(indexDir))) spark.read.parquet(indexDir)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), incoming.schema)
+    // retry idempotence: ignore rows a previous attempt of THIS batch wrote.
+    // The probe side is posting-list capped too — the index accumulates, so
+    // a templated bucket would otherwise grow without bound and fan every
+    // future batch out against it (same recall trade as the batch operator).
+    val batchIds = incoming.select(col("id")).distinct()
+    val index = Dedup.cappedBuckets(
+      fullIndex.join(batchIds, Seq("id"), "left_anti"),
+      Seq("band", "bv"), maxBucket)
 
     // cross-batch rejects: any band collision with the corpus within range
     val vsCorpus = incoming.as("n").join(index.as("o"),
@@ -65,42 +83,70 @@ object DocStream {
         <= maxHamming)
       .select(col("n.id").as("id")).distinct()
 
-    // in-batch rejects: near-dup pairs among the survivors → keep min id
+    // in-batch rejects: greedy by id — the larger id of a near-dup pair
+    // loses (see the admission-policy note in the object doc)
     val inBatch = incoming.join(vsCorpus, Seq("id"), "left_anti")
     val pairRejects = inBatch.as("x").join(inBatch.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
         <= maxHamming)
-      .select(col("y.id").as("id")).distinct() // the larger id loses
+      .select(col("y.id").as("id")).distinct()
 
     val admittedIds = inBatch.select(col("id")).distinct()
       .join(pairRejects, Seq("id"), "left_anti")
       .localCheckpoint(true) // consumed twice (index append + result join)
 
-    // append the admitted docs' band rows to the corpus index
+    // append the admitted docs' band rows, skipping ids a previous attempt
+    // of this batch already indexed (idempotent under retry)
     incoming.join(admittedIds, "id")
+      .join(fullIndex.select(col("id")).distinct(), Seq("id"), "left_anti")
       .write.mode("append").parquet(indexDir)
 
     batch.join(admittedIds.withColumnRenamed("id", "doc_id"), "doc_id")
   }
 
+  /** Fold the per-batch parquet file accumulation back into
+    * `targetPartitions` full files (same write-temp + atomic-rename shape
+    * as TableStore.compact) — run periodically on a long-lived index. */
+  def compactIndex(spark: SparkSession, indexDir: String,
+                   targetPartitions: Int = 8): Unit = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(indexDir))) return
+    val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID()
+    spark.read.parquet(indexDir).repartition(targetPartitions)
+      .write.parquet(tmp)
+    val old = indexDir + ".old-" + java.util.UUID.randomUUID()
+    fs.rename(new Path(indexDir), new Path(old))
+    fs.rename(new Path(tmp), new Path(indexDir))
+    fs.delete(new Path(old), true)
+  }
+
   /** Streaming wrapper: JSON-lines docs land in `stagingDir`; each
-    * micro-batch is admitted against the shared index and survivors are
-    * appended to `outDir` as parquet. */
+    * micro-batch is admitted against the shared index and survivors land
+    * under `outDir` in a per-batch subdir (overwritten on retry, so the
+    * output is exactly-once per batch id). FAILFAST parse — a malformed
+    * feed stops the stream instead of silently losing documents. */
   def run(spark: SparkSession, stagingDir: String, indexDir: String,
           outDir: String, checkpointDir: String,
-          maxHamming: Int = 3): StreamingQuery = {
+          maxHamming: Int = 3,
+          maxBucket: Int = Int.MaxValue): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
         org.apache.spark.sql.types.StringType)))
-    val q = spark.readStream.schema(schema).json(stagingDir)
+    val q = spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(stagingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admitBatch(spark, batch.dropDuplicates("doc_id"), indexDir, maxHamming)
-          .write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // exact re-deliveries within a batch collapse; conflicting texts
+        // under one id surface as admitBatch's duplicate-id failure
+        admitBatch(spark, batch.dropDuplicates("doc_id", "text"),
+          indexDir, maxHamming, maxBucket)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -37,17 +37,78 @@ class DocStreamSpec extends SparkSpec {
     assert(DocStream.admitBatch(spark, b3, index).count() == 0)
   }
 
-  test("streaming run: two waves through the same index") {
+  test("retry idempotence: re-running a partially-committed batch repeats its decision") {
+    val index = tmpDir("doc-index-retry") + "/idx"
+    val b1 = Seq((5L, base), (7L, other)).toDF("doc_id", "text")
+    val first = DocStream.admitBatch(spark, b1, index).collect()
+      .map(_.getLong(0)).sorted
+    assert(first.toSeq == Seq(5L, 7L))
+    // simulate foreachBatch retry AFTER the index append succeeded: the
+    // same batch must admit the same docs (not self-reject against its own
+    // first attempt) and must not duplicate index rows
+    val retry = DocStream.admitBatch(spark, b1, index).collect()
+      .map(_.getLong(0)).sorted
+    assert(retry.toSeq == Seq(5L, 7L))
+    val idx = spark.read.parquet(index)
+    assert(idx.count() == idx.distinct().count())
+
+    // and the index still rejects a near-dup from a genuinely new batch
+    val b2 = Seq((20L, neardup)).toDF("doc_id", "text")
+    assert(DocStream.admitBatch(spark, b2, index).count() == 0)
+  }
+
+  test("invalid input throws instead of vanishing; compaction preserves the index") {
+    val index = tmpDir("doc-index-guard") + "/idx"
+    val nullText = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, base), org.apache.spark.sql.Row(2L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    intercept[IllegalArgumentException](
+      DocStream.admitBatch(spark, nullText, index))
+    val dupIds = Seq((7L, base), (7L, other)).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      DocStream.admitBatch(spark, dupIds, index))
+
+    // several small batches → many files; compaction folds them without
+    // changing the rejection behavior
+    DocStream.admitBatch(spark, Seq((5L, base)).toDF("doc_id", "text"), index)
+    DocStream.admitBatch(spark, Seq((6L, other)).toDF("doc_id", "text"), index)
+    DocStream.admitBatch(spark, Seq((8L, third)).toDF("doc_id", "text"), index)
+    val before = spark.read.parquet(index).collect().toSet
+    DocStream.compactIndex(spark, index, targetPartitions = 1)
+    assert(spark.read.parquet(index).collect().toSet == before)
+    assert(DocStream.admitBatch(spark,
+      Seq((30L, neardup)).toDF("doc_id", "text"), index).count() == 0)
+  }
+
+  test("streaming run: two waves through one staging dir and checkpoint") {
+    // production shape: ONE staging dir receiving files, ONE checkpoint —
+    // the second run resumes file tracking and batch numbering, so each
+    // batch's output partition is unique (per-batch overwrite = retry
+    // safety, not cross-run clobbering)
     val staging = tmpDir("doc-staging")
     val index = tmpDir("doc-index2") + "/idx"
     val out = tmpDir("doc-out")
-    Seq((5L, base), (9L, neardup)).toDF("doc_id", "text")
-      .write.json(s"$staging/w1")
-    DocStream.run(spark, s"$staging/w1", index, out, tmpDir("doc-ckpt1"))
-    Seq((20L, neardup), (21L, third)).toDF("doc_id", "text")
-      .write.json(s"$staging/w2")
-    DocStream.run(spark, s"$staging/w2", index, out, tmpDir("doc-ckpt2"))
-    val admitted = spark.read.parquet(out).collect()
+    val ckpt = tmpDir("doc-ckpt")
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir(s"doc-wave-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").json(tmp)
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { s =>
+        s.filter(_.toString.endsWith(".json")).forEachOrdered(p =>
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(staging, s"$name.json")))
+      }
+    }
+    stage("w1", Seq((5L, base), (9L, neardup)))
+    DocStream.run(spark, staging, index, out, ckpt)
+    stage("w2", Seq((20L, neardup), (21L, third)))
+    DocStream.run(spark, staging, index, out, ckpt)
+    val admitted = spark.read.parquet(out).select("doc_id").collect()
       .map(_.getLong(0)).sorted
     assert(admitted.toSeq == Seq(5L, 21L))
   }

@@ -107,10 +107,12 @@ class TableStoreSpec extends SparkSpec {
     fs.rename(p(s"$root/Water"), p(s"$root/Water.old-deadbeef"))
     fs.mkdirs(p(s"$root/Water.tmp-cafebabe")) // incomplete new data
 
-    // without recovery this reads an empty table — silent data loss
+    // without recovery this reads an empty table — silent data loss; the
+    // recovery must fire from a bare read/upsert too, NOT only init():
+    // an append-after-crash would otherwise create an empty table and the
+    // next sweep would discard the .old backup for good
     val store2 = new TableStore(spark, root)
-    store2.init()
-    assert(store2.read("Water").count() == 1)
+    assert(store2.read("Water").count() == 1) // no init() — read recovers
     assert(!new java.io.File(s"$root/Water.old-deadbeef").exists())
     assert(!new java.io.File(s"$root/Water.tmp-cafebabe").exists())
 
