@@ -237,21 +237,17 @@ object Dedup {
     result
   }
 
-  /** 64-bit SimHash per document: explode tokens, hash once, then a single
-    * partial-aggregatable groupBy with 64 per-bit majority-vote sums —
-    * shuffle carries 64 ints per doc, not the tokens. */
+  /** 64-bit SimHash per document as a single codegen'd scalar projection
+    * ([[graft.plans.TextExpressions.SimHash64]]): the per-bit majority
+    * votes accumulate in one pass over the token array — NO explode, NO
+    * aggregate, NO shuffle. Bit-identical to the explode→64-vote-sums
+    * composition it replaced (pinned in TextExpressionsSpec; null-text
+    * docs are dropped, matching the explode's behavior). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val th = df
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(b =>
-      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
-    val packed = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    th.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), packed.as("simhash"))
+    graft.plans.TextExpressions.register(df.sparkSession)
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        call_function("simhash64", tokens(col(textCol))).as("simhash"))
   }
 
   /** Drop rows whose (bucket-key) group exceeds `maxBucket` members — the

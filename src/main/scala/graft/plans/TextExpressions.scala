@@ -85,15 +85,97 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd 64-bit SimHash over a token array: one pass accumulating the
+  * 64 per-bit majority votes in a local int array, then packing.
+  *
+  * Replaces the 3-operator composition in [[graft.operators.Dedup.simhash]]
+  * (`explode(tokens) → xxhash64 → groupBy(id).agg(64 vote sums)`): the
+  * explode pushes one row per token occurrence through a Generate and the
+  * aggregate shuffles 64 longs per doc; as a scalar projection the simhash
+  * column costs no shuffle at all. Hash recipe matches the composition
+  * EXACTLY (xxhash64(tok) = hashUTF8String(tok, 42), vote +1/-1 per
+  * occurrence, bit set iff the vote sum is positive) — bit-identical,
+  * pinned in TextExpressionsSpec. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= 1L << b
+      b += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n")
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($votes[$b] > 0) $out |= 1L << $b;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val id = new FunctionIdentifier("minhash_signature")
+    val reg = spark.sessionState.functionRegistry
+    val sigId = new FunctionIdentifier("minhash_signature")
     // idempotent — see VectorExpressions.register
-    if (!spark.sessionState.functionRegistry.functionExists(id))
-      spark.sessionState.functionRegistry.registerFunction(
-        id,
+    if (!reg.functionExists(sigId))
+      reg.registerFunction(
+        sigId,
         new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
         (args: Seq[Expression]) => MinHashSignature(args(0),
           args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    val shId = new FunctionIdentifier("simhash64")
+    if (!reg.functionExists(shId))
+      reg.registerFunction(
+        shId,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (args: Seq[Expression]) => SimHash64(args(0)))
   }
 }

@@ -28,4 +28,31 @@ class TextExpressionsSpec extends SparkSpec {
     // empty shingle array → all-MaxValue signature (both paths)
     assert(got(2).getSeq[Long](0).forall(_ == Long.MaxValue))
   }
+
+  test("simhash64 ≡ explode → 64 vote sums composition") {
+    TextExpressions.register(spark)
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog again and again",
+      "the the the repeated repeated tokens tokens tokens here",
+      "completely different content about spark query engines",
+      "" // single empty token — votes all from one hash
+    ).toDF("text").withColumn("id", monotonically_increasing_id())
+    val fused = docs.select(col("id"),
+      call_function("simhash64", TextFunctions.tokens(col("text"))).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the composition this replaced, verbatim
+    val th = docs
+      .select(col("id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b"))
+    val packed = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val composed = th.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == composed)
+  }
 }
