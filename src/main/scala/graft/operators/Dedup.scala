@@ -242,7 +242,13 @@ object Dedup {
     * votes accumulate in one pass over the token array — NO explode, NO
     * aggregate, NO shuffle. Bit-identical to the explode→64-vote-sums
     * composition it replaced (pinned in TextExpressionsSpec; null-text
-    * docs are dropped, matching the explode's behavior). */
+    * docs are dropped, matching the explode's behavior).
+    *
+    * Contract: one row per document with unique `idCol` — as a projection
+    * this emits one hash per input ROW, where the old groupBy incidentally
+    * merged votes across duplicate-id rows (an accidental semantic no
+    * caller relied on; callers that accept untrusted batches guard ids
+    * explicitly, e.g. streaming.DocStream). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.TextExpressions.register(df.sparkSession)
     df.where(col(textCol).isNotNull)

@@ -93,13 +93,18 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   * explode pushes one row per token occurrence through a Generate and the
   * aggregate shuffles 64 longs per doc; as a scalar projection the simhash
   * column costs no shuffle at all. Hash recipe matches the composition
-  * EXACTLY (xxhash64(tok) = hashUTF8String(tok, 42), vote +1/-1 per
-  * occurrence, bit set iff the vote sum is positive) — bit-identical,
-  * pinned in TextExpressionsSpec. */
+  * EXACTLY (xxhash64(tok) = hashUTF8String(tok, 42) — and the seed 42 for
+  * a NULL token, like xxhash64(NULL); vote +1/-1 per occurrence, bit set
+  * iff the vote sum is positive) — bit-identical per row, pinned in
+  * TextExpressionsSpec. An EMPTY array yields NULL (the explode emitted no
+  * row for such a doc, so it vanished from the old output; a NULL here
+  * likewise drops out of downstream band joins instead of colliding all
+  * empty docs at simhash 0). */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -110,10 +115,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val h =
+        if (arr.isNullAt(i)) 42L // xxhash64(NULL) = the seed
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
         votes(b) += (((h >>> b) & 1L).toInt << 1) - 1
@@ -141,18 +149,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val out = ctx.freshName("out")
       s"""
          |int $n = $a.numElements();
-         |int[] $votes = new int[64];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
-         |  for (int $b = 0; $b < 64; $b++) {
-         |    $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $a.isNullAt($i)
+         |      ? 42L
+         |      : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
+         |    }
          |  }
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($votes[$b] > 0) $out |= 1L << $b;
+         |  }
+         |  ${ev.value} = $out;
          |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($votes[$b] > 0) $out |= 1L << $b;
-         |}
-         |${ev.value} = $out;
        """.stripMargin
     })
 

@@ -54,5 +54,17 @@ class TextExpressionsSpec extends SparkSpec {
       .select(col("id"), packed.as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fused == composed)
+
+    // registered-function surface beyond tokens(): a null element votes
+    // with the seed like xxhash64(NULL) (no NPE), an empty array is NULL
+    // (the explode dropped such docs — empty docs must not all collide at
+    // simhash 0)
+    val edge = spark.sql(
+      """SELECT simhash64(array('a', CAST(NULL AS STRING))) AS with_null,
+        |       simhash64(CAST(array() AS ARRAY<STRING>)) AS empty,
+        |       simhash64(CAST(NULL AS ARRAY<STRING>)) AS null_arr""".stripMargin)
+      .collect().head
+    assert(!edge.isNullAt(0))
+    assert(edge.isNullAt(1) && edge.isNullAt(2))
   }
 }
