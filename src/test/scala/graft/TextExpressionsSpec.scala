@@ -29,6 +29,24 @@ class TextExpressionsSpec extends SparkSpec {
     assert(got(2).getSeq[Long](0).forall(_ == Long.MaxValue))
   }
 
+  test("shingles ≡ transform/slice/concat_ws composition, incl. edge inputs") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a", // heavy duplicates → distinct collapses
+      "a  b c", // double space → empty token, Java split semantics
+      "x y", // fewer tokens than n → empty array
+      "", // single empty token
+      "one two three" // exactly n tokens → one shingle
+    ).toDF("text")
+    val got = docs.select(
+        TextFunctions.shingles(col("text"), 3).as("fast"),
+        TextFunctions.shinglesComposed(col("text"), 3).as("ref"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"doc $i diverged")
+    }
+  }
+
   test("simhash64 ≡ explode → 64 vote sums composition") {
     TextExpressions.register(spark)
     val docs = Seq(
