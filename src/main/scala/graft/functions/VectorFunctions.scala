@@ -50,11 +50,23 @@ object VectorFunctions {
 
   /** Deterministic random-hyperplane LSH signature (`nbits` sign bits packed
     * into a long). Plane weights are derived from xxhash64(plane, dim) — no
-    * RNG state, so signatures are reproducible across runs and executors. */
-  def hyperplaneSignature(v: Column, dim: Int, nbits: Int): Column = {
-    // per-plane weight arrays are generated with a lambda (compact plan tree:
-    // unrolling dim×nbits element_at terms makes a 2000+-node expression the
-    // optimizer re-traverses for seconds per query)
+    * RNG state, so signatures are reproducible across runs and executors.
+    * Backed by the codegen [[graft.plans.HyperplaneSig]] expression with
+    * the weights precomputed at plan construction; the interpreted HOF
+    * composition ([[hyperplaneSignatureComposed]], the spec reference)
+    * re-derived every weight per row. */
+  def hyperplaneSignature(v: Column, dim: Int, nbits: Int): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.HyperplaneSig(
+        org.apache.spark.sql.graft.ColumnShim.expression(v), dim, nbits))
+
+  /** The pre-codegen composition — spec reference for
+    * [[hyperplaneSignature]] parity. Per-plane weight arrays are generated
+    * with a lambda (compact plan tree: unrolling dim×nbits element_at terms
+    * makes a 2000+-node expression the optimizer re-traverses for seconds
+    * per query). */
+  private[graft] def hyperplaneSignatureComposed(v: Column, dim: Int,
+                                                 nbits: Int): Column = {
     val bits = (0 until nbits).map { p =>
       val warr = transform(sequence(lit(0), lit(dim - 1)),
         d => (xxhash64(lit(p), d) % lit(1000003L)).cast("double") / lit(1000003.0))

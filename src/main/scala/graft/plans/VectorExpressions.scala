@@ -115,6 +115,94 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd random-hyperplane LSH signature with the hash-derived plane
+  * weights PRECOMPUTED once at plan construction (nbits×dim doubles in a
+  * reference object) — the lambda composition in
+  * [[graft.functions.VectorFunctions.hyperplaneSignatureComposed]]
+  * re-derived every weight with two xxhash calls per (plane, element) per
+  * ROW on the interpreted HOF path, measured ~1.9 s over the sf0.1
+  * embeddings and the dominant cost of the LSH ANN query. Weight recipe and
+  * summation order match the composition exactly (xxhash64(p, d) =
+  * hashInt(d, hashInt(p, 42)); % 1000003 → /1000003.0; sequential
+  * multiply-add), and a vector whose length differs from `dim` yields
+  * signature 0 exactly as the composition's null-padded zip_with does —
+  * parity pinned in VectorExpressionsSpec. */
+case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(dim >= 1, s"dim $dim < 1")
+  require(nbits >= 1 && nbits <= 64, s"nbits $nbits outside [1, 64]")
+
+  override def prettyName: String = "hyperplane_sig"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<DOUBLE>, got ${other.simpleString}")
+  }
+
+  // identical derivation to (xxhash64(lit(p), d) % 1000003L) / 1000003.0
+  private lazy val weights: Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val w = new Array[Double](nbits * dim)
+    var p = 0
+    while (p < nbits) {
+      val hp = XXH64.hashInt(p, 42L)
+      var d = 0
+      while (d < dim) {
+        w(p * dim + d) = (XXH64.hashInt(d, hp) % 1000003L).toDouble / 1000003.0
+        d += 1
+      }
+      p += 1
+    }
+    w
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return 0L // composition's null-padding
+    var out = 0L
+    var p = 0
+    while (p < nbits) {
+      var acc = 0.0
+      var d = 0
+      while (d < dim) {
+        acc += arr.getDouble(d) * weights(p * dim + d)
+        d += 1
+      }
+      if (acc > 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val w = ctx.addReferenceObj("hyperplaneWeights", weights, "double[]")
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+         |long $out = 0L;
+         |if ($a.numElements() == $dim) {
+         |  for (int $p = 0; $p < $nbits; $p++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      $acc += $a.getDouble($d) * $w[$p * $dim + $d];
+         |    }
+         |    if ($acc > 0) $out |= 1L << $p;
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: idempotent per-session helper plus a
   * `spark.sql.extensions`-loadable class. */
 object VectorExpressions {

@@ -43,6 +43,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("hyperplane_sig ≡ transform/zip_with/aggregate composition") {
+    val df = (0L until 50L).map { i =>
+      i -> Seq.tabulate(16)(j => math.sin(i * 2.7 + j * 1.3))
+    }.toDF("id", "v")
+    val got = df.select($"id",
+        graft.functions.VectorFunctions.hyperplaneSignature($"v", 16, 63).as("fast"),
+        graft.functions.VectorFunctions
+          .hyperplaneSignatureComposed($"v", 16, 63).as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2)))
+    // signatures are non-degenerate (not all equal)
+    assert(got.map(_.getLong(1)).distinct.length > 10)
+    // wrong-length vector → 0, like the composition's null-padded zip_with
+    val short = Seq(Seq(1.0, 2.0)).toDF("v").select(
+      graft.functions.VectorFunctions.hyperplaneSignature($"v", 16, 63).as("s"),
+      graft.functions.VectorFunctions
+        .hyperplaneSignatureComposed($"v", 16, 63).as("r")).collect().head
+    assert(short.getLong(0) == 0L && short.getLong(0) == short.getLong(1))
+  }
+
   test("kernel participates in whole-stage codegen") {
     VectorExpressions.register(spark)
     // a range source so ConvertToLocalRelation can't pre-evaluate the project
