@@ -38,8 +38,17 @@ object TextFunctions {
   private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
 
-  /** Count of occurrences of exactly-matching token `w`. */
+  /** Count of occurrences of exactly-matching token `w`. Codegen
+    * [[graft.plans.TextExpressions.TokenOccurrences]] — langId composes six
+    * of these per row and the `filter` HOF evaluates interpreted. */
   def tokenOccurrences(text: Column, w: String): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.TokenOccurrences(
+        org.apache.spark.sql.graft.ColumnShim.expression(text), w))
+
+  /** The pre-codegen composition — spec reference for [[tokenOccurrences]]
+    * parity. */
+  private[graft] def tokenOccurrencesComposed(text: Column, w: String): Column =
     size(filter(tokens(text), t => t === w))
 
   /** Whitespace token count. */

@@ -235,6 +235,19 @@ object SimhashShinglesKernel {
     * kept. */
   def splitOnSpace(s: UTF8String): Array[UTF8String] = s.split(space, -1)
 
+  /** Count of tokens exactly equal to `target` (for [[TokenOccurrences]]). */
+  def countToken(s: org.apache.spark.unsafe.types.UTF8String,
+                 target: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val toks = splitOnSpace(s)
+    var c = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).equals(target)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Distinct n-gram shingles in first-occurrence order; empty below n. */
   def shingle(toks: Array[UTF8String], n: Int): Array[UTF8String] = {
     if (toks.length < n) return Array.empty
@@ -248,6 +261,43 @@ object SimhashShinglesKernel {
     }
     seen.toArray(new Array[UTF8String](seen.size()))
   }
+}
+
+/** Codegen'd count of exact-match occurrences of a constant token:
+  * replaces `size(filter(split(text, " "), t => t === w))` — the `filter`
+  * HOF evaluates interpreted, and langId runs SIX of them per row.
+  * Matching is on the split tokens (repeated separators yield empty tokens,
+  * Java split limit -1), identical to the composition (parity pinned in
+  * TextExpressionsSpec). */
+case class TokenOccurrences(child: Expression, word: String)
+    extends UnaryExpression {
+
+  override def prettyName: String = "token_occurrences"
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  private lazy val target =
+    org.apache.spark.unsafe.types.UTF8String.fromString(word)
+
+  override def nullSafeEval(input: Any): Any =
+    SimhashShinglesKernel.countToken(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], target)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = SimhashShinglesKernel.getClass.getName + ".MODULE$"
+      val t = ctx.addReferenceObj("targetToken", target,
+        classOf[org.apache.spark.unsafe.types.UTF8String].getName)
+      s"${ev.value} = $kernel.countToken($a, $t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 object TextExpressions {

@@ -47,6 +47,24 @@ class TextExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("token_occurrences ≡ size(filter(...)) composition") {
+    val docs = Seq(
+      "the cat and the dog and the bird",
+      "thethe the-x the", // exact-match only
+      "a  the b", // empty tokens from double space must not match
+      ""
+    ).toDF("text")
+    for (w <- Seq("the", "and", "a", "")) {
+      val got = docs.select(
+          TextFunctions.tokenOccurrences(col("text"), w).as("fast"),
+          TextFunctions.tokenOccurrencesComposed(col("text"), w).as("ref"))
+        .collect()
+      got.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(0) == r.getInt(1), s"doc $i word '$w' diverged")
+      }
+    }
+  }
+
   test("simhash64 ≡ explode → 64 vote sums composition") {
     TextExpressions.register(spark)
     val docs = Seq(
