@@ -61,11 +61,18 @@ object TextFunctions {
 
   /** Marker-token language-ID heuristic (deterministic, SQL-expressible).
     * Scores a few marker words per language and takes a fixed-priority
-    * argmax; `und` when nothing matches. */
+    * argmax; `und` when nothing matches. All six marker counts come from
+    * ONE [[graft.plans.TokenCounts]] subtree — the references are equal
+    * deterministic expressions, so whole-stage codegen's subexpression
+    * elimination tokenizes once per row instead of six times. */
   def langId(text: Column): Column = {
-    val en = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
-    val es = tokenOccurrences(text, "data") + tokenOccurrences(text, "table")
-    val de = tokenOccurrences(text, "group") + tokenOccurrences(text, "fast")
+    val counts = org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.TokenCounts(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        Seq("the", "a", "data", "table", "group", "fast")))
+    val en = element_at(counts, 1) + element_at(counts, 2)
+    val es = element_at(counts, 3) + element_at(counts, 4)
+    val de = element_at(counts, 5) + element_at(counts, 6)
     when(en === 0 && es === 0 && de === 0, lit("und"))
       .when(en >= es && en >= de, lit("en"))
       .when(es >= de, lit("es"))

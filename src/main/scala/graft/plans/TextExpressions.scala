@@ -235,6 +235,26 @@ object SimhashShinglesKernel {
     * kept. */
   def splitOnSpace(s: UTF8String): Array[UTF8String] = s.split(space, -1)
 
+  /** Per-word exact-match counts in ONE tokenization pass (for
+    * [[TokenCounts]]). Linear scan per token over the (small, constant)
+    * word list — no hashing needed for ≤ a dozen markers. */
+  def countTokens(s: org.apache.spark.unsafe.types.UTF8String,
+                  targets: Array[org.apache.spark.unsafe.types.UTF8String])
+      : Array[Int] = {
+    val toks = splitOnSpace(s)
+    val counts = new Array[Int](targets.length)
+    var i = 0
+    while (i < toks.length) {
+      var w = 0
+      while (w < targets.length) {
+        if (toks(i).equals(targets(w))) counts(w) += 1
+        w += 1
+      }
+      i += 1
+    }
+    counts
+  }
+
   /** Count of tokens exactly equal to `target` (for [[TokenOccurrences]]). */
   def countToken(s: org.apache.spark.unsafe.types.UTF8String,
                  target: org.apache.spark.unsafe.types.UTF8String): Int = {
@@ -294,6 +314,50 @@ case class TokenOccurrences(child: Expression, word: String)
       val t = ctx.addReferenceObj("targetToken", target,
         classOf[org.apache.spark.unsafe.types.UTF8String].getName)
       s"${ev.value} = $kernel.countToken($a, $t);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd multi-word exact-match counter: one tokenization pass counting
+  * every marker word — [[TokenOccurrences]] per word still re-split the
+  * text per expression (langId = six splits per row). Consumers reference
+  * the SAME TokenCounts subtree from several projections of one select, so
+  * whole-stage codegen's subexpression elimination evaluates it once. */
+case class TokenCounts(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  require(words.nonEmpty, "words must be non-empty")
+
+  override def prettyName: String = "token_counts"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  private lazy val targets: Array[org.apache.spark.unsafe.types.UTF8String] =
+    words.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      SimhashShinglesKernel.countTokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        targets))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = SimhashShinglesKernel.getClass.getName + ".MODULE$"
+      val t = ctx.addReferenceObj("targetTokens", targets,
+        classOf[Array[org.apache.spark.unsafe.types.UTF8String]].getName)
+      s"""
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($kernel.countTokens($a, $t));
+       """.stripMargin
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -124,9 +124,14 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
   * embeddings and the dominant cost of the LSH ANN query. Weight recipe and
   * summation order match the composition exactly (xxhash64(p, d) =
   * hashInt(d, hashInt(p, 42)); % 1000003 → /1000003.0; sequential
-  * multiply-add), and a vector whose length differs from `dim` yields
-  * signature 0 exactly as the composition's null-padded zip_with does —
-  * parity pinned in VectorExpressionsSpec. */
+  * multiply-add); a vector whose length differs from `dim` or carries a
+  * null element yields signature 0 exactly as the composition's null-padded
+  * zip_with does, and a NaN projection sets the bit (Spark's NaN > 0 is
+  * true). One DELIBERATE divergence: a NULL input vector yields NULL (the
+  * composition produced 0, silently landing null-embedding rows in bucket
+  * 0 of every LSH table as candidates — NULL drops them from the band
+  * equi-join instead). Parity + divergences pinned in
+  * VectorExpressionsSpec. */
 case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -161,17 +166,25 @@ case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    if (arr.numElements() != dim) return 0L // composition's null-padding
+    // composition parity: wrong length OR any null element nulls the
+    // zip_with products → every proj null → all bits 0
+    if (arr.numElements() != dim) return 0L
+    var d = 0
+    while (d < dim) {
+      if (arr.isNullAt(d)) return 0L
+      d += 1
+    }
     var out = 0L
     var p = 0
     while (p < nbits) {
       var acc = 0.0
-      var d = 0
-      while (d < dim) {
-        acc += arr.getDouble(d) * weights(p * dim + d)
-        d += 1
+      var i = 0
+      while (i < dim) {
+        acc += arr.getDouble(i) * weights(p * dim + i)
+        i += 1
       }
-      if (acc > 0) out |= 1L << p
+      // Spark SQL comparison: NaN > 0 is TRUE (NaN sorts greatest)
+      if (acc > 0 || java.lang.Double.isNaN(acc)) out |= 1L << p
       p += 1
     }
     out
@@ -181,18 +194,23 @@ case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
     nullSafeCodeGen(ctx, ev, a => {
       val w = ctx.addReferenceObj("hyperplaneWeights", weights, "double[]")
       val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
       val p = ctx.freshName("p")
       val d = ctx.freshName("d")
       val acc = ctx.freshName("acc")
       s"""
          |long $out = 0L;
-         |if ($a.numElements() == $dim) {
+         |boolean $ok = $a.numElements() == $dim;
+         |for (int $d = 0; $ok && $d < $dim; $d++) {
+         |  if ($a.isNullAt($d)) $ok = false;
+         |}
+         |if ($ok) {
          |  for (int $p = 0; $p < $nbits; $p++) {
          |    double $acc = 0.0;
          |    for (int $d = 0; $d < $dim; $d++) {
          |      $acc += $a.getDouble($d) * $w[$p * $dim + $d];
          |    }
-         |    if ($acc > 0) $out |= 1L << $p;
+         |    if ($acc > 0 || java.lang.Double.isNaN($acc)) $out |= 1L << $p;
          |  }
          |}
          |${ev.value} = $out;

@@ -61,6 +61,30 @@ class VectorExpressionsSpec extends SparkSpec {
       graft.functions.VectorFunctions
         .hyperplaneSignatureComposed($"v", 16, 63).as("r")).collect().head
     assert(short.getLong(0) == 0L && short.getLong(0) == short.getLong(1))
+
+    // NaN projections: Spark's NaN > 0 is TRUE — every bit set, both paths
+    val nan = Seq(Seq.fill(16)(Double.NaN)).toDF("v").select(
+      graft.functions.VectorFunctions.hyperplaneSignature($"v", 16, 63).as("s"),
+      graft.functions.VectorFunctions
+        .hyperplaneSignatureComposed($"v", 16, 63).as("r")).collect().head
+    assert(nan.getLong(0) == nan.getLong(1))
+    assert(nan.getLong(0) == (1L << 63) - 1)
+
+    // null ELEMENT nulls the products → signature 0, both paths
+    val withNullElem = spark.sql(
+      "SELECT array(CAST(NULL AS DOUBLE)" + ", 1.0D" * 15 + ") AS v")
+    val ne = withNullElem.select(
+      graft.functions.VectorFunctions.hyperplaneSignature($"v", 16, 63).as("s"),
+      graft.functions.VectorFunctions
+        .hyperplaneSignatureComposed($"v", 16, 63).as("r")).collect().head
+    assert(ne.getLong(0) == 0L && ne.getLong(1) == 0L)
+
+    // DELIBERATE divergence: NULL input → NULL (composition produced 0,
+    // landing null-embedding rows in bucket 0 of every LSH table)
+    val nullVec = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS v").select(
+      graft.functions.VectorFunctions.hyperplaneSignature($"v", 16, 63).as("s"))
+      .collect().head
+    assert(nullVec.isNullAt(0))
   }
 
   test("kernel participates in whole-stage codegen") {
