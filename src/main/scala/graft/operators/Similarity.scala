@@ -119,28 +119,39 @@ object Similarity {
       s"signature needs ${tables * bitsPerTable} bits; max 64")
     val mask = (1L << bitsPerTable) - 1
     val base = prepared(emb, idCol, vecCol)
-      .withColumn("sig",
-        hyperplaneSignature(col("v"), dim, tables * bitsPerTable))
     // Explode the table index first and derive the bucket from the (already
     // materialized) signature attribute afterward — building per-table bucket
     // expressions inside the generator would let CollapseProject inline the
     // large signature tree into every slot (see Dedup.minhashLshPairs).
+    //
+    // The band frame carries (id, tbl, bucket) ONLY. Banding with the vector
+    // riding along would shuffle `tables` copies of every embedding through
+    // the candidate join; instead the vectors are joined back BY ID, once per
+    // side, after candidate dedup — the same consume-once discipline
+    // Dedup.minhashLshPairs applies to signatures. PlanSpec pins the vector
+    // columns absent from the band-join shuffle.
     val banded = base
-      .select(col("id"), col("v"), col("nrm"), col("sig"),
+      .select(col("id"),
+        hyperplaneSignature(col("v"), dim, tables * bitsPerTable).as("sig"))
+      .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
       .withColumn("bucket",
         expr(s"shiftright(sig, $bitsPerTable * tbl) & $mask"))
-      .drop("sig")
+      .select(col("id"), col("tbl"), col("bucket"))
     val q = banded.where(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("tbl"), col("bucket"))
+      .select(col("id").as("qid"), col("tbl"), col("bucket"))
     val candidates = q.join(banded, Seq("tbl", "bucket"))
       .where(col("qid") =!= col("id"))
-      .select(col("qid"), col("qv"), col("qn"),
-        col("id").as("nid"), col("v"), col("nrm"))
+      .select(col("qid"), col("id").as("nid"))
       .dropDuplicates("qid", "nid")
+    val qVecs = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val nVecs = base.select(col("id").as("nid"), col("v"), col("nrm"))
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    rankTopK(candidates.select(col("qid"), col("nid"), sim.as("sim")), k)
+    rankTopK(candidates
+      .join(broadcast(qVecs), "qid")
+      .join(nVecs, "nid")
+      .select(col("qid"), col("nid"), sim.as("sim")), k)
   }
 
   /** IVF-style ANN: the corpus is partitioned into `nCentroids` cells

@@ -282,31 +282,50 @@ object Analytics {
   // Sequence packing for pretraining (concatenate the id-ordered token
   // stream, chunk at a 2048-token context boundary): each doc gets its
   // global start offset, context-chunk id, and offset within the chunk.
+  // The bucket count scales with the cluster (×4 over defaultParallelism
+  // for scheduling headroom, floor 8) — the within-bucket running sum is
+  // the only serial-per-bucket stage, so its parallelism must grow with
+  // the executors, and the output is bucket-count-invariant (pinned in
+  // ScaleOpsSpec), so the oracle hash is unchanged by the derivation.
+  def q56SequencePack(s: SparkSession, dir: String): DataFrame =
+    sequencePack(
+      t(s, dir)("documents"),
+      contextTokens = 2048,
+      nBuckets = math.max(s.sparkContext.defaultParallelism.toLong * 4L, 8L))
+
   // The global prefix sum is computed the scale-safe way — deterministic
   // id-range buckets, per-bucket token totals (one tiny row each) cumulated
-  // and broadcast back, then a WITHIN-bucket running sum. A bare
-  // Window.orderBy with no partitioning would drag the whole table through
-  // one task. The bucket is an EXPLICIT monotone function of doc_id, not
-  // spark_partition_id over repartitionByRange — the sampled range
+  // on the DRIVER (an O(nBuckets) exclusive scan over already-aggregated
+  // rows, not a data collect) and broadcast back, then a WITHIN-bucket
+  // running sum. A bare Window.orderBy with no partitioning would drag the
+  // whole table through one task — and even an nBuckets-row unpartitioned
+  // window adds a single-partition exchange stage for work a driver fold
+  // does for free. The bucket is an EXPLICIT monotone function of doc_id,
+  // not spark_partition_id over repartitionByRange — the sampled range
   // boundaries are seeded per physical plan, so two evaluations of the
   // same frame can disagree at scale, silently corrupting the offsets
   // wherever the two subtrees placed a boundary differently.
-  def q56SequencePack(s: SparkSession, dir: String): DataFrame = {
-    val B = 2048
-    val nBuckets = 8L
+  private[graft] def sequencePack(docs: DataFrame, contextTokens: Int,
+                                  nBuckets: Long): DataFrame = {
+    val B = contextTokens
     import org.apache.spark.sql.expressions.Window
-    val toks = t(s, dir)("documents")
+    val toks = docs
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
     val maxId = toks.agg(max(col("doc_id"))).first().getLong(0)
     val span = math.max((maxId + nBuckets) / nBuckets, 1L) // ceil((max+1)/n)
     val parts = toks.withColumn("pid",
       expr(s"CAST(doc_id div $span AS INT)")) // monotone, deterministic
-    val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tok")).as("psum"))
-      .withColumn("poffset",
-        coalesce(sum(col("psum")).over(Window.orderBy(col("pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("poffset")) // nBuckets rows — broadcast
+    val bucketSums = parts.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("psum"))
+      .orderBy(col("pid"))
+      .collect() // ≤ nBuckets aggregated rows — NOT a data collect
+    var acc = 0L
+    val offsetRows = bucketSums.map { r =>
+      val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+    }.toSeq
+    import docs.sparkSession.implicits._
+    val offsets = offsetRows.toDF("pid", "poffset")
     val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     parts.join(broadcast(offsets), "pid")

@@ -86,6 +86,37 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("q25: LSH band join shuffles ids only — no vector payload") {
+    // The banded candidate join must carry (id|qid, tbl, bucket) per row;
+    // vectors rejoin BY ID after candidate dedup. A regression that bands
+    // with `v`/`nrm` riding along shuffles `tables` copies of every
+    // embedding — invisible in results, fatal at 100 TB.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df = graft.queries.Analytics.q25KnnLsh(spark, dir)
+    df.collect() // finalize the adaptive plan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val bandJoins = walk(df.queryExecution.executedPlan).collect {
+      case j: BaseJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("tbl")) => j
+    }
+    assert(bandJoins.nonEmpty, "no (tbl, bucket) band join found in the plan")
+    val heavy = Set("v", "nrm", "qv", "qn", "embedding", "sig")
+    for (j <- bandJoins; side <- Seq(j.left, j.right)) {
+      val carried = side.output.map(_.name).filter(heavy)
+      assert(carried.isEmpty,
+        s"band join input carries vector payload ${carried.mkString(",")}:\n$j")
+    }
+  }
+
   test("whole-stage codegen covers the date-formatting projection") {
     val df = Relational.q11DateParts(spark, dir)
     df.collect() // finalize the adaptive plan

@@ -36,6 +36,26 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("sequence packing: offsets invariant to bucket count; buckets scale with cluster") {
+    val docs = (0L until 400L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    def packed(nBuckets: Long): Seq[(Long, Int, Int, Int)] =
+      graft.queries.Analytics.sequencePack(docs, 64, nBuckets).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    // the bucketing is internal plumbing: global offsets must not change
+    // with the bucket count, which is what lets q56 derive it from the
+    // cluster's parallelism without touching the oracle hash
+    val small = packed(3)
+    assert(packed(29) == small)
+    assert(packed(997) == small) // more buckets than docs: empties collapse
+    // q56's derived count scales with the executors (×4, floor 8) — the
+    // within-bucket running sum is the only serial-per-bucket stage
+    val derived = math.max(spark.sparkContext.defaultParallelism.toLong * 4L, 8L)
+    assert(derived >= spark.sparkContext.defaultParallelism.toLong * 4L)
+    assert(derived >= 8L)
+  }
+
   test("sessionize: gap closes a session with correct bounds and totals") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
     def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
