@@ -20,6 +20,11 @@ import graft.operators.Dedup
   *     batch operator's band layout ([[Dedup.simhashBandStructs]]), so the
   *     candidate probe is the same hash-partitioned equi-join with the same
   *     pigeonhole recall guarantee — never a scan of the corpus text;
+  *   - the index is DIRECTORY-PARTITIONED on `bkt = hash(band, bv) mod
+  *     [[IndexBuckets]]`, so each batch's probe reads only the partitions
+  *     its own band rows can collide with (PartitionFilters on the scan,
+  *     pinned in DocStreamSpec) — at a corpus-scale index the per-batch
+  *     probe cost is O(colliding partitions), not O(index);
   *   - per batch, work is O(batch × colliding-bucket width); `maxBucket`
   *     caps posting lists like the batch operator (an over-cap templated
   *     bucket would otherwise make every future batch quadratic as the
@@ -37,6 +42,29 @@ import graft.operators.Dedup
   *     instead of self-rejecting against its first attempt's writes.
   */
 object DocStream {
+
+  /** Number of `bkt` directory partitions the admission index is laid out
+    * in. A CONSTANT, not a tuning knob: `bkt` is derived from (band, bv) at
+    * write time and the probe recomputes it to prune — a different modulus
+    * on either side of one index would silently miss collisions (a recall
+    * hole), so the layout is fixed for the life of every index. 64
+    * directories keeps per-batch listings tiny while a typical micro-batch
+    * probes only the fraction of the corpus index it can collide with. */
+  private[graft] val IndexBuckets = 64
+
+  private def withBkt(df: DataFrame): DataFrame =
+    df.withColumn("bkt",
+      pmod(xxhash64(col("band"), col("bv")), lit(IndexBuckets.toLong))
+        .cast("int"))
+
+  /** The pruned probe-side scan: only the `bkt` directory partitions this
+    * batch's band rows can land in are read. Everything admitBatch needs
+    * from the index lives there by construction — a colliding corpus row
+    * shares (band, bv) hence bkt, and a previous attempt of the same batch
+    * wrote identical (id, band, bv, bkt) rows. */
+  private[graft] def probeScan(spark: SparkSession, indexDir: String,
+                               bkts: Seq[Int]): DataFrame =
+    spark.read.parquet(indexDir).where(col("bkt").isin(bkts: _*))
 
   /** One micro-batch of admission against (and update of) `indexDir`.
     * Returns the admitted (doc_id, text, ...) rows. Exposed for direct
@@ -57,23 +85,28 @@ object DocStream {
       s"duplicate doc_id in batch (${stats.getLong(0)} rows, " +
         s"${stats.getLong(2)} ids) — dedup upstream")
 
-    // simhash + bands for the incoming docs, staged once (consumed thrice)
-    val incoming = Dedup.simhashBanded(batch, "doc_id", "text",
-      maxHamming, maxBucket).localCheckpoint(true)
+    // simhash + bands + bkt for the incoming docs, staged once (consumed
+    // by the probe, the in-batch join, and the index append)
+    val incoming = withBkt(Dedup.simhashBanded(batch, "doc_id", "text",
+      maxHamming, maxBucket)).localCheckpoint(true)
+    // the ≤ IndexBuckets distinct partition keys this batch can collide in
+    val bkts = incoming.select(col("bkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
 
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fullIndex: DataFrame =
-      if (fs.exists(new Path(indexDir))) spark.read.parquet(indexDir)
+    val colliding: DataFrame =
+      if (fs.exists(new Path(indexDir))) probeScan(spark, indexDir, bkts)
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), incoming.schema)
-    // retry idempotence: ignore rows a previous attempt of THIS batch wrote.
-    // The probe side is posting-list capped too — the index accumulates, so
-    // a templated bucket would otherwise grow without bound and fan every
-    // future batch out against it (same recall trade as the batch operator).
+    // retry idempotence: ignore rows a previous attempt of THIS batch wrote
+    // (same text → same bkt, so the pruned scan sees them). The probe side
+    // is posting-list capped too — the index accumulates, so a templated
+    // bucket would otherwise grow without bound and fan every future batch
+    // out against it (same recall trade as the batch operator).
     val batchIds = incoming.select(col("id")).distinct()
     val index = Dedup.cappedBuckets(
-      fullIndex.join(batchIds, Seq("id"), "left_anti"),
+      colliding.join(batchIds, Seq("id"), "left_anti"),
       Seq("band", "bv"), maxBucket)
 
     // cross-batch rejects: any band collision with the corpus within range
@@ -98,10 +131,11 @@ object DocStream {
       .localCheckpoint(true) // consumed twice (index append + result join)
 
     // append the admitted docs' band rows, skipping ids a previous attempt
-    // of this batch already indexed (idempotent under retry)
+    // of this batch already indexed (idempotent under retry — an attempt's
+    // rows carry this batch's own bkts, so the pruned scan is authoritative)
     incoming.join(admittedIds, "id")
-      .join(fullIndex.select(col("id")).distinct(), Seq("id"), "left_anti")
-      .write.mode("append").parquet(indexDir)
+      .join(colliding.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .write.mode("append").partitionBy("bkt").parquet(indexDir)
 
     batch.join(admittedIds.withColumnRenamed("id", "doc_id"), "doc_id")
   }
@@ -115,8 +149,11 @@ object DocStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(indexDir))) return
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID()
-    spark.read.parquet(indexDir).repartition(targetPartitions)
-      .write.parquet(tmp)
+    // hash-distribute on bkt so each directory partition is written by one
+    // task (one full file per dir), with targetPartitions bounding writer
+    // concurrency; partitionBy preserves the pruning layout
+    spark.read.parquet(indexDir).repartition(targetPartitions, col("bkt"))
+      .write.partitionBy("bkt").parquet(tmp)
     val old = indexDir + ".old-" + java.util.UUID.randomUUID()
     fs.rename(new Path(indexDir), new Path(old))
     fs.rename(new Path(tmp), new Path(indexDir))

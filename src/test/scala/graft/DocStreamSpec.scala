@@ -85,6 +85,43 @@ class DocStreamSpec extends SparkSpec {
       Seq((30L, neardup)).toDF("doc_id", "text"), index).count() == 0)
   }
 
+  test("admission index is bkt-partitioned and the probe scan prunes") {
+    val index = tmpDir("doc-index-part") + "/idx"
+    // seed enough distinct docs that several bkt directories materialize
+    val seed = (0L until 40L).map(i =>
+      (i, s"seed document number $i holding its own words alpha$i beta$i " +
+        s"gamma$i delta$i epsilon$i zeta$i")).toDF("doc_id", "text")
+    DocStream.admitBatch(spark, seed, index)
+
+    // the layout on disk is directory partitioning on bkt
+    val dirs = new java.io.File(index).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bkt="))
+    assert(dirs.length > 1, s"expected bkt= partition dirs, got ${dirs.toSeq}")
+
+    // the probe-side scan must carry a PartitionFilter on bkt — the
+    // per-batch probe reads colliding partitions, not the whole index
+    val pruned = DocStream.probeScan(spark, index, Seq(dirs.head.drop(4).toInt))
+    val scan = pruned.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+    assert(scan.contains("PartitionFilters") && scan.contains("bkt"),
+      s"expected bkt partition filter in:\n$scan")
+    assert(pruned.count() > 0)
+
+    // pruning must not open a recall hole: a re-delivery of a seeded doc's
+    // text (Hamming 0 — deterministically within any band budget) under a
+    // new id must be rejected via the pruned probe, before and after
+    // compaction
+    val nd = seed.collect().head.getString(1)
+    assert(DocStream.admitBatch(spark,
+      Seq((90L, nd)).toDF("doc_id", "text"), index).count() == 0)
+    DocStream.compactIndex(spark, index, targetPartitions = 4)
+    val dirs2 = new java.io.File(index).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bkt=")).sorted
+    assert(dirs2.toSeq == dirs.sorted.toSeq, "compaction changed the layout")
+    assert(DocStream.admitBatch(spark,
+      Seq((91L, nd)).toDF("doc_id", "text"), index).count() == 0)
+  }
+
   test("streaming run: two waves through one staging dir and checkpoint") {
     // production shape: ONE staging dir receiving files, ONE checkpoint —
     // the second run resumes file tracking and batch numbering, so each
