@@ -351,8 +351,12 @@ case class TokenCounts(child: Expression, words: Seq[String])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val kernel = SimhashShinglesKernel.getClass.getName + ".MODULE$"
+      // the JAVA SOURCE array syntax, not classOf[...].getName — that
+      // returns the JVM binary name ("[Lorg...;"), which janino cannot
+      // parse as a cast: the whole stage would fail to compile and fall
+      // back to interpreted execution (pinned compiled in the spec)
       val t = ctx.addReferenceObj("targetTokens", targets,
-        classOf[Array[org.apache.spark.unsafe.types.UTF8String]].getName)
+        "org.apache.spark.unsafe.types.UTF8String[]")
       s"""
          |${ev.value} =
          |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData

@@ -103,4 +103,52 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!edge.isNullAt(0))
     assert(edge.isNullAt(1) && edge.isNullAt(2))
   }
+
+  test("every custom expression's doGenCode COMPILES — no interpreted fallback") {
+    // Whole-stage codegen catches janino compile errors and silently falls
+    // back to interpreted execution (an ERROR log line is the only trace),
+    // so a broken doGenCode passes every result-level spec while losing the
+    // entire point of the kernel. Generate a projection for each expression
+    // directly — at this layer a compile failure THROWS. (Caught live: a
+    // classOf[Array[...]].getName type string emitted the JVM binary name
+    // "[L...;" into a cast, killing codegen for every langId stage.)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val str = BoundReference(0, StringType, nullable = true)
+    val arr = BoundReference(1, ArrayType(StringType), nullable = true)
+    val vec = BoundReference(2, ArrayType(DoubleType), nullable = true)
+    val exprs = Seq(
+      graft.plans.Shingles(str, 3),
+      graft.plans.TokenOccurrences(str, "the"),
+      graft.plans.TokenCounts(str, Seq("the", "a", "data")),
+      graft.plans.SimHash64(arr),
+      graft.plans.MinHashSignature(arr, 16),
+      graft.plans.DotProduct(vec, vec),
+      graft.plans.CosineSimilarity(vec, vec),
+      graft.plans.HyperplaneSig(vec, 4, 8))
+    val proj = GenerateMutableProjection.generate(exprs) // throws on bad Java
+    val row = InternalRow(
+      UTF8String.fromString("the quick brown fox and the lazy dog"),
+      ArrayData.toArrayData(Array(UTF8String.fromString("the"),
+        UTF8String.fromString("fox"))),
+      ArrayData.toArrayData(Array(1.0, 2.0, 3.0, 4.0)))
+    val out = proj(row)
+    // spot-check against interpreted eval so both paths agree
+    exprs.zipWithIndex.foreach { case (e, i) =>
+      assert(out.get(i, e.dataType) != null, s"$e produced null")
+      val interp = e.eval(row)
+      (out.get(i, e.dataType), interp) match {
+        case (a: ArrayData, b: ArrayData) =>
+          assert(a.toObjectArray(e.dataType.asInstanceOf[ArrayType].elementType)
+            .toSeq == b.toObjectArray(
+              e.dataType.asInstanceOf[ArrayType].elementType).toSeq,
+            s"codegen/interpreted mismatch for $e")
+        case (a, b) => assert(a == b, s"codegen/interpreted mismatch for $e")
+      }
+    }
+  }
 }
