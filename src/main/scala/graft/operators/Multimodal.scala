@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct riding alongside.
   *
   * The Spark-side plumbing (schema, partitioning, batch shape of the decode
-  * step) is real and tested; the actual media decode is a clearly-marked
-  * STUB (no image/audio codecs in this container) — a deterministic fake
-  * that consumes the bytes the way a real decoder would (bounded batch,
-  * per-partition, no driver collection).
+  * step) is real and tested. IMAGE decode/resize is REAL — JDK ImageIO
+  * handles every format it ships readers for (PNG/BMP/GIF/JPEG,
+  * header-sniffed); payloads no reader claims (codec-less audio/video, the
+  * synthetic corpora) take a clearly-labeled deterministic fallback so the
+  * operator stays total — swap a native codec into [[decodeOne]]/
+  * [[resizeOne]]'s per-partition loop for those.
   */
 object Multimodal {
 
@@ -20,9 +22,10 @@ object Multimodal {
   case class MediaRecord(mediaId: Long, bytes: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
                            headerHex: String, byteMean: Double,
-                           frames: Seq[Long])
+                           frames: Seq[Long], decoded: Boolean,
+                           width: Int, height: Int, pixelMean: Double)
   case class ResizedMedia(mediaId: Long, width: Int, height: Int,
-                          bytes: Array[Byte])
+                          bytes: Array[Byte], decoded: Boolean)
 
   /** Synthesize a media table from the documents table: payload = UTF-8
     * bytes, metadata derived deterministically. Stands in for a real
@@ -71,66 +74,114 @@ object Multimodal {
         expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
 
-  /** Batched decode STUB via mapPartitions — the exact shape a real decoder
-    * integration takes (per-partition init of the codec library, iterate
-    * records, emit features). The byte-mean + frame-offset computation is a
-    * deterministic fake standing in for decode/resize/frame-sample:
-    * replace `decodeOne` with the real codec call when the libs exist. */
+  /** Batched decode via mapPartitions — per-partition codec init, iterate
+    * records, emit features. Payloads ImageIO recognizes (header sniff, no
+    * extension trust) decode for real: true dimensions plus a deterministic
+    * mean over the RGB channel bytes. Unclaimed payloads keep the labeled
+    * deterministic byte-level fallback (`decoded = false`) so the operator
+    * is total over mixed media columns. */
   def decodeFeatures(media: DataFrame, frameStride: Int = 32)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("media_id"), col("bytes"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
       .mapPartitions { it =>
-        // real integration: initialize the codec ONCE per partition here
+        // per-partition codec init: no disk-backed ImageInputStream cache —
+        // executor-local tmp files for a per-record decode are pure overhead
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes, meta) => decodeOne(id, bytes, meta, frameStride) }
       }
   }
 
-  /** Resize STUB with the real integration's exact Spark-side shape:
-    * per-partition batch over (payload, metadata), emitting the target
-    * dimensions plus a payload scaled to the target pixel count. The
-    * "resampling" is a deterministic fake (stride-sampled bytes — a real
-    * codec's decode→interpolate→encode slots into `resizeOne`); schema,
-    * typing, and partitioning are the production contract. */
+  /** Resize via the same per-partition batch shape. ImageIO-decodable
+    * payloads take the real path: deterministic nearest-neighbor resample
+    * (explicit index map — NOT Graphics2D interpolation, whose output may
+    * vary across JDK rendering pipelines) re-encoded as PNG. Unclaimed
+    * payloads keep the byte-sampling fallback (`decoded = false`). */
   def resize(media: DataFrame, targetW: Int, targetH: Int)
             (implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
     media.select(col("media_id"), col("bytes"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
       .mapPartitions { it =>
-        // real integration: initialize the codec ONCE per partition here
+        javax.imageio.ImageIO.setUseCache(false) // once per partition
         it.map { case (id, bytes, meta) => resizeOne(id, bytes, meta, targetW, targetH) }
       }
   }
 
-  /** STUB resample: byte count scales with the target/source pixel ratio
-    * via even stride sampling over the WHOLE payload — deterministic,
-    * codec-free. Output is capped at the source length (a byte-sampling
-    * stub cannot synthesize data on upscale; the cap is the denominator
-    * too, so sampling always spans the full payload rather than repeating
-    * a prefix). */
-  private def resizeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
-                        targetW: Int, targetH: Int): ResizedMedia = {
-    val srcPx = math.max(meta.width.toLong * meta.height, 1L)
-    val scaled = math.max(
-      (bytes.length.toLong * targetW * targetH / srcPx).toInt, 1)
-    val outLen = math.min(scaled, math.max(bytes.length, 1))
-    val out = Array.tabulate(outLen) { i =>
-      if (bytes.isEmpty) 0.toByte
-      else bytes((i.toLong * bytes.length / outLen).toInt)
-    }
-    ResizedMedia(id, targetW, targetH, out)
-  }
+  /** Header-sniffed image decode; None when no registered reader claims the
+    * payload (ImageIO.read returns null) or the bytes are corrupt. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: java.io.IOException => None }
 
-  /** STUB decode: deterministic fake features from the raw payload. */
+  /** FALLBACK resample for unclaimed payloads: byte count scales with the
+    * target/source pixel ratio via even stride sampling over the WHOLE
+    * payload — deterministic, codec-free. Output is capped at the source
+    * length (byte sampling cannot synthesize data on upscale; the cap is
+    * the denominator too, so sampling always spans the full payload rather
+    * than repeating a prefix). */
+  private def resizeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
+                        targetW: Int, targetH: Int): ResizedMedia =
+    readImage(bytes) match {
+      case Some(img) =>
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          var x = 0
+          while (x < targetW) {
+            out.setRGB(x, y,
+              img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        ResizedMedia(id, targetW, targetH, bos.toByteArray, decoded = true)
+      case None =>
+        val srcPx = math.max(meta.width.toLong * meta.height, 1L)
+        val scaled = math.max(
+          (bytes.length.toLong * targetW * targetH / srcPx).toInt, 1)
+        val outLen = math.min(scaled, math.max(bytes.length, 1))
+        val out = Array.tabulate(outLen) { i =>
+          if (bytes.isEmpty) 0.toByte
+          else bytes((i.toLong * bytes.length / outLen).toInt)
+        }
+        ResizedMedia(id, targetW, targetH, out, decoded = false)
+    }
+
+  /** Decode one record: real pixels when a reader claims the payload, the
+    * deterministic byte-level fallback otherwise. Byte-level features
+    * (header hex, byte mean, stride frames) are emitted for BOTH paths —
+    * they are cheap and downstream filters key on them uniformly. */
   private def decodeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
                         frameStride: Int): MediaFeatures = {
-    val mean =
+    val byteMean =
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
     val frames = 0L.until(bytes.length.toLong, frameStride.toLong)
-    MediaFeatures(id, meta.kind, bytes.length.toLong,
-      bytes.take(8).map("%02X".format(_)).mkString, mean, frames)
+    val headerHex = bytes.take(8).map("%02X".format(_)).mkString
+    readImage(bytes) match {
+      case Some(img) =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex, byteMean,
+          frames, decoded = true, w, h, s.toDouble / (w.toLong * h * 3))
+      case None =>
+        MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex, byteMean,
+          frames, decoded = false, meta.width, meta.height, byteMean)
+    }
   }
 }

@@ -86,6 +86,50 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.view.mapValues(_.bytes.toSeq).toMap == again) // deterministic
   }
 
+  test("multimodal: a real PNG decodes end-to-end — dimensions and pixels") {
+    // 4×4 PNG with addressable pixels: (x,y) = rgb(60x, 60y, 128)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (x * 60 << 16) | (y * 60 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq((42L, png, Multimodal.MediaMeta("image", "png", 4, 4,
+      png.length.toLong))).toDF("media_id", "bytes", "meta")
+    val f = Multimodal.decodeFeatures(media)(spark).collect().head
+    assert(f.decoded, "PNG payload should take the real ImageIO path")
+    assert(f.width == 4 && f.height == 4)
+    // channel sums: R = 4·(0+60+120+180), G likewise, B = 128·16
+    val expectedMean = (1440L + 1440L + 128L * 16).toDouble / (4L * 4 * 3)
+    assert(f.pixelMean == expectedMean, s"pixelMean ${f.pixelMean}")
+    assert(f.headerHex.startsWith("89504E47"), "PNG magic in header hex")
+
+    // a payload no reader claims still flows through the labeled fallback
+    val fake = Multimodal.decodeFeatures(
+      Multimodal.fromDocuments(Seq((7L, "plain text")).toDF("doc_id", "text"))
+    )(spark).collect().head
+    assert(!fake.decoded)
+
+    // resize 4×4 → 2×2: nearest-neighbor keeps source pixels (2x, 2y),
+    // round-tripped through the PNG re-encode
+    val r = Multimodal.resize(media, 2, 2)(spark).collect().head
+    assert(r.decoded && r.width == 2 && r.height == 2)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.bytes))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert((back.getRGB(x, y) & 0xFFFFFF) ==
+        ((2 * x * 60 << 16) | (2 * y * 60 << 8) | 128),
+        s"pixel ($x,$y) wrong after resize")
+    // upscale works on the real path too (the byte-sampling fallback
+    // could only cap at source length)
+    val up = Multimodal.resize(media, 8, 8)(spark).collect().head
+    assert(up.decoded && javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(up.bytes)).getWidth == 8)
+  }
+
   test("backup rotation: oldest beyond max are victims (test D15)") {
     val names = Seq(
       "mfp_db_backup_2021-01-05", "mfp_db_backup_2021-01-01",
