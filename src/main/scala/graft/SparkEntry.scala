@@ -75,7 +75,8 @@ object SparkEntry {
     "q54_stratified_sample"   -> (Analytics.q54StratifiedSample _),
     "q55_contamination"       -> (Analytics.q55Contamination _),
     "q56_sequence_pack"       -> (Analytics.q56SequencePack _),
-    "q57_frame_sample"        -> (Analytics.q57FrameSample _)
+    "q57_frame_sample"        -> (Analytics.q57FrameSample _),
+    "q58_skew_join"           -> (Relational.q58SkewJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -14,16 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 salts: Int): DataFrame = {
-    require(salts > 1, "salts must be > 1")
-    // salt derived from the whole big row via a hash of a unique-ish column
-    // set: any distribution works — correctness never depends on it
+  /** The salted big side: `_salt` in [0, salts) derived per row from a
+    * hash of a synthetic row id — any distribution works, correctness
+    * never depends on it. Exposed so the spec can pin the property the
+    * operator exists for: max per-(key, salt) group ≈ max per-key / salts. */
+  private[graft] def saltBig(big: DataFrame, salts: Int): DataFrame = {
     val saltCol: Column =
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
-    val bigS = big.withColumn("_salt", saltCol)
+    big.withColumn("_salt", saltCol)
+  }
+
+  /** `forceShuffle` pins the replicated small side to a shuffled hash join
+    * (`shuffle_hash` hint). At test scale AQE would broadcast a small dim,
+    * making the salting a no-op demo; on the real workloads this operator
+    * targets the small side is past broadcast size and shuffles anyway. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, forceShuffle: Boolean = false): DataFrame = {
+    require(salts > 1, "salts must be > 1")
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    bigS.join(smallS, Seq(key, "_salt")).drop("_salt")
+    val smallSide = if (forceShuffle) smallS.hint("shuffle_hash") else smallS
+    saltBig(big, salts).join(smallSide, Seq(key, "_salt")).drop("_salt")
   }
 }

@@ -316,6 +316,31 @@ object Relational {
       .orderBy(col("open_customer"), col("rich_customer"))
   }
 
+  // Salted skewed join (the SURVEY scale-hazard toolkit, catalog-visible):
+  // the derived key routes every 10th part's lineitems to one hot key —
+  // ~10% of the fact side lands on k = 0, the single-value skew class AQE's
+  // skew splitter cannot rebalance when the hot partition is ONE join key.
+  // Skew.saltedJoin splits it across 16 (key, salt) pseudo-keys (max task
+  // input bounded, pinned in ScaleOpsSpec); the salt never leaves the join,
+  // so the result — and the oracle — is the plain inner join + aggregate.
+  // shuffle_hash-hinted so the catalog runs the shuffled path the operator
+  // exists for; at this SF the dim would otherwise broadcast.
+  def q58SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir)("lineitem").select(
+      when(col("l_partkey") % 10 === 0, 0L)
+        .otherwise(col("l_partkey") % 100).as("k"),
+      col("l_extendedprice"))
+    val small = t(s, dir)("part").where(col("p_partkey") <= 100)
+      .select((col("p_partkey") - 1).as("k"), col("p_name").as("name"))
+    graft.operators.Skew.saltedJoin(big, small, "k", salts = 16,
+        forceShuffle = true)
+      .groupBy(col("k"), col("name"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          / 100.0, 2).as("revenue"))
+      .orderBy(col("k"))
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

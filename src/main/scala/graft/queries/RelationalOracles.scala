@@ -246,6 +246,21 @@ object RelationalOracles {
         |  CAST(trunc(deficit_cents / 100.0) AS INTEGER) AS deficit,
         |  CAST(round(acc_cents / 100.0, 0) AS INTEGER) AS deficit_accumulated
         |FROM win
-        |ORDER BY o_custkey, day_number""".stripMargin
+        |ORDER BY o_custkey, day_number""".stripMargin,
+
+    // the salt is join-internal, so the oracle is the PLAIN inner join —
+    // identical results are the operator's correctness contract
+    "q58_skew_join" ->
+      """SELECT k, name, count(*) AS n,
+        |  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |        / 100.0, 2) AS revenue
+        |FROM (SELECT CASE WHEN l_partkey % 10 = 0 THEN 0
+        |             ELSE l_partkey % 100 END AS k,
+        |             l_extendedprice
+        |      FROM lineitem) big
+        |JOIN (SELECT p_partkey - 1 AS k, p_name AS name
+        |      FROM part WHERE p_partkey <= 100) small USING (k)
+        |GROUP BY k, name
+        |ORDER BY k""".stripMargin
   )
 }

@@ -36,6 +36,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("salting bounds the hot key's per-task input") {
+    // 10% of a 5000-row fact side lands on one key: the per-(key, salt)
+    // group — what one task ingests after the salted shuffle — must shrink
+    // by ~salts× vs the unsalted hot partition. This is the property the
+    // operator exists for; the equal-results property is pinned above.
+    val big = (0 until 5000).map(i =>
+      (if (i % 10 == 0) 1L else (i % 50).toLong, i.toLong)).toDF("k", "payload")
+    val hotMax = big.groupBy($"k").count()
+      .agg(max($"count")).first().getLong(0)
+    val saltedMax = Skew.saltBig(big, 8).groupBy($"k", $"_salt").count()
+      .agg(max($"count")).first().getLong(0)
+    assert(hotMax >= 500, s"fixture lost its skew ($hotMax)")
+    assert(saltedMax <= hotMax / 4,
+      s"salting left a $saltedMax-row group from a $hotMax-row hot key")
+  }
+
   test("sequence packing: offsets invariant to bucket count; buckets scale with cluster") {
     val docs = (0L until 400L)
       .map(i => (i, Seq.fill((i % 7 + 1).toInt)(s"w$i").mkString(" ")))
