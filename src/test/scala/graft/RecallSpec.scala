@@ -66,6 +66,50 @@ class RecallSpec extends SparkSpec {
       s"refined single-probe recall $refinedRecall < 0.9 on separable clusters")
   }
 
+  test("minhash banding S-curve: recall ≈ 1 just above τ = 0.8 at 16×4; 4×16 would collapse") {
+    import sqlImplicits._
+    // Planted pairs with EXACT shingle jaccard via prefix truncation: doc A
+    // is 102 unique tokens (100 trigram shingles), doc B its first p tokens
+    // — B's shingles are A's first p-2, so J = (p-2)/100 exactly. Each pair
+    // gets its own token universe (cross-pair J = 0). 7 replicas at each of
+    // J ∈ {0.78, 0.80, 0.82} straddle the catalog's τ = 0.8; 3 distractor
+    // pairs at J = 0.30 sit far down the S-curve.
+    val plants = (for {
+      (j, reps) <- Seq((78, 7), (80, 7), (82, 7), (30, 3))
+      r <- 0 until reps
+    } yield (j, r)).zipWithIndex
+    val docs = plants.flatMap { case ((j, _), i) =>
+      val toks = (0 until 102).map(t => s"u${i}t$t")
+      Seq((2L * i, toks.mkString(" ")),
+        (2L * i + 1, toks.take(j + 2).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val planted = plants.map { case ((j, _), i) => (2L * i, 2L * i + 1, j) }
+
+    def foundAt(bands: Int): Set[(Long, Long)] =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", shingleSize = 3,
+        numPerms = 64, bands = bands, threshold = 0.7)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val got16 = foundAt(16)
+    val boundary = planted.filter(_._3 >= 78).map(p => (p._1, p._2))
+    val recall = boundary.count(got16).toDouble / boundary.size
+    // 16 bands × 4 rows: P[candidate] = 1-(1-J^4)^16 ≥ 0.999 at J ≥ 0.78
+    assert(recall >= 0.9, s"boundary recall $recall at 16×4 banding")
+    // verification bounds what banding lets through: nothing below τ' = 0.7,
+    // nothing across universes
+    assert(got16.subsetOf(planted.map(p => (p._1, p._2)).toSet))
+    assert(!planted.filter(_._3 == 30).map(p => (p._1, p._2)).exists(got16))
+
+    // the S-curve pin proper: wider bands (4×16 rows) put the same pairs at
+    // P[candidate] ≈ 0.09–0.16 — a banding regression fails THIS assert
+    // loudly instead of silently eroding near-τ recall
+    val got4 = foundAt(4)
+    val recall4 = boundary.count(got4).toDouble / boundary.size
+    assert(recall4 < 0.5,
+      s"4×16 banding found $recall4 of boundary pairs — S-curve fixture is broken")
+  }
+
   test("q23 simhash bands: every exact Hamming<=3 pair is found (recall 1)") {
     // 4 bands of 16 bits pigeonhole any <=3-bit difference into at least one
     // untouched band, so band-bucketing must surface EVERY such pair; the
