@@ -127,7 +127,17 @@ object Dedup {
     * loop's working sets are freed before returning. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           checkpointDir: Option[String] = None,
-                          reliableInterval: Int = 5): DataFrame = {
+                          reliableInterval: Int = 5): DataFrame =
+    connectedComponentsWithHook(pairs, maxIters, checkpointDir,
+      reliableInterval, _ => ())
+
+  /** [[connectedComponents]] with a between-rounds seam: `onRoundEnd(iter)`
+    * fires after each round's action and convergence bookkeeping. Test-only
+    * — the eviction-injection spec uses it to drop every executor-local
+    * block between rounds and prove reliable mode converges anyway. */
+  private[graft] def connectedComponentsWithHook(
+      pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
+      reliableInterval: Int, onRoundEnd: Int => Unit): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -168,15 +178,24 @@ object Dedup {
       } else local
     }
 
+    // In reliable mode EVERY long-lived frame (pair source, node set, seed
+    // edges, result) is file-backed, not just the rounds: localCheckpoint
+    // truncates lineage onto executor-local blocks, so storage loss — the
+    // exact failure reliable mode exists to survive — would otherwise kill
+    // the loop through its seeds rather than its rounds. The recovery unit
+    // is the round: a mid-round failure replays from the last reliable
+    // files. (Eviction-injection spec in DedupSimilaritySpec.)
+    def stage(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
     // Materialize the (expensive — usually an LSH pipeline) pair source once
     // and cut its lineage; the loop re-reads it only to seed nodes/edges.
-    val p = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .where(col("a") =!= col("b"))
-      .localCheckpoint(true)
-    val nodes = p.select(col("a").as("id"))
+    val p = stage(pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .where(col("a") =!= col("b")))
+    val nodes = stage(p.select(col("a").as("id"))
       .unionAll(p.select(col("b").as("id")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     // large-star: each node u connects its strictly-larger neighbors to
     // m = min(Γ(u) ∪ {u}). Emitted edges are (v, m) with v > m.
@@ -202,8 +221,8 @@ object Dedup {
         .distinct()
     }
 
-    var e = p.select(greatest(col("a"), col("b")).as("a"),
-      least(col("a"), col("b")).as("b")).distinct().localCheckpoint(true)
+    var e = stage(p.select(greatest(col("a"), col("b")).as("a"),
+      least(col("a"), col("b")).as("b")).distinct())
     var lastFp: Option[(Long, Long, Long)] = None
     var converged = false
     var iter = 0
@@ -222,17 +241,17 @@ object Dedup {
         m("fp2").asInstanceOf[Long])
       converged = lastFp.contains(fp)
       lastFp = Some(fp)
+      onRoundEnd(iter)
       iter += 1
     }
     // At the fixed point the edge set is a star forest (child → min root).
     // groupBy-min instead of a bare join keeps the result well-formed even
     // if maxIters was hit before convergence.
     val parent = e.groupBy(col("a")).agg(min(col("b")).as("cluster"))
-    val result = nodes.as("n")
+    val result = stage(nodes.as("n")
       .join(parent.as("pr"), col("n.id") === col("pr.a"), "left_outer")
       .select(col("n.id").as("id"),
-        coalesce(col("pr.cluster"), col("n.id")).as("cluster"))
-      .localCheckpoint(true)
+        coalesce(col("pr.cluster"), col("n.id")).as("cluster")))
     Seq(e, nodes, p).foreach(free) // result is self-contained now
     result
   }

@@ -92,6 +92,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(leftover <= 1, s"$leftover reliable checkpoint dirs leaked")
   }
 
+  test("reliable CC mode survives loss of every executor-local block between rounds") {
+    // The failure reliable checkpointing exists for: executor storage wiped
+    // between rounds. unpersist(blocking) on a lineage-truncated
+    // localCheckpoint IS block loss — there is no lineage left to recompute
+    // from. In reliable mode every long-lived frame (pair source, nodes,
+    // seed edges, rounds, result) is file-backed, so the loop must converge
+    // to the same clusters anyway.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((100L, 101L))).toDF("id1", "id2")
+    val expect = ((0L to 40L).map(_ -> 0L) ++
+      Seq(100L -> 100L, 101L -> 100L)).toSet
+    val evict = (_: Int) => spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val got = Dedup.connectedComponentsWithHook(pairs, 30,
+      Some(tmpDir("cc-evict")), 1, evict).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expect)
+    // contrast — the local-only path cannot recover from the same loss,
+    // which is exactly why the reliable mode exists
+    intercept[org.apache.spark.SparkException] {
+      Dedup.connectedComponentsWithHook(pairs, 30, None, 1, evict).collect()
+    }
+  }
+
   test("posting-list cap bounds mega-bucket candidate cost") {
     // Adversarial input: hundreds of identical short docs put one value in
     // every band bucket — uncapped, the band self-join forms n²/2 candidate
