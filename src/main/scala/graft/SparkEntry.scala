@@ -76,7 +76,11 @@ object SparkEntry {
     "q55_contamination"       -> (Analytics.q55Contamination _),
     "q56_sequence_pack"       -> (Analytics.q56SequencePack _),
     "q57_frame_sample"        -> (Analytics.q57FrameSample _),
-    "q58_skew_join"           -> (Relational.q58SkewJoin _)
+    "q58_skew_join"           -> (Relational.q58SkewJoin _),
+    "q59_array_suite"         -> (Relational.q59ArraySuite _),
+    "q60_regex_suite"         -> (Relational.q60RegexSuite _),
+    "q61_time_suite"          -> (Relational.q61TimeSuite _),
+    "q62_grouping_sets"       -> (Relational.q62GroupingSets _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -341,6 +341,82 @@ object Relational {
       .orderBy(col("k"))
   }
 
+  // Array/collection function breadth: per-customer order-key arrays built
+  // with a deterministic sort (collect_list order is partition-dependent —
+  // sort_array makes it canonical), then element access, slicing, set
+  // intersection, and an aggregate HOF fold. All outputs are scalars/strings
+  // so the oracle hash never depends on nested-type encodings.
+  def q59ArraySuite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .groupBy(col("o_custkey"))
+      .agg(
+        sort_array(collect_list(col("o_orderkey"))).as("ks"),
+        // collect_list drops the CASE's nulls — the DuckDB twin uses
+        // FILTER + coalesce-to-[] (its list() keeps nulls, and an empty
+        // aggregate is NULL, not [])
+        sort_array(collect_list(when(col("o_orderstatus") === "O",
+          col("o_orderkey")))).as("open_ks"))
+      .select(col("o_custkey"),
+        size(col("ks")).as("n_orders"),
+        element_at(col("ks"), 1).as("first_key"),
+        element_at(col("ks"), -1).as("last_key"),
+        array_join(transform(slice(col("ks"), 1, 3), x => x.cast("string")),
+          ",").as("first3"),
+        size(array_intersect(col("ks"), col("open_ks"))).as("n_open"),
+        aggregate(col("ks"), lit(0L), (a, x) => a + x).as("key_sum"))
+      .orderBy(col("o_custkey"))
+
+  // Regex function breadth. Patterns stay in the dialect intersection of
+  // Java regex (Spark) and RE2 (DuckDB): plain character classes and
+  // quantifiers, no lookaround/backrefs. DuckDB's regexp_replace is
+  // first-match-only by default — its twin needs the 'g' flag to match
+  // Spark's replace-all semantics.
+  def q60RegexSuite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("noun"),
+        regexp_replace(col("p_brand"), "[0-9]", "#").as("masked_brand"),
+        regexp_count(col("p_name"), lit("[aeiou]+")).as("vowel_runs"),
+        col("p_type").rlike("^(PROMO|ECONOMY)").cast("int").as("is_cheap"))
+      .orderBy(col("p_partkey"))
+
+  // Calendar arithmetic breadth: month truncation/end, day offsets, day
+  // diffs, day-of-week, quarter. Dates are emitted as yyyy-MM-dd STRINGS
+  // (the parity rules ban raw temporal outputs); DuckDB's dayofweek is
+  // 0-based Sunday where Spark's is 1-based — the twin shifts by one.
+  def q61TimeSuite(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("orders")
+      .select(col("o_orderkey"),
+        date_format(trunc(col("o_orderdate"), "month"), "yyyy-MM-dd")
+          .as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+          .as("month_end"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+          .as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy(col("o_orderkey"))
+
+  // GROUPING SETS beyond q37's ROLLUP / q44's CUBE: an explicit,
+  // non-hierarchical set list — each flag total, each status total, and the
+  // grand total, with NO (flag, status) cross cells. SQL surface on a temp
+  // view; Catalyst expands to the same Expand node the rollup/cube paths
+  // use. The ALL markers are safe because the grouped columns are
+  // non-nullable in this schema (same contract as q37/q44).
+  def q62GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir)("lineitem").createOrReplaceTempView("q62_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS n
+        |FROM q62_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

@@ -261,6 +261,57 @@ object RelationalOracles {
         |JOIN (SELECT p_partkey - 1 AS k, p_name AS name
         |      FROM part WHERE p_partkey <= 100) small USING (k)
         |GROUP BY k, name
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // DuckDB's list() keeps CASE nulls and returns NULL over an empty
+    // filtered set — FILTER + coalesce([]) matches Spark's collect_list
+    "q59_array_suite" ->
+      """SELECT o_custkey,
+        |  CAST(len(ks) AS INTEGER) AS n_orders,
+        |  ks[1] AS first_key,
+        |  ks[-1] AS last_key,
+        |  array_to_string(ks[1:3], ',') AS first3,
+        |  CAST(len(list_intersect(ks, open_ks)) AS INTEGER) AS n_open,
+        |  CAST(list_aggregate(ks, 'sum') AS BIGINT) AS key_sum
+        |FROM (
+        |  SELECT o_custkey,
+        |    list_sort(list(o_orderkey)) AS ks,
+        |    list_sort(coalesce(
+        |      list(o_orderkey) FILTER (WHERE o_orderstatus = 'O'), [])) AS open_ks
+        |  FROM orders GROUP BY o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
+
+    // 'g' flag: DuckDB regexp_replace is first-match-only by default;
+    // Spark replaces all occurrences
+    "q60_regex_suite" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+        |  regexp_replace(p_brand, '[0-9]', '#', 'g') AS masked_brand,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+        |    AS vowel_runs,
+        |  CAST(regexp_matches(p_type, '^(PROMO|ECONOMY)') AS INTEGER)
+        |    AS is_cheap
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // dayofweek: DuckDB is 0-based Sunday, Spark 1-based — shift by one
+    "q61_time_suite" ->
+      """SELECT o_orderkey,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+        |    AS days_since,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q62_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       sum(l_quantity) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin
   )
 }
