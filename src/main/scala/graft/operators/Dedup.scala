@@ -185,9 +185,18 @@ object Dedup {
     // the loop through its seeds rather than its rounds. The recovery unit
     // is the round: a mid-round failure replays from the last reliable
     // files. (Eviction-injection spec in DedupSimilaritySpec.)
-    def stage(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // Same local-first discipline as materialize(): a direct
+    // Dataset.checkpoint(eager) on an unpersisted plan computes it TWICE
+    // (count job + checkpoint-write job) — for the pair source that would
+    // double the dominant LSH cost of the whole operator.
+    def stage(df: DataFrame): DataFrame = {
+      val local = df.localCheckpoint(eager = true)
+      if (checkpointDir.isDefined) {
+        val reliable = local.checkpoint(eager = true)
+        free(local)
+        reliable
+      } else local
+    }
 
     // Materialize the (expensive — usually an LSH pipeline) pair source once
     // and cut its lineage; the loop re-reads it only to seed nodes/edges.

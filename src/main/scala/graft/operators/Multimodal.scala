@@ -100,6 +100,8 @@ object Multimodal {
     * payloads keep the byte-sampling fallback (`decoded = false`). */
   def resize(media: DataFrame, targetW: Int, targetH: Int)
             (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    require(targetW > 0 && targetH > 0,
+      s"target dimensions must be positive, got ${targetW}x$targetH")
     import spark.implicits._
     media.select(col("media_id"), col("bytes"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
@@ -110,10 +112,14 @@ object Multimodal {
   }
 
   /** Header-sniffed image decode; None when no registered reader claims the
-    * payload (ImageIO.read returns null) or the bytes are corrupt. */
+    * payload (ImageIO.read returns null) or the bytes are corrupt. NonFatal,
+    * not just IOException: JDK readers throw RuntimeExceptions on malformed
+    * bodies whose headers passed the sniff (truncated JPEG → CMMException,
+    * corrupt GIF/BMP → ArrayIndexOutOfBounds) — crawled bytes must take the
+    * fallback path, not fail the task. */
   private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** FALLBACK resample for unclaimed payloads: byte count scales with the
     * target/source pixel ratio via even stride sampling over the WHOLE
@@ -131,8 +137,11 @@ object Multimodal {
         while (y < targetH) {
           var x = 0
           while (x < targetW) {
-            out.setRGB(x, y,
-              img.getRGB(x * img.getWidth / targetW, y * img.getHeight / targetH))
+            // long arithmetic: x * srcW overflows Int for large pano
+            // resizes (product > 2^31 wraps negative → AIOOBE in getRGB)
+            out.setRGB(x, y, img.getRGB(
+              (x.toLong * img.getWidth / targetW).toInt,
+              (y.toLong * img.getHeight / targetH).toInt))
             x += 1
           }
           y += 1

@@ -148,8 +148,12 @@ object Similarity {
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val nVecs = base.select(col("id").as("nid"), col("v"), col("nrm"))
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    // no broadcast() hint: AQE broadcasts qVecs when the query side is
+    // small, but lshTopK is ALSO the path for large query sides (see the
+    // object doc) — a forced broadcast would put a hard collect ceiling on
+    // exactly that regime, where the hash join shuffles fine
     rankTopK(candidates
-      .join(broadcast(qVecs), "qid")
+      .join(qVecs, "qid")
       .join(nVecs, "nid")
       .select(col("qid"), col("nid"), sim.as("sim")), k)
   }

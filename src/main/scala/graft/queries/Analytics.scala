@@ -291,7 +291,13 @@ object Analytics {
     sequencePack(
       t(s, dir)("documents"),
       contextTokens = 2048,
-      nBuckets = math.max(s.sparkContext.defaultParallelism.toLong * 4L, 8L))
+      nBuckets = packBuckets(s.sparkContext.defaultParallelism))
+
+  /** q56's bucket-count derivation, named so ScaleOpsSpec pins the REAL
+    * scaling law (×4 over the cluster's parallelism for scheduling
+    * headroom, floor 8) instead of re-deriving the formula in-test. */
+  private[graft] def packBuckets(parallelism: Int): Long =
+    math.max(parallelism.toLong * 4L, 8L)
 
   // The global prefix sum is computed the scale-safe way — deterministic
   // id-range buckets, per-bucket token totals (one tiny row each) cumulated

@@ -66,10 +66,13 @@ class ScaleOpsSpec extends SparkSpec {
     assert(packed(29) == small)
     assert(packed(997) == small) // more buckets than docs: empties collapse
     // q56's derived count scales with the executors (×4, floor 8) — the
-    // within-bucket running sum is the only serial-per-bucket stage
-    val derived = math.max(spark.sparkContext.defaultParallelism.toLong * 4L, 8L)
-    assert(derived >= spark.sparkContext.defaultParallelism.toLong * 4L)
-    assert(derived >= 8L)
+    // within-bucket running sum is the only serial-per-bucket stage. Pin
+    // the PRODUCTION derivation at controlled inputs: hardcoding 8 again
+    // (the round-3 verdict's scale ceiling) fails the 64-core case.
+    assert(graft.queries.Analytics.packBuckets(1) == 8L)
+    assert(graft.queries.Analytics.packBuckets(2) == 8L)
+    assert(graft.queries.Analytics.packBuckets(64) == 256L)
+    assert(graft.queries.Analytics.packBuckets(1000) == 4000L)
   }
 
   test("sessionize: gap closes a session with correct bounds and totals") {

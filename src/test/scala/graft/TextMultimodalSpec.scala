@@ -128,6 +128,17 @@ class TextMultimodalSpec extends SparkSpec {
     val up = Multimodal.resize(media, 8, 8)(spark).collect().head
     assert(up.decoded && javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(up.bytes)).getWidth == 8)
+
+    // a corrupt body behind a valid PNG magic (the sniff passes, the
+    // reader throws) must take the fallback — crawled bytes cannot be
+    // allowed to fail the task
+    val corrupt = Multimodal.decodeFeatures(
+      Seq((43L, png.take(20), Multimodal.MediaMeta("image", "png", 4, 4,
+        20L))).toDF("media_id", "bytes", "meta"))(spark).collect().head
+    assert(!corrupt.decoded)
+    // nonsensical target dims are a contract violation, not a silent 1-byte
+    // payload
+    intercept[IllegalArgumentException](Multimodal.resize(media, 0, 2)(spark))
   }
 
   test("backup rotation: oldest beyond max are victims (test D15)") {
