@@ -80,7 +80,9 @@ object SparkEntry {
     "q59_array_suite"         -> (Relational.q59ArraySuite _),
     "q60_regex_suite"         -> (Relational.q60RegexSuite _),
     "q61_time_suite"          -> (Relational.q61TimeSuite _),
-    "q62_grouping_sets"       -> (Relational.q62GroupingSets _)
+    "q62_grouping_sets"       -> (Relational.q62GroupingSets _),
+    "q63_asof_forward"        -> (Analytics.q63AsofForward _),
+    "q64_scd2"                -> (Relational.q64Scd2 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

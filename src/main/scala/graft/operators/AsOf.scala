@@ -20,37 +20,68 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param rightVals right-side columns to carry onto each left row (become
-    *                   `asof_<name>`, NULL when no prior right row exists) */
+    *                   `asof_<name>`, NULL when no matching right row exists)
+    * @param direction  "backward" (most recent right at or before the left
+    *                   time — the default, the q38 semantics) or "forward"
+    *                   (earliest right at or after it); ties at equal time
+    *                   match in both directions
+    * @param maxGapSeconds when set, a match farther than this from the left
+    *                   time is nulled out (the left row is kept — pandas
+    *                   merge_asof tolerance semantics). Requires TIMESTAMP
+    *                   time columns. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               rightVals: Seq[String], tiebreakCol: String): DataFrame = {
+               rightVals: Seq[String], tiebreakCol: String,
+               direction: String = "backward",
+               maxGapSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val back = direction == "backward"
+    // at equal time the right row must be visible from the left row's frame:
+    // backward carries over (preceding..current) so right sorts FIRST;
+    // forward carries over (current..following) so right sorts LAST
+    val (leftSide, rightSide) = if (back) (1, 0) else (0, 1)
+    // the tolerance needs the matched right TIME carried alongside
+    val carryVals = (rightVals ++
+      (if (maxGapSeconds.isDefined) Seq(rightTime) else Nil)).distinct
     val leftCols = left.columns
     val taggedLeft = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(leftSide))
       .withColumn("_tb", col(tiebreakCol))
       .select(Seq(col(key), col("_t"), col("_side"), col("_tb")) ++
         leftCols.filter(_ != key).map(col) ++
-        rightVals.map(v =>
+        carryVals.map(v =>
           lit(null).cast(right.schema(v).dataType).as(s"_rv_$v")): _*)
     val taggedRight = right
       .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(rightSide))
       .withColumn("_tb", col(tiebreakCol))
       .select(Seq(col(key), col("_t"), col("_side"), col("_tb")) ++
         leftCols.filter(_ != key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(v => col(v).as(s"_rv_$v")): _*)
-    val w = Window.partitionBy(col(key))
+        carryVals.map(v => col(v).as(s"_rv_$v")): _*)
+    val ord = Window.partitionBy(col(key))
       .orderBy(col("_t"), col("_side"), col("_tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, v) =>
-        df.withColumn(s"asof_$v",
-          last(col(s"_rv_$v"), ignoreNulls = true).over(w))
+    val w =
+      if (back) ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def carry(c: Column): Column =
+      if (back) last(c, ignoreNulls = true).over(w)
+      else first(c, ignoreNulls = true).over(w)
+    val carried = carryVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
+      (df, v) => df.withColumn(s"asof_$v", carry(col(s"_rv_$v")))
+    }
+    val gapOk: Column = maxGapSeconds match {
+      case Some(g) =>
+        val rt = unix_timestamp(col(s"asof_$rightTime"))
+        val lt = unix_timestamp(col("_t"))
+        (if (back) lt - rt else rt - lt) <= g
+      case None => lit(true)
     }
     carried
-      .where(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(v => col(s"asof_$v")): _*)
+      .where(col("_side") === leftSide)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => when(gapOk, col(s"asof_$v")).as(s"asof_$v")): _*)
   }
 }

@@ -354,6 +354,26 @@ object Analytics {
         upper(hex(col("frame_bytes"))).as("frame_hex"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  // Forward as-of with tolerance: each view's NEXT purchase within one hour
+  // — click-through attribution as a single merge-shaped join (the batch
+  // twin of the streaming attribution). Same union-sort-carry as q38
+  // reversed: first-ignoreNulls over (current..following), matches beyond
+  // 3600 s nulled, the view row kept (merge_asof tolerance semantics).
+  def q63AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir)("events")
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("tb_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("event_id").as("tb_id"))
+    graft.operators.AsOf.asofJoin(views, purchases, "user_id", "ts", "ts",
+        Seq("purchase_id"), tiebreakCol = "tb_id",
+        direction = "forward", maxGapSeconds = Some(3600L))
+      .select(col("event_id"), col("asof_purchase_id").as("purchase_id"))
+      .orderBy(col("event_id"))
+  }
+
   // TF-IDF top-3 terms per doc (three partial aggregations + term join).
   def q35TfIdf(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(t(s, dir)("documents"), "doc_id", "text", 3)

@@ -409,6 +409,29 @@ object AnalyticsOracles {
         |       ELSE 'video' END AS kind,
         |  octet_length(encode(text)) AS n_bytes,
         |  upper(hex(encode(substring(text, 1, 8)))) AS header_hex
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // forward as-of with tolerance: view side = 0 so a purchase at the
+    // exact view time is inside the (current..following) frame, mirroring
+    // the operator's side ordering; date_diff('second') ≡ Spark's
+    // unix_timestamp subtraction (both truncate to second boundaries)
+    "q63_asof_forward" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side,
+        |    CASE WHEN event_type = 'purchase' THEN event_id END AS pid,
+        |    CASE WHEN event_type = 'purchase' THEN ts END AS pts
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |carried AS (
+        |  SELECT *,
+        |    first_value(pid IGNORE NULLS) OVER w AS nxt_id,
+        |    first_value(pts IGNORE NULLS) OVER w AS nxt_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+        |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        |  CASE WHEN date_diff('second', ts, nxt_ts) <= 3600 THEN nxt_id END
+        |    AS purchase_id
+        |FROM carried WHERE side = 0 ORDER BY event_id""".stripMargin
   )
 }

@@ -417,6 +417,26 @@ object Relational {
         |ORDER BY rf, ls""".stripMargin)
   }
 
+  // SCD2-style temporal versioning derived from an event log: each order
+  // prices its customer until the next order arrives — (valid_from,
+  // valid_to] ranges via one lead() per partition, open ranges closed with
+  // the warehouse-conventional 9999-12-31 sentinel, current rows flagged.
+  // One shuffle on the customer key; the ranges come out non-overlapping
+  // and gap-free by construction.
+  def q64Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir)("orders")
+      .withColumn("nxt", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").as("price"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("nxt"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        col("nxt").isNull.cast("int").as("is_current"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

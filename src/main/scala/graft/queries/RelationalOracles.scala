@@ -312,6 +312,17 @@ object RelationalOracles {
         |       count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY rf, ls""".stripMargin
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q64_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice AS price,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d'),
+        |           '9999-12-31') AS valid_to,
+        |  CAST(lead(o_orderdate, 1) OVER w IS NULL AS INTEGER) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** As-of join semantics: backward/forward direction, equal-time ties match
+  * in both directions, tolerance nulls far matches but keeps the row. */
+class AsOfSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // left rows (key 1): t = 100, 4000; right rows: t = 90, 100, 105, 5000
+  private def left = Seq((1L, ts(100), 10L), (1L, ts(4000), 11L))
+    .toDF("k", "t", "lid").withColumn("tb", $"lid")
+  private def right = Seq((1L, ts(90), 90L), (1L, ts(100), 91L),
+    (1L, ts(105), 92L), (1L, ts(5000), 93L))
+    .toDF("k", "t", "rid").withColumn("tb", $"rid")
+
+  private def run(direction: String, gap: Option[Long]): Map[Long, Any] =
+    AsOf.asofJoin(left, right, "k", "t", "t", Seq("rid"), "tb",
+        direction = direction, maxGapSeconds = gap)
+      .select($"lid", $"asof_rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
+      .toMap
+
+  test("backward: most recent at-or-before; equal time matches") {
+    // t=100 ties with right 91 (not 90); t=4000 reaches back to 92
+    assert(run("backward", None) == Map(10L -> 91L, 11L -> 92L))
+  }
+
+  test("forward: earliest at-or-after; equal time matches") {
+    // t=100 ties with right 91 (not 105); t=4000 reaches forward to 93
+    assert(run("forward", None) == Map(10L -> 93L, 11L -> 93L) ||
+      run("forward", None) == Map(10L -> 91L, 11L -> 93L),
+      s"got ${run("forward", None)}")
+    assert(run("forward", None)(10L) == 91L, "equal-time right must win")
+  }
+
+  test("tolerance nulls far matches and keeps the left row") {
+    // backward: 4000 - 105 = 3895 > 600 → null; 100 - 100 = 0 → match
+    assert(run("backward", Some(600L)) == Map(10L -> 91L, 11L -> null))
+    // forward: 5000 - 4000 = 1000 > 600 → null
+    assert(run("forward", Some(600L)) == Map(10L -> 91L, 11L -> null))
+  }
+
+  test("no matching right row yields null, row kept (outer semantics)") {
+    val lonely = Seq((7L, ts(50), 20L)).toDF("k", "t", "lid")
+      .withColumn("tb", $"lid")
+    val got = AsOf.asofJoin(lonely, right, "k", "t", "t", Seq("rid"), "tb")
+      .select($"lid", $"asof_rid").collect()
+    assert(got.length == 1 && got.head.isNullAt(1))
+  }
+}
