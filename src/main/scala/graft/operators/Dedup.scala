@@ -83,10 +83,21 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    // exact verification: shingle-set Jaccard computed per candidate pair
+    // Exact verification: shingle-set Jaccard per candidate pair. The
+    // shingle arrays are derived AFTER the candidate join, so the kernel
+    // runs over ~2×|candidates| matched rows — joining the pre-shingled
+    // `docs` frame instead would evaluate the corpus-wide Shingles
+    // projection once per side (the kernel is fast, but 2 extra full-corpus
+    // passes is real CPU at scale). Bonus: with a small candidate set AQE
+    // broadcasts it, so the corpus text streams through both joins with no
+    // shuffle at all.
+    val textDocs = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
     val withSets = candidates
-      .join(docs.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(docs.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(textDocs.select(col("id").as("id1"), col("_txt").as("_t1")), "id1")
+      .join(textDocs.select(col("id").as("id2"), col("_txt").as("_t2")), "id2")
+      .select(col("id1"), col("id2"),
+        shingles(col("_t1"), shingleSize).as("sh1"),
+        shingles(col("_t2"), shingleSize).as("sh2"))
     val j = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
       size(array_union(col("sh1"), col("sh2")))
     withSets
