@@ -82,7 +82,8 @@ object SparkEntry {
     "q61_time_suite"          -> (Relational.q61TimeSuite _),
     "q62_grouping_sets"       -> (Relational.q62GroupingSets _),
     "q63_asof_forward"        -> (Analytics.q63AsofForward _),
-    "q64_scd2"                -> (Relational.q64Scd2 _)
+    "q64_scd2"                -> (Relational.q64Scd2 _),
+    "q65_bucketed_join"       -> (Relational.q65BucketedJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -437,6 +437,31 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // Bucketed co-located join, catalog-visible (the SURVEY §4.3 layout
+  // story, previously spec-only): both sides written bucketed+sorted on
+  // the join key — the shuffle is paid ONCE at write time — then joined
+  // with zero Exchange on either side (BucketingSpec pins the mechanism;
+  // the PlanSpec sweep covers this query like any other). The write cost
+  // lands in this query's bench time deliberately: that is the honest
+  // price of the layout, amortized across every recurring join at deploy.
+  // The layout never changes results, so the oracle is the plain join +
+  // aggregate.
+  def q65BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val n = 8
+    graft.sources.Bucketing.writeBucketed(
+      t(s, dir)("orders").withColumnRenamed("o_orderkey", "k"),
+      "graft_q65_orders", "k", n)
+    graft.sources.Bucketing.writeBucketed(
+      t(s, dir)("lineitem").withColumnRenamed("l_orderkey", "k")
+        .select(col("k"), col("l_quantity")),
+      "graft_q65_lineitem", "k", n)
+    graft.sources.Bucketing.coLocatedJoin(
+        s, "graft_q65_lineitem", "graft_q65_orders", "k")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // --------------------------------------------------------------------------
   // The flagship: the reference's progress-report query shape (sql.py:196-235)
   // mapped onto the TPC-H tables. Exercises A2 (latest value), A5 (RMR

@@ -323,6 +323,12 @@ object RelationalOracles {
         |  CAST(lead(o_orderdate, 1) OVER w IS NULL AS INTEGER) AS is_current
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the bucketed layout never changes results — plain join oracle
+    "q65_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -24,7 +24,17 @@ object Bucketing {
     * order and elides the per-query Sort (multi-file buckets would need an
     * interleaved merge read, so Spark re-sorts instead). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
+                    nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // idempotent across SESSIONS, not just within one: an in-memory
+    // catalog forgets the table when the session ends but the managed
+    // location survives in the warehouse dir, and saveAsTable(Overwrite)
+    // refuses to adopt an unregistered location (LOCATION_ALREADY_EXISTS)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
       .write
       .format("parquet")
@@ -32,6 +42,7 @@ object Bucketing {
       .sortBy(key)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key. With matching
     * bucket specs Catalyst plans a SortMergeJoin whose children are the
