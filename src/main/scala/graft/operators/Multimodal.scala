@@ -23,7 +23,9 @@ object Multimodal {
   case class MediaFeatures(mediaId: Long, kind: String, nBytes: Long,
                            headerHex: String, byteMean: Double,
                            frames: Seq[Long], decoded: Boolean,
-                           width: Int, height: Int, pixelMean: Double)
+                           width: Int, height: Int, pixelMean: Double,
+                           sampleRate: Int, channels: Int,
+                           audioFrames: Long, rmsAmplitude: Double)
   case class ResizedMedia(mediaId: Long, width: Int, height: Int,
                           bytes: Array[Byte], decoded: Boolean)
 
@@ -161,10 +163,43 @@ object Multimodal {
         ResizedMedia(id, targetW, targetH, out, decoded = false)
     }
 
-  /** Decode one record: real pixels when a reader claims the payload, the
-    * deterministic byte-level fallback otherwise. Byte-level features
-    * (header hex, byte mean, stride frames) are emitted for BOTH paths —
-    * they are cheap and downstream filters key on them uniformly. */
+  /** Parsed PCM audio: (sampleRate, channels, frameCount, rms of the
+    * normalized 16-bit samples). None when javax.sound has no provider for
+    * the payload or the body is malformed — same NonFatal discipline as
+    * [[readImage]]. Pure stream parsing, no audio device involved. */
+  private def readAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val buf = in.readAllBytes()
+        val n = buf.length / bytesPerSample
+        var i = 0
+        var sumSq = 0.0
+        while (i < n) {
+          val off = i * bytesPerSample
+          // normalize 8/16-bit PCM to [-1, 1]; WAV 16-bit is little-endian
+          val v =
+            if (bytesPerSample >= 2)
+              ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort / 32768.0
+            else ((buf(off) & 0xFF) - 128) / 128.0
+          sumSq += v * v
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          in.getFrameLength, rms))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode one record: real pixels when an image reader claims the
+    * payload, real PCM stats when an audio provider does (WAV/AIFF/AU ship
+    * with the JDK), the deterministic byte-level fallback otherwise.
+    * Byte-level features (header hex, byte mean, stride frames) are
+    * emitted for ALL paths — they are cheap and downstream filters key on
+    * them uniformly. */
   private def decodeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
                         frameStride: Int): MediaFeatures = {
     val byteMean =
@@ -187,10 +222,20 @@ object Multimodal {
           y += 1
         }
         MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex, byteMean,
-          frames, decoded = true, w, h, s.toDouble / (w.toLong * h * 3))
-      case None =>
-        MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex, byteMean,
-          frames, decoded = false, meta.width, meta.height, byteMean)
+          frames, decoded = true, w, h, s.toDouble / (w.toLong * h * 3),
+          sampleRate = 0, channels = 0, audioFrames = 0L, rmsAmplitude = 0.0)
+      case None => readAudio(bytes) match {
+        case Some((rate, ch, nFrames, rms)) =>
+          MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex,
+            byteMean, frames, decoded = true, width = 0, height = 0,
+            pixelMean = 0.0, sampleRate = rate, channels = ch,
+            audioFrames = nFrames, rmsAmplitude = rms)
+        case None =>
+          MediaFeatures(id, meta.kind, bytes.length.toLong, headerHex,
+            byteMean, frames, decoded = false, meta.width, meta.height,
+            byteMean, sampleRate = 0, channels = 0, audioFrames = 0L,
+            rmsAmplitude = 0.0)
+      }
     }
   }
 }

@@ -141,6 +141,39 @@ class TextMultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Multimodal.resize(media, 0, 2)(spark))
   }
 
+  test("multimodal: a real WAV decodes — rate, channels, frames, exact RMS") {
+    // 800 samples of a ±16384 square wave at 8 kHz mono, 16-bit signed LE:
+    // normalized amplitude is exactly ±0.5, so RMS is exactly 0.5
+    val nSamples = 800
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) {
+      val v: Short = if (i % 2 == 0) 16384 else -16384
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val media = Seq((77L, wav, Multimodal.MediaMeta("audio", "wav", 0, 0,
+      wav.length.toLong))).toDF("media_id", "bytes", "meta")
+    val f = Multimodal.decodeFeatures(media)(spark).collect().head
+    assert(f.decoded, "WAV payload should take the real javax.sound path")
+    assert(f.headerHex.startsWith("52494646"), "RIFF magic in header hex")
+    assert(f.sampleRate == 8000 && f.channels == 1 && f.audioFrames == 800L)
+    assert(f.rmsAmplitude == 0.5, s"rms ${f.rmsAmplitude}")
+
+    // a truncated WAV header takes the fallback, not a crash
+    val corrupt = Multimodal.decodeFeatures(
+      Seq((78L, wav.take(16), Multimodal.MediaMeta("audio", "wav", 0, 0,
+        16L))).toDF("media_id", "bytes", "meta"))(spark).collect().head
+    assert(!corrupt.decoded)
+  }
+
   test("backup rotation: oldest beyond max are victims (test D15)") {
     val names = Seq(
       "mfp_db_backup_2021-01-05", "mfp_db_backup_2021-01-01",
