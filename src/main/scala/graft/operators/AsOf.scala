@@ -4,18 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join (most recent right row at or before each left row's time) —
-  * an operator the reference lacks (SURVEY §2.3: "no as-of joins anywhere")
-  * but a staple of event/feature pipelines.
+/** As-of join (nearest right row at-or-before — or, with
+  * `direction = "forward"`, at-or-after — each left row's time), an operator
+  * the reference lacks (SURVEY §2.3: "no as-of joins anywhere") but a staple
+  * of event/feature pipelines.
   *
   * Implemented as union–sort–carry rather than a range join: tag both
-  * streams, union, and carry the last right-side values forward with
-  * `last(_, ignoreNulls)` over (key ORDER BY time, side, tiebreak). One
-  * shuffle on the key, no quadratic candidate space — at 100 TB this is the
-  * difference between a merge pass and an exploding interval join. Ties: a
-  * right row at exactly the left row's time DOES match (right sorts first
-  * at equal time); `tiebreakCol` (present in both frames) makes the carry
-  * deterministic when right rows share a timestamp.
+  * streams, union, and carry the right-side values with
+  * `last(_, ignoreNulls)` over a running (unboundedPreceding, currentRow)
+  * frame — ordered ascending for backward, DESCENDING for forward, so both
+  * directions use Spark's O(n) sliding frame (a (currentRow,
+  * unboundedFollowing) shrinking frame re-aggregates from scratch per row —
+  * O(n²) per key). One shuffle on the key, no quadratic candidate space —
+  * at 100 TB this is the difference between a merge pass and an exploding
+  * interval join. Ties: a right row at exactly the left row's time DOES
+  * match in both directions (the side ordering puts right on the visible
+  * side of the frame at equal time); `tiebreakCol` (present in both frames)
+  * makes the carry deterministic when right rows share a timestamp, and the
+  * smallest tiebreak wins in both directions.
   */
 object AsOf {
 
@@ -61,14 +67,19 @@ object AsOf {
         leftCols.filter(_ != key).map(c =>
           lit(null).cast(left.schema(c).dataType).as(c)) ++
         carryVals.map(v => col(v).as(s"_rv_$v")): _*)
-    val ord = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"), col("_tb"))
-    val w =
-      if (back) ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      else ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    def carry(c: Column): Column =
-      if (back) last(c, ignoreNulls = true).over(w)
-      else first(c, ignoreNulls = true).over(w)
+    // both directions run over the O(n) growing frame: forward reverses the
+    // sort instead of using a shrinking (current..following) frame, which
+    // Spark re-aggregates from scratch per row (quadratic in the key group).
+    // Under the reversed order, right (side=1) still precedes left (side=0)
+    // at equal time, and `_tb` DESC keeps "smallest tiebreak wins" (the
+    // nearest preceding row is the smallest-tiebreak right row either way).
+    val ord =
+      if (back) Window.partitionBy(col(key))
+        .orderBy(col("_t"), col("_side"), col("_tb"))
+      else Window.partitionBy(col(key))
+        .orderBy(col("_t").desc, col("_side").desc, col("_tb").desc)
+    val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def carry(c: Column): Column = last(c, ignoreNulls = true).over(w)
     val carried = carryVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
       (df, v) => df.withColumn(s"asof_$v", carry(col(s"_rv_$v")))
     }

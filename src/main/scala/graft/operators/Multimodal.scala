@@ -166,32 +166,46 @@ object Multimodal {
   /** Parsed PCM audio: (sampleRate, channels, frameCount, rms of the
     * normalized 16-bit samples). None when javax.sound has no provider for
     * the payload or the body is malformed — same NonFatal discipline as
-    * [[readImage]]. Pure stream parsing, no audio device involved. */
+    * [[readImage]]. Pure stream parsing, no audio device involved.
+    *
+    * The payload is first CONVERTED to signed 16-bit little-endian PCM via
+    * `AudioSystem.getAudioInputStream(target, raw)` so the JDK normalizes
+    * endianness (AIFF is big-endian), encoding (AU mu-law/A-law), and
+    * sample width (24/32-bit WAV) before the sample loop — hand-decoding
+    * the raw bytes as WAV-layout PCM would silently produce garbage RMS for
+    * those formats. An unsupported conversion throws and falls to the
+    * byte-level `decoded = false` path. The frame count is derived from the
+    * samples actually read, not the header's `getFrameLength` claim, which
+    * is NOT_SPECIFIED (-1) for unknown-length streams (e.g. AU data-size
+    * 0xFFFFFFFF). */
   private def readAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double)] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val fmt = in.getFormat
-        val bytesPerSample = math.max(fmt.getSampleSizeInBits / 8, 1)
-        val buf = in.readAllBytes()
-        val n = buf.length / bytesPerSample
-        var i = 0
-        var sumSq = 0.0
-        while (i < n) {
-          val off = i * bytesPerSample
-          // normalize 8/16-bit PCM to [-1, 1]; WAV 16-bit is little-endian
-          val v =
-            if (bytesPerSample >= 2)
-              ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort / 32768.0
-            else ((buf(off) & 0xFF) - 128) / 128.0
-          sumSq += v * v
-          i += 1
-        }
-        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
-        Some((fmt.getSampleRate.toInt, fmt.getChannels,
-          in.getFrameLength, rms))
-      } finally in.close()
+        val src = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          src.getSampleRate, 16, src.getChannels,
+          /* signed = */ true, /* bigEndian = */ false)
+        val in =
+          javax.sound.sampled.AudioSystem.getAudioInputStream(target, raw)
+        try {
+          val buf = in.readAllBytes()
+          val n = buf.length / 2
+          var i = 0
+          var sumSq = 0.0
+          while (i < n) {
+            val off = i * 2
+            val v = ((buf(off) & 0xFF) | (buf(off + 1) << 8)).toShort / 32768.0
+            sumSq += v * v
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          val channels = math.max(src.getChannels, 1)
+          Some((src.getSampleRate.toInt, src.getChannels,
+            n.toLong / channels, rms))
+        } finally in.close()
+      } finally raw.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode one record: real pixels when an image reader claims the

@@ -31,8 +31,13 @@ object Bucketing {
     // location survives in the warehouse dir, and saveAsTable(Overwrite)
     // refuses to adopt an unregistered location (LOCATION_ALREADY_EXISTS)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // the catalog's own default-path computation, not a hand-built
+    // warehouse/<table> guess: it accounts for the current database
+    // (warehouse/<db>.db/<table> outside `default`) and normalizes the
+    // name with Locale.ROOT (a tr_TR JVM default would fold 'I' wrong)
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table.toLowerCase)
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))

@@ -34,10 +34,19 @@ class AsOfSpec extends SparkSpec {
 
   test("forward: earliest at-or-after; equal time matches") {
     // t=100 ties with right 91 (not 105); t=4000 reaches forward to 93
-    assert(run("forward", None) == Map(10L -> 93L, 11L -> 93L) ||
-      run("forward", None) == Map(10L -> 91L, 11L -> 93L),
-      s"got ${run("forward", None)}")
-    assert(run("forward", None)(10L) == 91L, "equal-time right must win")
+    assert(run("forward", None) == Map(10L -> 91L, 11L -> 93L))
+  }
+
+  test("forward tiebreak: smallest tiebreak wins among equal-time rights") {
+    // the reversed-sort O(n) frame must preserve the ascending-path rule
+    val l = Seq((1L, ts(150), 10L)).toDF("k", "t", "lid")
+      .withColumn("tb", $"lid")
+    val r = Seq((1L, ts(200), 51L), (1L, ts(200), 50L))
+      .toDF("k", "t", "rid").withColumn("tb", $"rid")
+    val got = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid"), "tb",
+        direction = "forward")
+      .select($"asof_rid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(50L))
   }
 
   test("tolerance nulls far matches and keeps the left row") {
