@@ -83,23 +83,32 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"))
       .distinct()
-    // Exact verification: shingle-set Jaccard per candidate pair. Shingle
-    // the DISTINCT candidate members, not the corpus and not the matched
-    // pair rows: per-pair shingling re-evaluates the kernel once per pair a
-    // doc appears in (an m-doc near-identical cluster yields ~m² pairs →
-    // O(m²) shingle evals), while corpus-wide pre-shingling pays 2 full
-    // passes even when candidates are rare. The member semi-join is bounded
-    // by BOTH: ≤ 2×|candidates| and ≤ |corpus| evals per side, whatever the
-    // pair density. Bonus: with a small member set AQE broadcasts it, so
-    // the corpus text streams through the member join with no shuffle.
+    // Exact verification: shingle-set Jaccard per candidate pair. The
+    // shingle arrays are derived AFTER the candidate join, so the kernel
+    // runs over ~2×|candidates| matched rows — joining the pre-shingled
+    // `docs` frame instead would evaluate the corpus-wide Shingles
+    // projection once per side (the kernel is fast, but 2 extra full-corpus
+    // passes is real CPU at scale). Bonus: with a small candidate set AQE
+    // broadcasts it, so the corpus text streams through both joins with no
+    // shuffle at all.
+    //
+    // KNOWN TRADE-OFF, measured: shingling the DISTINCT candidate members
+    // instead (semi-join, then join pairs to the pre-shingled members)
+    // bounds kernel evals by min(2×|pairs|, |corpus|) per side — better
+    // when a near-identical m-doc cluster survives banding and yields ~m²
+    // pairs — but the members' distinct + double member-join overhead
+    // measured 1.5× SLOWER end-to-end at sf0.1's sparse candidate density
+    // (interleaved 3-round A/B: per-pair 0.90–1.12 s, member-distinct
+    // 1.39–2.11 s). Per-pair wins for the common case; the pathological
+    // dense case is what `maxBucket` posting caps exist to bound — set a
+    // cap when the corpus may contain large near-identical clusters.
     val textDocs = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
-    val members = candidates.select(col("id1").as("id"))
-      .union(candidates.select(col("id2").as("id"))).distinct()
-    val memberSh = textDocs.join(members, "id")
-      .select(col("id"), shingles(col("_txt"), shingleSize).as("sh"))
     val withSets = candidates
-      .join(memberSh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(memberSh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(textDocs.select(col("id").as("id1"), col("_txt").as("_t1")), "id1")
+      .join(textDocs.select(col("id").as("id2"), col("_txt").as("_t2")), "id2")
+      .select(col("id1"), col("id2"),
+        shingles(col("_t1"), shingleSize).as("sh1"),
+        shingles(col("_t2"), shingleSize).as("sh2"))
     val j = size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
       size(array_union(col("sh1"), col("sh2")))
     withSets
