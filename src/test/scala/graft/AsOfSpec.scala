@@ -56,6 +56,50 @@ class AsOfSpec extends SparkSpec {
     assert(run("forward", Some(600L)) == Map(10L -> 91L, 11L -> null))
   }
 
+  test("property: both directions ≡ brute-force scan on random inputs") {
+    // the union-sort-carry mechanism (and its reversed-sort forward twin)
+    // against the O(n·m) definition: per left row, the nearest right row in
+    // direction, smallest tiebreak on time ties, tolerance nulling far hits
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val nKeys = 3
+      val l = (1 to 40).map { i =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), i.toLong) }
+      val r = (1 to 40).map { i =>
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong),
+          (100 + i).toLong) }
+      val gap = if (trial % 2 == 0) Some(60L) else None
+      for (dir <- Seq("backward", "forward")) {
+        def brute(k: Long, t: Timestamp): Option[Long] = {
+          val cand = r.filter(x => x._1 == k &&
+            (if (dir == "backward") !x._2.after(t) else !x._2.before(t)))
+          if (cand.isEmpty) None
+          else {
+            // nearest time first, then smallest tiebreak (rid)
+            val best = cand.minBy(x =>
+              (math.abs(x._2.getTime - t.getTime), x._3))
+            val far = gap.exists(g =>
+              math.abs(best._2.getTime - t.getTime) > g * 1000L)
+            if (far) None else Some(best._3)
+          }
+        }
+        val lDf = l.toDF("k", "t", "lid").withColumn("tb", $"lid")
+        val rDf = r.toDF("k", "t", "rid").withColumn("tb", $"rid")
+        val got = AsOf.asofJoin(lDf, rDf, "k", "t", "t", Seq("rid"), "tb",
+            direction = dir, maxGapSeconds = gap)
+          .select($"k", $"t", $"lid", $"asof_rid").collect()
+          .map(row => row.getLong(2) ->
+            (if (row.isNullAt(3)) None else Some(row.getLong(3)))).toMap
+        assert(got.size == l.size, s"$dir trial $trial: row count")
+        l.foreach { case (k, t, lid) =>
+          assert(got(lid) == brute(k, t),
+            s"$dir trial $trial lid=$lid k=$k t=$t: " +
+              s"got ${got(lid)}, want ${brute(k, t)}")
+        }
+      }
+    }
+  }
+
   test("no matching right row yields null, row kept (outer semantics)") {
     val lonely = Seq((7L, ts(50), 20L)).toDF("k", "t", "lid")
       .withColumn("tb", $"lid")
