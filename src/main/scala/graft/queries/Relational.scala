@@ -446,6 +446,22 @@ object Relational {
   // price of the layout, amortized across every recurring join at deploy.
   // The layout never changes results, so the oracle is the plain join +
   // aggregate.
+  /** Z-order curve values over lineitem's (partkey, suppkey) — the layout
+    * primitive behind [[graft.sources.ZOrder.clusterBy]], surfaced as a
+    * query so the bit-interleave math itself is oracle-checked (DuckDB
+    * replicates the mask-and-shift spread with BIGINT bit ops). Inputs are
+    * masked to 16 bits so the interleaved value stays well under 2^63 in
+    * both engines. */
+  def q66Zorder(s: SparkSession, dir: String): DataFrame = {
+    val z = graft.sources.ZOrder.zValue(
+      col("l_partkey").bitwiseAND(lit(65535L)),
+      col("l_suppkey").bitwiseAND(lit(65535L)))
+    t(s, dir)("lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), z.as("z"))
+      .orderBy(col("z"), col("l_orderkey"), col("l_linenumber"))
+      .limit(1000)
+  }
+
   def q65BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val n = 8
     graft.sources.Bucketing.writeBucketed(

@@ -329,6 +329,32 @@ object RelationalOracles {
     "q65_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the Morton spread as a CTE chain of BIGINT mask-and-shift steps —
+    // bit-identical to ZOrder.spread32 (masks are the 0x0000FFFF0000FFFF…
+    // ladder in decimal). Inputs masked to 16 bits keep z < 2^33.
+    "q66_zorder" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         (l_partkey & 65535) AS a, (l_suppkey & 65535) AS b
+        |  FROM lineitem),
+        |s1 AS (SELECT l_orderkey, l_linenumber,
+        |  ((a | (a << 16)) & 281470681808895) AS a,
+        |  ((b | (b << 16)) & 281470681808895) AS b FROM base),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |  ((a | (a << 8)) & 71777214294589695) AS a,
+        |  ((b | (b << 8)) & 71777214294589695) AS b FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber,
+        |  ((a | (a << 4)) & 1085102592571150095) AS a,
+        |  ((b | (b << 4)) & 1085102592571150095) AS b FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber,
+        |  ((a | (a << 2)) & 3689348814741910323) AS a,
+        |  ((b | (b << 2)) & 3689348814741910323) AS b FROM s3),
+        |s5 AS (SELECT l_orderkey, l_linenumber,
+        |  ((a | (a << 1)) & 6148914691236517205) AS a,
+        |  ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
+        |SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS z
+        |FROM s5 ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin
   )
 }
