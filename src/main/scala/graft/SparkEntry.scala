@@ -84,7 +84,8 @@ object SparkEntry {
     "q63_asof_forward"        -> (Analytics.q63AsofForward _),
     "q64_scd2"                -> (Relational.q64Scd2 _),
     "q65_bucketed_join"       -> (Relational.q65BucketedJoin _),
-    "q66_zorder"              -> (Relational.q66Zorder _)
+    "q66_zorder"              -> (Relational.q66Zorder _),
+    "q67_pipeline"            -> (Analytics.q67Pipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

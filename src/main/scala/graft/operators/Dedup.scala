@@ -20,6 +20,29 @@ object Dedup {
     df.groupBy(col(keyCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
 
+  /** Exact dedup keyed on a dual fingerprint (md5 ⊕ xxhash64 of `keyCol`)
+    * instead of the raw key bytes. Same output contract as [[exact]] minus
+    * the key column: (idCol = min id per group, copies, carried columns).
+    * The scale rationale: `exact`'s groupBy ships the KEY through the
+    * exchange — for near-unique document text the shuffle payload is the
+    * corpus itself; this variant ships 24 bytes per row. PROBABILISTIC in
+    * the same sense as the CC convergence fingerprint: merging two
+    * distinct keys needs an md5 AND an xxhash64 collision on the same
+    * pair (< 2^-190 across 10^12 docs) — acceptable where the key column
+    * is large; use [[exact]] when byte-exactness is contractual.
+    *
+    * `carry` columns must be functions of the key (identical within a
+    * group — e.g. a token count derived from the text); they are carried
+    * with `min`, which is exact under that contract. */
+  def exactByFingerprint(df: DataFrame, keyCol: String, idCol: String,
+                         carry: Seq[String] = Nil): DataFrame = {
+    val aggs = min(col(idCol)).as(idCol) +: count(lit(1)).as("copies") +:
+      carry.map(c => min(col(c)).as(c))
+    df.groupBy(md5(col(keyCol)), xxhash64(col(keyCol)))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: col("copies") +: carry.map(col): _*)
+  }
+
   /** All-pairs n-gram Jaccard via a shingle-inverted-index join: explode
     * distinct shingles, self-join on the shingle (hash-partitioned — never a
     * cross join), count intersections, derive |A∪B| from per-doc sizes.

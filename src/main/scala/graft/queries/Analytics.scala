@@ -287,6 +287,32 @@ object Analytics {
   // the only serial-per-bucket stage, so its parallelism must grow with
   // the executors, and the output is bucket-count-invariant (pinned in
   // ScaleOpsSpec), so the oracle hash is unchanged by the derivation.
+  /** End-to-end training-data curation: language filter (en) + quality
+    * floor → exact dedup (canonical = min doc_id per distinct text) → pack
+    * the survivors into fixed 2048-token contexts. Every stage is one of
+    * the engine's own operators (TextFunctions kernels, [[Dedup.exact]],
+    * [[sequencePack]]) composed in a single declarative plan: Catalyst
+    * fuses the per-doc scoring into the scan that feeds the dedup
+    * aggregate, so the whole curation costs one corpus pass + the dedup
+    * shuffle + the packing's tiny bucket aggregation. */
+  def q67Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = t(s, dir)("documents").where(
+      TextFunctions.langId(col("text")) === "en" &&
+        TextFunctions.qualityScoreBp(col("text")) >= 5000)
+    // token counts are computed BEFORE the dedup and the dedup keys on the
+    // dual text fingerprint, so the exchange carries (24B fingerprint,
+    // id, n_tok) per row — the document text never travels past the
+    // filter's scan. n_tok is a function of the text, so carrying it
+    // through the fingerprint groupBy is exact.
+    val canonical = Dedup.exactByFingerprint(
+      kept.withColumn("n_tok",
+        TextFunctions.tokenCount(col("text")).cast("long")),
+      "text", "doc_id", carry = Seq("n_tok"))
+    sequencePackCounts(canonical.select(col("doc_id"), col("n_tok")),
+      contextTokens = 2048,
+      nBuckets = packBuckets(s.sparkContext.defaultParallelism))
+  }
+
   def q56SequencePack(s: SparkSession, dir: String): DataFrame =
     sequencePack(
       t(s, dir)("documents"),
@@ -312,12 +338,19 @@ object Analytics {
   // same frame can disagree at scale, silently corrupting the offsets
   // wherever the two subtrees placed a boundary differently.
   private[graft] def sequencePack(docs: DataFrame, contextTokens: Int,
-                                  nBuckets: Long): DataFrame = {
+                                  nBuckets: Long): DataFrame =
+    sequencePackCounts(
+      docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok")),
+      contextTokens, nBuckets)
+
+  /** [[sequencePack]] over an already-counted (doc_id, n_tok) frame — the
+    * entry point for pipelines that computed token counts upstream (q67
+    * counts before its dedup so the text never travels past the filter). */
+  private[graft] def sequencePackCounts(toks: DataFrame, contextTokens: Int,
+                                        nBuckets: Long): DataFrame = {
     val B = contextTokens
     import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
     val maxId = toks.agg(max(col("doc_id"))).first().getLong(0)
     val span = math.max((maxId + nBuckets) / nBuckets, 1L) // ceil((max+1)/n)
     val parts = toks.withColumn("pid",
@@ -330,7 +363,7 @@ object Analytics {
     val offsetRows = bucketSums.map { r =>
       val off = acc; acc += r.getLong(1); (r.getInt(0), off)
     }.toSeq
-    import docs.sparkSession.implicits._
+    import toks.sparkSession.implicits._
     val offsets = offsetRows.toDF("pid", "poffset")
     val local = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -432,6 +432,37 @@ object AnalyticsOracles {
         |SELECT event_id,
         |  CASE WHEN date_diff('second', ts, nxt_ts) <= 3600 THEN nxt_id END
         |    AS purchase_id
-        |FROM carried WHERE side = 0 ORDER BY event_id""".stripMargin
+        |FROM carried WHERE side = 0 ORDER BY event_id""".stripMargin,
+
+    // q26's langId + q27's quality gate + q20's canonical dedup + q56's
+    // packing, composed as CTEs — the same operator oracles, chained.
+    "q67_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(text,' ')) AS n,
+        |    len(list_filter(string_split(text,' '), x -> x = 'the'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'a')) AS en,
+        |    len(list_filter(string_split(text,' '), x -> x = 'data'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'table')) AS es,
+        |    len(list_filter(string_split(text,' '), x -> x = 'group'))
+        |      + len(list_filter(string_split(text,' '), x -> x = 'fast')) AS de
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text, n FROM scored
+        |  WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
+        |    AND CAST(trunc((CASE WHEN n BETWEEN 20 AND 80 THEN 2 ELSE 1 END)
+        |          * (n - en) * 10000.0 / (n * 2)) AS INTEGER) >= 5000),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id, CAST(min(n) AS BIGINT) AS n_tok
+        |  FROM kept GROUP BY text),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+        |  FROM dedup)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(start // 2048 AS INTEGER) AS chunk_id,
+        |  CAST(start % 2048 AS INTEGER) AS chunk_offset
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

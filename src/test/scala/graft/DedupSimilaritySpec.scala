@@ -24,6 +24,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
   }
 
+  test("fingerprint dedup ≡ exact dedup, and carries key-derived columns") {
+    val withLen = docs.withColumn("n_tok", size(split($"text", " ")))
+    val got = Dedup.exactByFingerprint(withLen, "text", "doc_id",
+        carry = Seq("n_tok"))
+      .select("doc_id", "copies", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(got.map(x => (x._1, x._2)).toSeq ==
+      Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+    assert(got.find(_._1 == 0L).get._3 == 13) // canonical text's count
+  }
+
   test("ngram jaccard finds the near-dup and exact-dup pairs") {
     val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("id1", "id2", "jaccard_ppm").collect()
