@@ -85,7 +85,8 @@ object SparkEntry {
     "q64_scd2"                -> (Relational.q64Scd2 _),
     "q65_bucketed_join"       -> (Relational.q65BucketedJoin _),
     "q66_zorder"              -> (Relational.q66Zorder _),
-    "q67_pipeline"            -> (Analytics.q67Pipeline _)
+    "q67_pipeline"            -> (Analytics.q67Pipeline _),
+    "q68_range_join"          -> (Relational.q68RangeJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

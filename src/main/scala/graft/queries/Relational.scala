@@ -462,6 +462,34 @@ object Relational {
       .limit(1000)
   }
 
+  /** Shipments falling inside sampled 8-day order windows — a pure
+    * inequality (range) join that Spark would plan as BroadcastNestedLoop;
+    * [[graft.operators.RangeJoin]] bins it into an equi-join (the
+    * no-BNLJ/no-Cartesian PlanSpec sweep covers this query
+    * automatically). Left join keeps zero-shipment windows. */
+  def q68RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val ranges = t(s, dir)("orders")
+      .where(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
+      .withColumn("hi", col("lo") + 7)
+    val points = t(s, dir)("lineitem")
+      .select(datediff(col("l_shipdate"), epoch).cast("long").as("d"),
+        col("l_quantity"))
+    val matched = graft.operators.RangeJoin
+      .pointsInRanges(points, ranges, "d", "lo", "hi", binWidth = 8)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    ranges.select(col("o_orderkey"))
+      .join(matched, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("qty"), lit(0L)).as("qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   def q65BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     val n = 8
     graft.sources.Bucketing.writeBucketed(

@@ -355,6 +355,26 @@ object RelationalOracles {
         |  ((a | (a << 1)) & 6148914691236517205) AS a,
         |  ((b | (b << 1)) & 6148914691236517205) AS b FROM s4)
         |SELECT l_orderkey, l_linenumber, (a | (b << 1)) AS z
-        |FROM s5 ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin
+        |FROM s5 ORDER BY z, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    // the binning never changes results — plain inequality-join oracle
+    "q68_range_join" ->
+      """WITH r AS (
+        |  SELECT o_orderkey,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS lo
+        |  FROM orders WHERE o_orderkey % 50 = 0),
+        |p AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+        |      AS d,
+        |    l_quantity
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT o_orderkey, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM r JOIN p ON p.d BETWEEN r.lo AND r.lo + 7
+        |  GROUP BY o_orderkey)
+        |SELECT r.o_orderkey, coalesce(n, 0) AS n, coalesce(qty, 0) AS qty
+        |FROM r LEFT JOIN m USING (o_orderkey) ORDER BY o_orderkey""".stripMargin
   )
 }
