@@ -45,4 +45,27 @@ object RangeJoin {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
   }
+
+  /** Inner-join intervals of `left` to intervals of `right` that OVERLAP
+    * them ([lo, hi] inclusive; overlap ⇔ lo₁ ≤ hi₂ ∧ lo₂ ≤ h₁). Both
+    * sides explode into covering bins, so an overlapping pair can share
+    * MANY bins — the duplicate-free trick is to keep a pair only in the
+    * bin containing max(lo₁, lo₂), the overlap's left edge, which is
+    * covered by both sides exactly once. Same linear cost model as
+    * [[pointsInRanges]]; no distinct pass, no quadratic plan. Column
+    * names must not collide across the two frames (prefix upstream). */
+  def intervalOverlaps(left: DataFrame, right: DataFrame,
+                       lo1: String, hi1: String, lo2: String, hi2: String,
+                       binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def bin(c: Column): Column =
+      floor(c.cast("double") / binWidth).cast("long")
+    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.where(col(lo) <= col(hi))
+        .withColumn("_bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
+    explodeBins(left, lo1, hi1).join(explodeBins(right, lo2, hi2), Seq("_bin"))
+      .where(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        col("_bin") === bin(greatest(col(lo1), col(lo2))))
+      .drop("_bin")
+  }
 }

@@ -42,6 +42,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 
+  test("interval overlaps ≡ brute force, duplicate-free, any bin width") {
+    val rnd = new scala.util.Random(19)
+    def mk(n: Int, seedShift: Int) = (1 to n).map { i =>
+      val lo = rnd.nextInt(300).toLong - 150L
+      (i.toLong + seedShift, lo, lo + rnd.nextInt(30).toLong)
+    }
+    val a = mk(80, 0)
+    val b = mk(80, 1000)
+    val want = (for {
+      (id1, lo1, hi1) <- a
+      (id2, lo2, hi2) <- b
+      if lo1 <= hi2 && lo2 <= hi1
+    } yield (id1, id2)).sorted
+    val aDf = a.toDF("id1", "lo1", "hi1")
+    val bDf = b.toDF("id2", "lo2", "hi2")
+    for (w <- Seq(1L, 9L, 100L)) {
+      val got = RangeJoin
+        .intervalOverlaps(aDf, bDf, "lo1", "hi1", "lo2", "hi2", w)
+        .select($"id1", $"id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == want, s"binWidth=$w")
+      assert(got.distinct.length == got.length, s"dups at binWidth=$w")
+    }
+  }
+
   test("plans as an equi-join on the bin — no nested loop, no cartesian") {
     val p = (1 to 500).map(i => (i.toLong, i.toLong % 97)).toDF("pid", "d")
     val r = (1 to 50).map(i => (i.toLong, i.toLong, i.toLong + 10))
