@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * interval join. Ties: a right row at exactly the left row's time DOES
   * match in both directions (the side ordering puts right on the visible
   * side of the frame at equal time); `tiebreakCol` (present in both frames)
-  * makes the carry deterministic when right rows share a timestamp, and the
-  * smallest tiebreak wins in both directions.
+  * makes the carry deterministic when right rows share a timestamp. Which
+  * duplicate wins follows pandas `merge_asof`: backward takes the LAST
+  * right row in (time, tiebreak) order among the nearest (largest tiebreak
+  * wins), forward takes the FIRST (smallest tiebreak wins) — each
+  * direction keeps the row nearest to it in scan order.
   */
 object AsOf {
 
@@ -71,8 +74,11 @@ object AsOf {
     // sort instead of using a shrinking (current..following) frame, which
     // Spark re-aggregates from scratch per row (quadratic in the key group).
     // Under the reversed order, right (side=1) still precedes left (side=0)
-    // at equal time, and `_tb` DESC keeps "smallest tiebreak wins" (the
-    // nearest preceding row is the smallest-tiebreak right row either way).
+    // at equal time, and `_tb` DESC preserves the ascending-path forward
+    // semantics (FIRST equal-time right in (time, tiebreak) order wins —
+    // it is the row nearest the left one in the reversed scan). Backward's
+    // ascending `_tb` symmetrically makes the LAST equal-time right win —
+    // both match pandas merge_asof's duplicate handling.
     val ord =
       if (back) Window.partitionBy(col(key))
         .orderBy(col("_t"), col("_side"), col("_tb"))

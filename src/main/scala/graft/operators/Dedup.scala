@@ -25,7 +25,10 @@ object Dedup {
     * the key column: (idCol = min id per group, copies, carried columns).
     * The scale rationale: `exact`'s groupBy ships the KEY through the
     * exchange — for near-unique document text the shuffle payload is the
-    * corpus itself; this variant ships 24 bytes per row. PROBABILISTIC in
+    * corpus itself; this variant ships 24 bytes per row (md5 grouped as
+    * its 16 RAW bytes via unhex — Spark's md5() returns the 32-char hex
+    * string, which would nearly double the key and compare as a string).
+    * PROBABILISTIC in
     * the same sense as the CC convergence fingerprint: merging two
     * distinct keys needs an md5 AND an xxhash64 collision on the same
     * pair (< 2^-190 across 10^12 docs) — acceptable where the key column
@@ -38,7 +41,7 @@ object Dedup {
                          carry: Seq[String] = Nil): DataFrame = {
     val aggs = min(col(idCol)).as(idCol) +: count(lit(1)).as("copies") +:
       carry.map(c => min(col(c)).as(c))
-    df.groupBy(md5(col(keyCol)), xxhash64(col(keyCol)))
+    df.groupBy(unhex(md5(col(keyCol))), xxhash64(col(keyCol)))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol) +: col("copies") +: carry.map(col): _*)
   }

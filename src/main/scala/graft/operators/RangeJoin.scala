@@ -23,6 +23,24 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Floor-division bin id — the ONE binning rule both operators share
+    * (write-side and probe-side binning must agree or matches are silently
+    * lost; same discipline as DocStream's constant partition modulus).
+    * Exact for |values| < 2^52. */
+  private def binCol(c: Column, binWidth: Long): Column = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    floor(c.cast("double") / binWidth).cast("long")
+  }
+
+  /** Explode an interval frame into one row per covering bin. lo <= hi is
+    * filtered FIRST — sequence(a, b) with b < a would silently generate a
+    * DESCENDING ramp. */
+  private def explodeBins(df: DataFrame, lo: String, hi: String,
+                          binWidth: Long): DataFrame =
+    df.where(col(lo) <= col(hi))
+      .withColumn("_bin",
+        explode(sequence(binCol(col(lo), binWidth), binCol(col(hi), binWidth))))
+
   /** Inner-join `points` to every interval of `ranges` whose
     * [loCol, hiCol] (inclusive both ends) contains `pointCol`. All columns
     * of both frames survive; aggregate downstream as needed. Inputs are
@@ -31,20 +49,11 @@ object RangeJoin {
     * values consistently on both sides. */
   def pointsInRanges(points: DataFrame, ranges: DataFrame,
                      pointCol: String, loCol: String, hiCol: String,
-                     binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bin(c: Column): Column =
-      floor(c.cast("double") / binWidth).cast("long")
-    val p = points.withColumn("_bin", bin(col(pointCol)))
-    // sequence() is ascending here because lo <= hi is filtered first —
-    // sequence(a, b) with b < a would silently generate a DESCENDING ramp
-    val r = ranges
-      .where(col(loCol) <= col(hiCol))
-      .withColumn("_bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
-    p.join(r, Seq("_bin"))
+                     binWidth: Long): DataFrame =
+    points.withColumn("_bin", binCol(col(pointCol), binWidth))
+      .join(explodeBins(ranges, loCol, hiCol, binWidth), Seq("_bin"))
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bin")
-  }
 
   /** Inner-join intervals of `left` to intervals of `right` that OVERLAP
     * them ([lo, hi] inclusive; overlap ⇔ lo₁ ≤ hi₂ ∧ lo₂ ≤ h₁). Both
@@ -56,16 +65,10 @@ object RangeJoin {
     * names must not collide across the two frames (prefix upstream). */
   def intervalOverlaps(left: DataFrame, right: DataFrame,
                        lo1: String, hi1: String, lo2: String, hi2: String,
-                       binWidth: Long): DataFrame = {
-    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bin(c: Column): Column =
-      floor(c.cast("double") / binWidth).cast("long")
-    def explodeBins(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.where(col(lo) <= col(hi))
-        .withColumn("_bin", explode(sequence(bin(col(lo)), bin(col(hi)))))
-    explodeBins(left, lo1, hi1).join(explodeBins(right, lo2, hi2), Seq("_bin"))
+                       binWidth: Long): DataFrame =
+    explodeBins(left, lo1, hi1, binWidth)
+      .join(explodeBins(right, lo2, hi2, binWidth), Seq("_bin"))
       .where(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
-        col("_bin") === bin(greatest(col(lo1), col(lo2))))
+        col("_bin") === binCol(greatest(col(lo1), col(lo2)), binWidth))
       .drop("_bin")
-  }
 }

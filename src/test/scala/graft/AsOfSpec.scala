@@ -37,6 +37,17 @@ class AsOfSpec extends SparkSpec {
     assert(run("forward", None) == Map(10L -> 91L, 11L -> 93L))
   }
 
+  test("backward tiebreak: largest tiebreak wins among equal-time rights") {
+    // pandas merge_asof backward keeps the LAST equal-time duplicate
+    val l = Seq((1L, ts(250), 10L)).toDF("k", "t", "lid")
+      .withColumn("tb", $"lid")
+    val r = Seq((1L, ts(200), 51L), (1L, ts(200), 50L))
+      .toDF("k", "t", "rid").withColumn("tb", $"rid")
+    val got = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid"), "tb")
+      .select($"asof_rid").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(51L))
+  }
+
   test("forward tiebreak: smallest tiebreak wins among equal-time rights") {
     // the reversed-sort O(n) frame must preserve the ascending-path rule
     val l = Seq((1L, ts(150), 10L)).toDF("k", "t", "lid")
@@ -63,21 +74,33 @@ class AsOfSpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     for (trial <- 1 to 4) {
       val nKeys = 3
+      // a SMALL time domain (40 draws from 60 instants) plants plenty of
+      // equal-time ties — including equal-time right duplicates, which the
+      // two directions break differently; a sparse domain would leave the
+      // duplicate-handling branch untested
       val l = (1 to 40).map { i =>
-        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong), i.toLong) }
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(60).toLong), i.toLong) }
       val r = (1 to 40).map { i =>
-        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(500).toLong),
+        (rnd.nextInt(nKeys).toLong, ts(rnd.nextInt(60).toLong),
           (100 + i).toLong) }
-      val gap = if (trial % 2 == 0) Some(60L) else None
+      val gap = if (trial % 2 == 0) Some(15L) else None
       for (dir <- Seq("backward", "forward")) {
         def brute(k: Long, t: Timestamp): Option[Long] = {
           val cand = r.filter(x => x._1 == k &&
             (if (dir == "backward") !x._2.after(t) else !x._2.before(t)))
           if (cand.isEmpty) None
           else {
-            // nearest time first, then smallest tiebreak (rid)
-            val best = cand.minBy(x =>
-              (math.abs(x._2.getTime - t.getTime), x._3))
+            // nearest time first; among equal-time duplicates pandas
+            // merge_asof keeps the row nearest in scan order: backward →
+            // LAST in (time, tiebreak) order (largest rid), forward →
+            // FIRST (smallest rid)
+            val best =
+              if (dir == "backward")
+                cand.minBy(x =>
+                  (math.abs(x._2.getTime - t.getTime), -x._3))
+              else
+                cand.minBy(x =>
+                  (math.abs(x._2.getTime - t.getTime), x._3))
             val far = gap.exists(g =>
               math.abs(best._2.getTime - t.getTime) > g * 1000L)
             if (far) None else Some(best._3)

@@ -18,6 +18,29 @@ abstract class SparkSpec extends AnyFunSuite {
   implicit lazy val spark: SparkSession = TestSpark.spark
   lazy val sqlImplicits = spark.implicits
 
-  def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Temp dir removed (recursively) when the test JVM exits — suites write
+    * parquet trees into these, so a bare createTempDirectory would leak
+    * them into /tmp across runs. */
+  def tmpDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    SparkSpec.cleanupOnExit(d)
+    d.toString
+  }
+}
+
+object SparkSpec {
+  private lazy val hook: java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path] = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }))
+    q
+  }
+  private def cleanupOnExit(p: java.nio.file.Path): Unit = hook.add(p)
 }

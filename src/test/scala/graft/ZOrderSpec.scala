@@ -38,7 +38,7 @@ class ZOrderSpec extends SparkSpec {
     val df = (1 to n).map(_ => (rnd.nextInt(10000).toLong,
       rnd.nextInt(10000).toLong, rnd.nextInt().toLong))
       .toDF("a", "b", "payload")
-    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val base = tmpDir("zorder")
     val nFiles = 16
 
     // linear layout: globally sorted by `a` alone
