@@ -86,7 +86,8 @@ object SparkEntry {
     "q65_bucketed_join"       -> (Relational.q65BucketedJoin _),
     "q66_zorder"              -> (Relational.q66Zorder _),
     "q67_pipeline"            -> (Analytics.q67Pipeline _),
-    "q68_range_join"          -> (Relational.q68RangeJoin _)
+    "q68_range_join"          -> (Relational.q68RangeJoin _),
+    "q69_heavy_hitters"       -> (Analytics.q69HeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Exact top-k frequent items at unbounded cardinality via a bounded-memory
+  * sketch: per-partition Misra-Gries summaries nominate candidates, then one
+  * filtered exact count ranks them. The composition is the same
+  * candidates-then-verify shape as the LSH dedup stack — the sketch may
+  * over-nominate but the emitted counts are EXACT, so results are
+  * oracle-checkable (a plain GROUP BY / ORDER BY / LIMIT twin).
+  *
+  * Why not a straight groupBy + top-k? That is exact too — but its hash
+  * aggregate keys on every distinct item, so a 100 TB corpus of
+  * near-unique n-grams builds a distinct-cardinality-sized hash table and
+  * shuffles it. Here the only full-cardinality structure is m counters per
+  * partition, the shuffle carries candidate items only (≤ partitions × m,
+  * and the broadcast side is just the deduped candidates), and the second
+  * pass aggregates a corpus filtered down to those candidates.
+  *
+  * Correctness bound (textbook Misra-Gries + an averaging argument): MG
+  * with capacity m retains every item whose partition frequency exceeds
+  * N_p/(m+1); if an item's GLOBAL frequency exceeds N/(m+1) then some
+  * partition has f_p > N_p/(m+1) (otherwise summing the per-partition
+  * bounds contradicts the global one), so the candidate union contains
+  * every item with global share > 1/(m+1). The top-k result is therefore
+  * exact whenever the true k-th frequency exceeds N/(m+1) — size m ≳
+  * N/f_k with margin, and the HeavyHittersSpec pins this boundary on
+  * crafted data where the sketch is genuinely lossy.
+  */
+object HeavyHitters {
+
+  /** Misra-Gries summary of one partition's stream: at most `m` counters;
+    * an arrival of an untracked item at capacity decrements every counter
+    * (dropping zeros) instead of evicting one — the classic amortized-O(1)
+    * frequent-items sketch. Returns the surviving (candidate) items. */
+  private[graft] def misraGries(it: Iterator[String],
+                                m: Int): Iterator[String] = {
+    val counts = new java.util.HashMap[String, Long](m * 2)
+    while (it.hasNext) {
+      val x = it.next()
+      val c = counts.getOrDefault(x, 0L)
+      if (c > 0L) counts.put(x, c + 1L)
+      else if (counts.size < m) counts.put(x, 1L)
+      else {
+        val entries = counts.entrySet().iterator()
+        while (entries.hasNext) {
+          val e = entries.next()
+          if (e.getValue == 1L) entries.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.keySet().iterator().asScala
+  }
+
+  /** Exact top-`k` of `items` by count (ties broken by item, so the result
+    * is deterministic and cross-engine comparable), with per-partition
+    * sketch capacity `m`. Two passes over `items`: one mapPartitions
+    * sketch pass (the textbook per-partition-imperative case), one
+    * candidate-filtered count pass. */
+  def topK(items: Dataset[String], k: Int, m: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(m >= k, s"sketch capacity $m < k=$k")
+    val candidates = items.mapPartitions(misraGries(_, m))(Encoders.STRING)
+      .distinct().toDF("item")
+    items.toDF("item")
+      .join(broadcast(candidates), "item")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(k)
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, HeavyHitters, Multimodal, Similarity}
 import graft.sources.Tables
 
 /** Large-scale training-data-pipeline operators (BASELINE.json north star):
@@ -318,6 +318,22 @@ object Analytics {
       canonical.select(col("doc_id"), col("n_tok")).localCheckpoint(),
       contextTokens = 2048,
       nBuckets = packBuckets(s.sparkContext.defaultParallelism))
+  }
+
+  /** Corpus-wide frequent word-bigrams by DOCUMENT frequency (each doc
+    * contributes a bigram once — the boilerplate-detection notion), ranked
+    * exactly through the Misra-Gries candidates-then-verify operator. The
+    * per-partition capacity is sized from the guarantee, not the data:
+    * the result is exact while the true 20th doc-frequency exceeds
+    * N/(m+1) ≈ 0.1% of gram instances (measured floor here is ~4×
+    * that, scale-invariant since the vocabulary is fixed). */
+  def q69HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = t(s, dir)("documents")
+      .select(explode(TextFunctions.shingles(col("text"), 2)).as("g"))
+      .select(col("g")).as[String]
+    HeavyHitters.topK(grams, k = 20, m = 1024)
+      .select(col("item").as("gram"), col("cnt").as("n_docs"))
   }
 
   def q56SequencePack(s: SparkSession, dir: String): DataFrame =

@@ -463,6 +463,20 @@ object AnalyticsOracles {
         |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
         |  CAST(start // 2048 AS INTEGER) AS chunk_id,
         |  CAST(start % 2048 AS INTEGER) AS chunk_offset
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the sketch only nominates candidates; emitted counts are exact, so
+    // the oracle is the plain distinct-bigram doc-frequency top-k
+    "q69_heavy_hitters" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS a FROM documents),
+        |g AS (
+        |  SELECT unnest(list_distinct(
+        |    list_transform(range(1, len(a)), i -> a[i] || ' ' || a[i+1])))
+        |    AS gram
+        |  FROM d)
+        |SELECT gram, count(*) AS n_docs
+        |FROM g GROUP BY gram
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
   )
 }

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.HeavyHitters
+
+/** Misra-Gries heavy hitters: exact top-k whenever the k-th frequency
+  * clears the N/(m+1) guarantee, pinned in the regime where the sketch is
+  * GENUINELY lossy (capacity far below the cardinality), plus the local
+  * sketch's retention theorem on a single stream. */
+class HeavyHittersSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("local sketch retains every item with frequency > N/(m+1)") {
+    // 10k-item stream: one item at 6% + uniform junk; m = 31 → threshold
+    // N/(m+1) ≈ 3.1% — the sketch must keep the 6% item through ~300
+    // decrement storms caused by 9400 near-unique junk items
+    val rnd = new scala.util.Random(23)
+    val stream = new scala.util.Random(29).shuffle(
+      (Seq.fill(600)("HOT") ++ (1 to 9400).map(_ => s"junk${rnd.nextInt(5000)}"))
+        .toList)
+    val kept = HeavyHitters.misraGries(stream.iterator, 31).toSet
+    assert(kept.contains("HOT"))
+    assert(kept.size <= 31)
+  }
+
+  test("exact top-k on skewed data while the sketch is lossy; ≡ brute force") {
+    // 8 planted heavy items (shares 2–6%) over ~4k-distinct uniform noise,
+    // split across 8 partitions; m = 64 « 4k distinct, so per-partition
+    // sketches churn constantly — yet the verified top-8 must be exact
+    val rnd = new scala.util.Random(31)
+    val hot = (1 to 8).map(i => Seq.fill(200 + 100 * i)(s"hot$i")).flatten
+    val noise = (1 to 20000).map(_ => s"n${rnd.nextInt(4000)}")
+    val data = new scala.util.Random(37).shuffle((hot ++ noise).toList)
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, n) => (-n, item) }.take(8)
+    val ds = data.toDF("item").repartition(8).select($"item").as[String]
+    val got = HeavyHitters.topK(ds, k = 8, m = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("ties rank deterministically by item") {
+    val ds = Seq("b", "a", "b", "a", "c").toDF("item").select($"item").as[String]
+    val got = HeavyHitters.topK(ds, k = 3, m = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+}
