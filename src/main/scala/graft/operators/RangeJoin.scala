@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * hash shuffle on the bin id plus Σ(interval length / binWidth) exploded
   * rows; pick `binWidth` near the median interval length so most intervals
   * land in O(1) bins. Degenerate long intervals cost their length/width in
-  * exploded rows — still linear, never quadratic.
+  * exploded rows — still linear, never quadratic. A HOT bin (a time spike)
+  * is ordinary equi-join skew after the rewrite, so AQE's skew-join split
+  * handles it — no bespoke mitigation needed, which is the point of
+  * reducing to the shapes the optimizer already understands.
   */
 object RangeJoin {
 

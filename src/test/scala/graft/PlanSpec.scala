@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Relational
+import graft.sources.Tables
 
 /** Physical-plan assertions: the properties that matter at 100 TB must be
   * visible in the plan, not assumed — broadcast of the per-user dim side,
@@ -123,5 +124,35 @@ class PlanSpec extends SparkSpec {
     // `*(n)` prefixes mark WholeStageCodegen stages in the plan string
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1)"), s"no codegen span:\n$p")
+  }
+
+  test("runtime bloom-filter injection fires on a selective shuffled join") {
+    // At production scale Spark injects a bloom filter from a selective
+    // build side into the probe side's scan (InjectRuntimeFilter, on by
+    // default) — but only when the probe scan exceeds
+    // applicationSideScanSizeThreshold (10 GB), so test-scale plans never
+    // show it. Pin the behavior with the thresholds floored: the big side
+    // of a shuffled join must carry BloomFilterMightContain, proving the
+    // engine's joins are eligible for the filter where it matters.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force the shuffle path
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables(spark, dir, "lineitem")
+      val dim = Tables(spark, dir, "part")
+        .where(org.apache.spark.sql.functions.col("p_partkey") < 50)
+      val joined = li.join(dim,
+        li("l_partkey") === dim("p_partkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no bloom filter injected:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 }
