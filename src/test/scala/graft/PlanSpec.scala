@@ -87,6 +87,37 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no catalog query plans an unpartitioned Window over data rows") {
+    // The other 100 TB chokepoint class: a Window with an empty
+    // PARTITION BY drags every row through ONE task. The engine's designs
+    // route around it everywhere (q56's driver-side bucket-offset scan,
+    // q09/q40's per-user partitions, q10's keyed header union) — the sweep
+    // currently holds with NO exceptions; if a future query needs an
+    // unpartitioned window over a provably tiny frame, allowlist it here
+    // with the size argument.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val allowed = Map.empty[String, String]
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(walk)
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !allowed.contains(name) =>
+        walk(fn(spark, dir).queryExecution.executedPlan).collectFirst {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            s"$name: unpartitioned Window(${w.windowExpression.take(1)})"
+        }
+      case _ => None
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("q25: LSH band join shuffles ids only — no vector payload") {
     // The banded candidate join must carry (id|qid, tbl, bucket) per row;
     // vectors rejoin BY ID after candidate dedup. A regression that bands
