@@ -36,18 +36,21 @@ object HeavyHitters {
     * frequent-items sketch. Returns the surviving (candidate) items. */
   private[graft] def misraGries(it: Iterator[String],
                                 m: Int): Iterator[String] = {
-    val counts = new java.util.HashMap[String, Long](m * 2)
+    // counter cells are mutated in place (long[1]) — a Long value would
+    // box on every update, per-row garbage on the pass the sketch exists
+    // to make cheap
+    val counts = new java.util.HashMap[String, Array[Long]](m * 2)
     while (it.hasNext) {
       val x = it.next()
-      val c = counts.getOrDefault(x, 0L)
-      if (c > 0L) counts.put(x, c + 1L)
-      else if (counts.size < m) counts.put(x, 1L)
+      val cell = counts.get(x)
+      if (cell != null) cell(0) += 1L
+      else if (counts.size < m) counts.put(x, Array(1L))
       else {
         val entries = counts.entrySet().iterator()
         while (entries.hasNext) {
           val e = entries.next()
-          if (e.getValue == 1L) entries.remove()
-          else e.setValue(e.getValue - 1L)
+          val v = e.getValue
+          if (v(0) == 1L) entries.remove() else v(0) -= 1L
         }
       }
     }

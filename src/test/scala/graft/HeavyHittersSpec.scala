@@ -25,11 +25,15 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("exact top-k on skewed data while the sketch is lossy; ≡ brute force") {
-    // 8 planted heavy items (shares 2–6%) over ~4k-distinct uniform noise,
-    // split across 8 partitions; m = 64 « 4k distinct, so per-partition
-    // sketches churn constantly — yet the verified top-8 must be exact
+    // 8 planted heavy items over ~4k-distinct uniform noise, split across
+    // 8 partitions; m = 64 « 4k distinct, so per-partition sketches churn
+    // constantly. Every planted count must CLEAR the guarantee, not rest
+    // on partition-layout luck: N = 7600 + 20000 = 27600, threshold
+    // N/(m+1) = 27600/65 ≈ 425, and the smallest plant is 600 (2.2%,
+    // 1.4× the threshold; the largest is 1300 ≈ 4.7%) — the averaging
+    // argument then guarantees nomination whatever the row layout.
     val rnd = new scala.util.Random(31)
-    val hot = (1 to 8).map(i => Seq.fill(200 + 100 * i)(s"hot$i")).flatten
+    val hot = (1 to 8).map(i => Seq.fill(500 + 100 * i)(s"hot$i")).flatten
     val noise = (1 to 20000).map(_ => s"n${rnd.nextInt(4000)}")
     val data = new scala.util.Random(37).shuffle((hot ++ noise).toList)
     val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq

@@ -15,6 +15,29 @@ class PlanSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** AQE- and SUBQUERY-aware plan traversal: descends into finalized
+    * adaptive plans, materialized query stages, and subquery plans (a
+    * Window inside a scalar subquery must not escape the sweeps). One
+    * shared copy — plan-walking tests must not each grow their own. */
+  private def walkPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val extra = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ extra ++ p.subqueries).flatMap(walkPlan)
+  }
+
+  /** Every catalog query's executed plan, built ONCE — both whole-catalog
+    * sweeps assert over this list (re-planning 69 queries per sweep would
+    * also re-fire the eager stats jobs some constructors run). */
+  private lazy val catalogPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> fn(spark, dir).queryExecution.executedPlan
+    }
+
   test("q19 flagship: userstats join is broadcast, date filter pushed to scan") {
     val p = plan(Relational.q19ProgressReport(spark, dir))
     assert(p.contains("BroadcastHashJoin"), "userstats should broadcast")
@@ -75,14 +98,13 @@ class PlanSpec extends SparkSpec {
       "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
       "q51_gapfill" // broadcast calendar grid (users × bounded date range)
     )
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
-        val cart = p.contains("CartesianProduct")
-        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
-        if (cart) Some(s"$name: CartesianProduct")
-        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
-        else None
+    val offenders = catalogPlans.flatMap { case (name, plan) =>
+      val p = plan.toString
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
@@ -95,21 +117,11 @@ class PlanSpec extends SparkSpec {
     // currently holds with NO exceptions; if a future query needs an
     // unpartitioned window over a provably tiny frame, allowlist it here
     // with the size argument.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.window.WindowExec
     val allowed = Map.empty[String, String]
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val extra = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ extra).flatMap(walk)
-    }
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) if !allowed.contains(name) =>
-        walk(fn(spark, dir).queryExecution.executedPlan).collectFirst {
+    val offenders = catalogPlans.flatMap {
+      case (name, plan) if !allowed.contains(name) =>
+        walkPlan(plan).collectFirst {
           case w: WindowExec if w.partitionSpec.isEmpty =>
             s"$name: unpartitioned Window(${w.windowExpression.take(1)})"
         }
@@ -123,20 +135,10 @@ class PlanSpec extends SparkSpec {
     // vectors rejoin BY ID after candidate dedup. A regression that bands
     // with `v`/`nrm` riding along shuffles `tables` copies of every
     // embedding — invisible in results, fatal at 100 TB.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.joins.BaseJoinExec
     val df = graft.queries.Analytics.q25KnnLsh(spark, dir)
     df.collect() // finalize the adaptive plan
-    def walk(p: SparkPlan): Seq[SparkPlan] = {
-      val extra = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case qs: QueryStageExec => Seq(qs.plan)
-        case _ => Seq.empty
-      }
-      p +: (p.children ++ extra).flatMap(walk)
-    }
-    val bandJoins = walk(df.queryExecution.executedPlan).collect {
+    val bandJoins = walkPlan(df.queryExecution.executedPlan).collect {
       case j: BaseJoinExec
           if j.leftKeys.map(_.toString).exists(_.contains("tbl")) => j
     }
