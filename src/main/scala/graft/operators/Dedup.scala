@@ -147,7 +147,11 @@ object Dedup {
     * "Connected Components in MapReduce and Beyond", SoCC'14). Converges in
     * O(log n) rounds regardless of component diameter — min-label
     * propagation is O(diameter), and chained near-dups are exactly the
-    * long-diameter case. Scale discipline per round:
+    * long-diameter case. Below `smallGraphThreshold` pairs the whole loop
+    * is replaced by a driver-side union-find (an adaptive decision in the
+    * AQE-broadcast spirit — near-dup graphs are routinely tiny relative to
+    * their corpus, and each star round costs ~2 shuffle jobs); the
+    * distributed loop's scale discipline per round:
     *   - ONE action: the new edge set is materialized eagerly (truncating
     *     lineage so it cannot grow with the iteration count), and the
     *     convergence fingerprint rides on that same job via `observe()` —
@@ -175,9 +179,10 @@ object Dedup {
     * loop's working sets are freed before returning. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 30,
                           checkpointDir: Option[String] = None,
-                          reliableInterval: Int = 5): DataFrame =
+                          reliableInterval: Int = 5,
+                          smallGraphThreshold: Long = 100000L): DataFrame =
     connectedComponentsWithHook(pairs, maxIters, checkpointDir,
-      reliableInterval, _ => ())
+      reliableInterval, smallGraphThreshold, _ => ())
 
   /** [[connectedComponents]] with a between-rounds seam: `onRoundEnd(iter)`
     * fires after each round's action and convergence bookkeeping. Test-only
@@ -185,7 +190,8 @@ object Dedup {
     * block between rounds and prove reliable mode converges anyway. */
   private[graft] def connectedComponentsWithHook(
       pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
-      reliableInterval: Int, onRoundEnd: Int => Unit): DataFrame = {
+      reliableInterval: Int, smallGraphThreshold: Long,
+      onRoundEnd: Int => Unit): DataFrame = {
     val spark = pairs.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
@@ -250,6 +256,43 @@ object Dedup {
     // and cut its lineage; the loop re-reads it only to seed nodes/edges.
     val p = stage(pairs.select(col("id1").as("a"), col("id2").as("b"))
       .where(col("a") =!= col("b")))
+
+    // ADAPTIVE small-graph path — same spirit as AQE's broadcast decision:
+    // the star rounds cost ~2 shuffle jobs each, and a near-dup pair graph
+    // is routinely tiny relative to its corpus (pairs ≪ docs), so below
+    // the threshold a driver-side union-find replaces the whole loop. The
+    // count is a cheap job over the just-persisted blocks; 100k pairs
+    // collect as ~1.6 MB. Semantics identical to the fixed point (every
+    // endpoint → min id of its component — the CC property spec runs both
+    // paths against the same ground truth); the distributed loop runs
+    // unchanged above the threshold, where 100 TB graphs live.
+    val idsAreLong = p.schema.fields
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (idsAreLong && p.count() <= smallGraphThreshold) {
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = ids.groupBy(find).map { case (r, members) =>
+        r -> members.min }
+      val rows = ids.map(id => (id, minOfRoot(find(id))))
+      free(p)
+      import pairs.sparkSession.implicits._
+      return rows.toSeq.toDF("id", "cluster")
+    }
+
     val nodes = stage(p.select(col("a").as("id"))
       .unionAll(p.select(col("b").as("id")))
       .distinct())

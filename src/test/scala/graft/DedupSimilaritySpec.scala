@@ -73,7 +73,8 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq(100L -> 100L, 101L -> 100L, 102L -> 100L, 200L -> 200L, 201L -> 200L)).toSet
 
     val before = spark.sparkContext.getPersistentRDDs.size
-    val local = Dedup.connectedComponents(pairs).collect()
+    val local = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(local == expect)
     // superseded per-round checkpoints are reclaimed: a ~7-round run must
@@ -84,7 +85,8 @@ class DedupSimilaritySpec extends SparkSpec {
 
     // reliable checkpoint-dir mode: identical clusters
     val reliable = Dedup.connectedComponents(pairs,
-      checkpointDir = Some(tmpDir("cc-ckpt")), reliableInterval = 2).collect()
+      checkpointDir = Some(tmpDir("cc-ckpt")), reliableInterval = 2,
+      smallGraphThreshold = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(reliable == expect)
 
@@ -93,7 +95,8 @@ class DedupSimilaritySpec extends SparkSpec {
     // twice and collapsing the convergence fingerprint to (2n, 0, 0)
     val ckptDir = tmpDir("cc-ckpt-all")
     val allReliable = Dedup.connectedComponents(pairs,
-      checkpointDir = Some(ckptDir), reliableInterval = 1).collect()
+      checkpointDir = Some(ckptDir), reliableInterval = 1,
+      smallGraphThreshold = 0L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(allReliable == expect)
     // superseded reliable rounds must have deleted their checkpoint files;
@@ -117,13 +120,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val evict = (_: Int) => spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
     val got = Dedup.connectedComponentsWithHook(pairs, 30,
-      Some(tmpDir("cc-evict")), 1, evict).collect()
+      Some(tmpDir("cc-evict")), 1, 0L, evict).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expect)
     // contrast — the local-only path cannot recover from the same loss,
     // which is exactly why the reliable mode exists
     intercept[org.apache.spark.SparkException] {
-      Dedup.connectedComponentsWithHook(pairs, 30, None, 1, evict).collect()
+      Dedup.connectedComponentsWithHook(pairs, 30, None, 1, 0L, evict)
+        .collect()
     }
   }
 

@@ -43,8 +43,14 @@ class PropertySpec extends SparkSpec {
       Gen.zip(Gen.chooseNum(0L, 29L), Gen.chooseNum(0L, 29L)))
     samples(edgeGen, 5).foreach { edges =>
       val df = edges.toDF("id1", "id2")
-      val got = graft.operators.Dedup.connectedComponents(df).collect()
+      // threshold 0 forces the distributed star loop; the default takes
+      // the driver union-find fast path — BOTH must match ground truth
+      val got = graft.operators.Dedup
+        .connectedComponents(df, smallGraphThreshold = 0L).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val gotFast = graft.operators.Dedup.connectedComponents(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotFast == got, "fast path diverges from the star loop")
 
       // union-find truth (min id as representative)
       val parent = scala.collection.mutable.Map[Long, Long]()
