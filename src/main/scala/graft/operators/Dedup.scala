@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for training-data pipelines, each designed to
-  * scale: no driver-side collection, no unbounded cross join — candidate
+  * scale: driver-side collection only behind an explicit bounded threshold
+  * (the CC small-graph fast path), no unbounded cross join — candidate
   * generation always goes through a hash-partitioned equi-join (exact key,
   * LSH band, simhash band, or shingle), so the shuffle key is the thing
   * being matched and skew stays bounded by band width.
@@ -243,33 +244,38 @@ object Dedup {
     // Dataset.checkpoint(eager) on an unpersisted plan computes it TWICE
     // (count job + checkpoint-write job) — for the pair source that would
     // double the dominant LSH cost of the whole operator.
-    def stage(df: DataFrame): DataFrame = {
-      val local = df.localCheckpoint(eager = true)
+    def promote(local: DataFrame): DataFrame =
       if (checkpointDir.isDefined) {
         val reliable = local.checkpoint(eager = true)
         free(local)
         reliable
       } else local
-    }
+    def stage(df: DataFrame): DataFrame =
+      promote(df.localCheckpoint(eager = true))
 
-    // Materialize the (expensive — usually an LSH pipeline) pair source once
-    // and cut its lineage; the loop re-reads it only to seed nodes/edges.
-    val p = stage(pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .where(col("a") =!= col("b")))
+    // Materialize the (expensive — usually an LSH pipeline) pair source
+    // once and cut its lineage; the loop re-reads it only to seed
+    // nodes/edges. LOCAL first: the small-graph decision below must happen
+    // before any reliable promotion, or a small reliable-mode graph would
+    // pay a distributed checkpoint write just to delete it again.
+    val pLocal = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .where(col("a") =!= col("b"))
+      .localCheckpoint(eager = true)
 
     // ADAPTIVE small-graph path — same spirit as AQE's broadcast decision:
     // the star rounds cost ~2 shuffle jobs each, and a near-dup pair graph
-    // is routinely tiny relative to its corpus (pairs ≪ docs), so below
-    // the threshold a driver-side union-find replaces the whole loop. The
-    // count is a cheap job over the just-persisted blocks; 100k pairs
+    // is routinely tiny relative to its corpus (pairs ≪ docs), so under
+    // the threshold (strictly: `< threshold`, so 0 disables the path even
+    // for empty inputs) a driver-side union-find replaces the whole loop.
+    // The count is a cheap job over the just-persisted blocks; 100k pairs
     // collect as ~1.6 MB. Semantics identical to the fixed point (every
     // endpoint → min id of its component — the CC property spec runs both
     // paths against the same ground truth); the distributed loop runs
     // unchanged above the threshold, where 100 TB graphs live.
-    val idsAreLong = p.schema.fields
+    val idsAreLong = pLocal.schema.fields
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (idsAreLong && p.count() <= smallGraphThreshold) {
-      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (idsAreLong && pLocal.count() < smallGraphThreshold) {
+      val edges = pLocal.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -284,14 +290,15 @@ object Dedup {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // union-by-min + all-singleton start ⇒ each component's root IS its
+      // min id, so find(id) is already the cluster label
       val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      val minOfRoot = ids.groupBy(find).map { case (r, members) =>
-        r -> members.min }
-      val rows = ids.map(id => (id, minOfRoot(find(id))))
-      free(p)
+      val rows = ids.map(id => (id, find(id)))
+      free(pLocal)
       import pairs.sparkSession.implicits._
       return rows.toSeq.toDF("id", "cluster")
     }
+    val p = promote(pLocal)
 
     val nodes = stage(p.select(col("a").as("id"))
       .unionAll(p.select(col("b").as("id")))
