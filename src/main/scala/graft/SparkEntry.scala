@@ -87,11 +87,13 @@ object SparkEntry {
     "q66_zorder"              -> (Relational.q66Zorder _),
     "q67_pipeline"            -> (Analytics.q67Pipeline _),
     "q68_range_join"          -> (Relational.q68RangeJoin _),
-    "q69_heavy_hitters"       -> (Analytics.q69HeavyHitters _)
+    "q69_heavy_hitters"       -> (Analytics.q69HeavyHitters _),
+    "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q23/q25 — xxhash64-based internals; driver records rows-only). */
+    * the same parquet tables. Omitted only where the result is not
+    * cross-engine reproducible (q73 — iterated float k-means centroids;
+    * driver records rows-only, RecallSpec pins the floor). */
   def oracleSql: Map[String, String] = RelationalOracles.sql ++ AnalyticsOracles.sql
 }

@@ -55,10 +55,12 @@ object VectorFunctions {
     * the weights precomputed at plan construction; the interpreted HOF
     * composition ([[hyperplaneSignatureComposed]], the spec reference)
     * re-derived every weight per row. */
-  def hyperplaneSignature(v: Column, dim: Int, nbits: Int): Column =
+  def hyperplaneSignature(v: Column, dim: Int, nbits: Int,
+                          portable: Boolean = false): Column =
     org.apache.spark.sql.graft.ColumnShim.column(
       graft.plans.HyperplaneSig(
-        org.apache.spark.sql.graft.ColumnShim.expression(v), dim, nbits))
+        org.apache.spark.sql.graft.ColumnShim.expression(v), dim, nbits,
+        portable))
 
   /** The pre-codegen composition — spec reference for
     * [[hyperplaneSignature]] parity. Per-plane weight arrays are generated

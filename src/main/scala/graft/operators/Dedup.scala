@@ -374,12 +374,19 @@ object Dedup {
     * this emits one hash per input ROW, where the old groupBy incidentally
     * merged votes across duplicate-id rows (an accidental semantic no
     * caller relied on; callers that accept untrusted batches guard ids
-    * explicitly, e.g. streaming.DocStream). */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * explicitly, e.g. streaming.DocStream).
+    *
+    * `portable = true` derives the per-token hash from md5 instead of
+    * xxhash64 ([[graft.plans.PortableHashKernel]]) so an external engine
+    * can recompute the simhash — the mode the DuckDB-oracle catalog query
+    * runs in. Default stays xxhash64 (faster per token; no MD5). */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              portable: Boolean = false): DataFrame = {
     graft.plans.TextExpressions.register(df.sparkSession)
+    val fn = if (portable) "simhash64_portable" else "simhash64"
     df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        call_function("simhash64", tokens(col(textCol))).as("simhash"))
+        call_function(fn, tokens(col(textCol))).as("simhash"))
   }
 
   /** Drop rows whose (bucket-key) group exceeds `maxBucket` members — the
@@ -430,9 +437,10 @@ object Dedup {
     * pigeonhole bands, posting-list capped. */
   private[graft] def simhashBanded(df: DataFrame, idCol: String,
                                    textCol: String, maxHamming: Int,
-                                   maxBucket: Int): DataFrame =
+                                   maxBucket: Int,
+                                   portable: Boolean = false): DataFrame =
     cappedBuckets(
-      simhash(df, idCol, textCol)
+      simhash(df, idCol, textCol, portable)
         .select(col("id"), col("simhash"),
           explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
         .select(col("id"), col("simhash"),
@@ -441,8 +449,10 @@ object Dedup {
 
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3,
-                          maxBucket: Int = Int.MaxValue): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol, maxHamming, maxBucket)
+                          maxBucket: Int = Int.MaxValue,
+                          portable: Boolean = false): DataFrame = {
+    val banded =
+      simhashBanded(df, idCol, textCol, maxHamming, maxBucket, portable)
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

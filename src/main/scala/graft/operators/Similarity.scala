@@ -114,7 +114,8 @@ object Similarity {
     * where neighbors sit at cos ≥ 0.8. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
               queryPred: Column, k: Int,
-              tables: Int = 21, bitsPerTable: Int = 3): DataFrame = {
+              tables: Int = 21, bitsPerTable: Int = 3,
+              portable: Boolean = false): DataFrame = {
     require(tables * bitsPerTable <= 64,
       s"signature needs ${tables * bitsPerTable} bits; max 64")
     val mask = (1L << bitsPerTable) - 1
@@ -132,7 +133,8 @@ object Similarity {
     // columns absent from the band-join shuffle.
     val banded = base
       .select(col("id"),
-        hyperplaneSignature(col("v"), dim, tables * bitsPerTable).as("sig"))
+        hyperplaneSignature(col("v"), dim, tables * bitsPerTable, portable)
+          .as("sig"))
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
       .withColumn("bucket",
@@ -171,10 +173,18 @@ object Similarity {
     * recall) on clustered corpora. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               nCentroids: Int, nProbe: Int, queryPred: Column,
-              k: Int, kmeansIters: Int = 0): DataFrame = {
+              k: Int, kmeansIters: Int = 0,
+              portable: Boolean = false): DataFrame = {
     val base = prepared(emb, idCol, vecCol)
+    // portable seed hash: md5-derived so a DuckDB oracle can re-pick the
+    // same seed centroids (see graft.plans.PortableHashKernel); id cast to
+    // its decimal string = what every engine's VARCHAR cast produces
+    val seedHash =
+      if (portable)
+        graft.functions.PortableHash.md5Head60(col("id").cast("string"))
+      else xxhash64(col("id"))
     val seeds = base
-      .withColumn("h", xxhash64(col("id")))
+      .withColumn("h", seedHash)
       .orderBy(col("h"), col("id"))
       .limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))

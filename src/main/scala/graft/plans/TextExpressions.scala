@@ -99,10 +99,21 @@ case class MinHashSignature(child: Expression, numPerms: Int)
   * TextExpressionsSpec. An EMPTY array yields NULL (the explode emitted no
   * row for such a doc, so it vanished from the old output; a NULL here
   * likewise drops out of downstream band joins instead of colliding all
-  * empty docs at simhash 0). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+  * empty docs at simhash 0).
+  *
+  * `portable = true` swaps the per-token hash for
+  * [[PortableHashKernel.md5Head60]] (60 bits; bits 60–63 of the simhash are
+  * then always 0 — harmless: banding and Hamming verification are
+  * indifferent to constant bits). That mode is what lets a DuckDB oracle
+  * recompute the simhash exactly (md5 is universal; xxhash64 is not) — see
+  * PortableHashKernel. Same +1/−1 vote and strictly-positive bit rule in
+  * both modes; a NULL token hashes to 42 in both (xxhash64(NULL) = seed;
+  * kept identical so the modes differ ONLY in the hash family). */
+case class SimHash64(child: Expression, portable: Boolean = false)
+    extends UnaryExpression {
 
-  override def prettyName: String = "simhash64"
+  override def prettyName: String =
+    if (portable) "simhash64_portable" else "simhash64"
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -121,6 +132,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     while (i < n) {
       val h =
         if (arr.isNullAt(i)) 42L // xxhash64(NULL) = the seed
+        else if (portable) PortableHashKernel.md5Head60(arr.getUTF8String(i))
         else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       var b = 0
       while (b < 64) {
@@ -147,6 +159,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
+      val kernel = PortableHashKernel.getClass.getName + ".MODULE$"
+      val hashCall =
+        if (portable) s"$kernel.md5Head60($a.getUTF8String($i))"
+        else s"$xxh.hashUTF8String($a.getUTF8String($i), 42L)"
       s"""
          |int $n = $a.numElements();
          |if ($n == 0) {
@@ -156,7 +172,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |  for (int $i = 0; $i < $n; $i++) {
          |    long $h = $a.isNullAt($i)
          |      ? 42L
-         |      : $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |      : $hashCall;
          |    for (int $b = 0; $b < 64; $b++) {
          |      $votes[$b] += ((int) (($h >>> $b) & 1L) << 1) - 1;
          |    }
@@ -385,6 +401,12 @@ object TextExpressions {
         shId,
         new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
         (args: Seq[Expression]) => SimHash64(args(0)))
+    val shPortableId = new FunctionIdentifier("simhash64_portable")
+    if (!reg.functionExists(shPortableId))
+      reg.registerFunction(
+        shPortableId,
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64_portable"),
+        (args: Seq[Expression]) => SimHash64(args(0), portable = true))
     val shinglesId = new FunctionIdentifier("shingles")
     if (!reg.functionExists(shinglesId))
       reg.registerFunction(

@@ -132,13 +132,15 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
   * 0 of every LSH table as candidates — NULL drops them from the band
   * equi-join instead). Parity + divergences pinned in
   * VectorExpressionsSpec. */
-case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
+case class HyperplaneSig(child: Expression, dim: Int, nbits: Int,
+                         portable: Boolean = false)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(dim >= 1, s"dim $dim < 1")
   require(nbits >= 1 && nbits <= 64, s"nbits $nbits outside [1, 64]")
 
-  override def prettyName: String = "hyperplane_sig"
+  override def prettyName: String =
+    if (portable) "hyperplane_sig_portable" else "hyperplane_sig"
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -147,16 +149,24 @@ case class HyperplaneSig(child: Expression, dim: Int, nbits: Int)
       s"$prettyName requires ARRAY<DOUBLE>, got ${other.simpleString}")
   }
 
-  // identical derivation to (xxhash64(lit(p), d) % 1000003L) / 1000003.0
+  // default: identical derivation to (xxhash64(lit(p), d) % 1000003L)
+  //          / 1000003.0 (the composed spec reference).
+  // portable: md5-derived, signed-recentered ([[PortableHashKernel]]) so a
+  //          DuckDB oracle can regenerate the SAME plane grid from
+  //          md5('hp:p:d') — weights in (-1, 1) either way. Only the plane
+  //          grid changes; projection loop and bit rule are shared.
   private lazy val weights: Array[Double] = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val w = new Array[Double](nbits * dim)
     var p = 0
     while (p < nbits) {
-      val hp = XXH64.hashInt(p, 42L)
+      val hp = if (portable) 0L else XXH64.hashInt(p, 42L)
       var d = 0
       while (d < dim) {
-        w(p * dim + d) = (XXH64.hashInt(d, hp) % 1000003L).toDouble / 1000003.0
+        w(p * dim + d) =
+          if (portable)
+            PortableHashKernel.md5Signed(s"hp:$p:$d").toDouble / 1000003.0
+          else (XXH64.hashInt(d, hp) % 1000003L).toDouble / 1000003.0
         d += 1
       }
       p += 1

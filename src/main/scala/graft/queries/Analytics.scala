@@ -43,10 +43,14 @@ object Analytics {
       shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
-  // SimHash near-dup pairs (rows-only gate: xxhash64 isn't in DuckDB).
+  // SimHash near-dup pairs, portable-hash mode: per-token bits from md5
+  // (PortableHashKernel) so the DuckDB oracle recomputes the exact simhash —
+  // its all-pairs Hamming filter equals the banded join by the pigeonhole
+  // recall-1 guarantee. The xxhash64 default stays spec-covered
+  // (TextExpressionsSpec parity + RecallSpec floor).
   def q23SimhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir)("documents"), "doc_id", "text",
-      maxHamming = 3)
+      maxHamming = 3, portable = true)
       .orderBy(col("id1"), col("id2"))
 
   // Exact cosine top-5 for 8 query vectors against the whole corpus.
@@ -55,23 +59,41 @@ object Analytics {
       queryPred = col("id") < 8, k = 5)
       .orderBy(col("qid"), col("rank"))
 
-  // LSH-bucketed ANN, exact rerank of candidates (rows-only gate; RecallSpec
-  // pins recall >= 0.9 vs brute force at these parameters). 21 tables × 3
-  // bits: sized for this table's near-random neighbor structure (top-1
-  // cos ≈ 0.36) — see the lshTopK scaladoc for the parameter math.
+  // LSH-bucketed ANN, exact rerank of candidates, portable-hash mode: the
+  // hyperplane grid derives from md5('hp:p:d') so the DuckDB oracle rebuilds
+  // the same planes, signatures, buckets, and therefore the same candidate
+  // set — hash-matched end to end (RecallSpec still pins recall >= 0.9 vs
+  // brute force at these parameters). 21 tables × 3 bits: sized for this
+  // table's near-random neighbor structure (top-1 cos ≈ 0.36) — see the
+  // lshTopK scaladoc for the parameter math.
   def q25KnnLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
       dim = 64, queryPred = col("id") < 8, k = 5,
-      tables = 21, bitsPerTable = 3)
+      tables = 21, bitsPerTable = 3, portable = true)
       .orderBy(col("qid"), col("rank"))
 
-  // IVF-bucketed ANN (deterministic seed centroids; rows-only gate —
-  // RecallSpec pins recall >= 0.9 vs brute force). nProbe = 12 of 16: the
-  // embeddings table is near-random, so recall tracks nProbe/nCentroids;
-  // clustered corpora reach the same recall at far smaller ratios.
+  // IVF-bucketed ANN, portable-hash mode: seed centroids picked by the
+  // md5-derived id hash so the DuckDB oracle re-picks the same cells and
+  // replays assignment → probing → rerank exactly (hash-matched). nProbe =
+  // 14 of 16: the embeddings table is near-random, so recall tracks
+  // nProbe/nCentroids (the md5 seed draw measured 0.825 at 12/16 — below
+  // the 0.9 floor RecallSpec pins); clustered corpora reach the same
+  // recall at far smaller probe ratios.
   def q39KnnIvf(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
-      nCentroids = 16, nProbe = 12, queryPred = col("id") < 8, k = 5)
+      nCentroids = 16, nProbe = 14, queryPred = col("id") < 8, k = 5,
+      portable = true)
+      .orderBy(col("qid"), col("rank"))
+
+  // Refined IVF: 2 spherical-k-means rounds tighten the seed cells before
+  // assignment — the index-build path a clustered 100 TB corpus would use.
+  // Rows-only gate (iterated float centroid means are not reproducible
+  // cross-engine at the last ulp); RecallSpec pins recall >= 0.9 vs brute
+  // force at these parameters.
+  def q73KnnIvfRefined(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
+      nCentroids = 16, nProbe = 12, queryPred = col("id") < 8, k = 5,
+      kmeansIters = 2)
       .orderBy(col("qid"), col("rank"))
 
   // Language-ID heuristic.

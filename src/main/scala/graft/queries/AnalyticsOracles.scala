@@ -1,9 +1,47 @@
 package graft.queries
 
 /** DuckDB oracles for the SQL-expressible [[Analytics]] queries.
-  * q23/q25 are omitted (xxhash64-based — rows-only gate).
+  *
+  * q23/q25/q39 run their operators in portable-hash mode (bits/planes/seeds
+  * derived from md5 — [[graft.plans.PortableHashKernel]]), so their oracles
+  * regenerate the same hashes with `('0x' || substr(md5(x), 1, 15))::BIGINT`
+  * and replay the whole pipeline in SQL. Dot products go through DuckDB's
+  * `list_dot_product`, whose sequential accumulation matches the codegen
+  * [[graft.plans.DotProduct]] loop element for element, so even the SIGN of
+  * a hyperplane projection is bit-identical.
   */
 object AnalyticsOracles {
+
+  /** DuckDB twin of PortableHashKernel.md5Head60 over a SQL expression. */
+  private def md5Head60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Shared CTEs: embeddings as double lists + sequential-order norms
+    * (matches VectorFunctions.toDouble + l2Norm exactly). */
+  private val vecCtes: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM v)""".stripMargin
+
+  /** Shared tail: exact rerank of a `cand(qid, nid)` CTE to top-5 per
+    * query, same rounding and tie-break as Similarity.rankTopK. */
+  private val rerankTail: String =
+    """sims AS (
+      |  SELECT qid, nid,
+      |    round(list_dot_product(qv.vv, nv.vv) / (qn.nrm * nn.nrm), 6) AS sim
+      |  FROM cand
+      |  JOIN v qv ON qv.vec_id = qid
+      |  JOIN v nv ON nv.vec_id = nid
+      |  JOIN n qn ON qn.vec_id = qid
+      |  JOIN n nn ON nn.vec_id = nid),
+      |ranked AS (
+      |  SELECT qid, nid, sim,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |                            ORDER BY sim DESC, nid) AS INTEGER) AS rank
+      |  FROM sims)
+      |SELECT qid, rank, nid, sim FROM ranked
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   /** Shared CTE list: exact all-pairs n-gram jaccard over a doc universe.
     * Tokens are exploded with positions (zip-unnest), trigrams built by
@@ -46,6 +84,94 @@ object AnalyticsOracles {
     "q21_ngram_jaccard" -> jaccardSql("doc_id < 200", "0.2"),
 
     "q22_minhash_lsh" -> jaccardSql("true", "0.8"),
+
+    // portable simhash (md5-derived 60-bit token hash, +1/-1 bit votes,
+    // strictly-positive rule) recomputed per doc, then ALL-pairs Hamming —
+    // which equals the engine's banded join exactly: pigeonhole banding has
+    // recall 1 at hamming <= maxHamming, and the verify step drops the rest
+    "q23_simhash_neardup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${md5Head60("w")} AS h FROM tok),
+         |bits AS (SELECT CAST(unnest(range(60)) AS INTEGER) AS bit),
+         |votes AS (
+         |  SELECT doc_id, bit,
+         |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN bits GROUP BY doc_id, bit),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+         |         AS BIGINT) AS s
+         |  FROM votes GROUP BY doc_id)
+         |SELECT x.doc_id AS id1, y.doc_id AS id2,
+         |  CAST(bit_count(xor(x.s, y.s)) AS INTEGER) AS hamming
+         |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.s, y.s)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
+
+    // portable hyperplane LSH replayed end to end: the SAME md5-seeded
+    // plane grid -> signatures -> 21x3-bit buckets -> candidate set ->
+    // exact rerank. list() over an ORDER BY d grid keeps the dot-product
+    // accumulation order identical to the codegen loop, so projection
+    // signs (the signature bits) cannot diverge at the last ulp.
+    "q25_knn_lsh" ->
+      s"""WITH $vecCtes,
+         |grid AS (
+         |  SELECT p.p, d.d,
+         |    ((${md5Head60("'hp:' || CAST(p.p AS VARCHAR) || ':' || CAST(d.d AS VARCHAR)")}
+         |      % 2000005) - 1000002) / 1000003.0 AS w
+         |  FROM (SELECT CAST(unnest(range(63)) AS INTEGER) AS p) p
+         |  CROSS JOIN (SELECT CAST(unnest(range(64)) AS INTEGER) AS d) d),
+         |planes AS (SELECT p, list(w ORDER BY d) AS wv FROM grid GROUP BY p),
+         |sig AS (
+         |  SELECT vec_id,
+         |    CAST(sum(CASE WHEN list_dot_product(vv, wv) > 0
+         |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v CROSS JOIN planes GROUP BY vec_id),
+         |buckets AS (
+         |  SELECT vec_id, t.tbl, (sig >> (3 * t.tbl)) & 7 AS bucket
+         |  FROM sig
+         |  CROSS JOIN (SELECT CAST(unnest(range(21)) AS INTEGER) AS tbl) t),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         |  FROM buckets q
+         |  JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+         |$rerankTail""".stripMargin,
+
+    // portable IVF replayed end to end: md5-picked seed cells, nearest-cell
+    // assignment (tie: smallest cid), 14-of-16 probed cells per query,
+    // exact rerank within probed cells only
+    "q39_knn_ivf" ->
+      s"""WITH $vecCtes,
+         |seeds AS (
+         |  SELECT v.vec_id AS cid, vv AS cv, nrm AS cn
+         |  FROM v JOIN n ON n.vec_id = v.vec_id
+         |  ORDER BY ${md5Head60("CAST(v.vec_id AS VARCHAR)")}, v.vec_id
+         |  LIMIT 16),
+         |asg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, s.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
+         |        AS rn
+         |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT v.vec_id AS qid, s.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
+         |        AS rn
+         |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s
+         |    WHERE v.vec_id < 8)
+         |  WHERE rn <= 14),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN asg a ON a.cid = p.cid
+         |  WHERE a.vec_id <> p.qid),
+         |$rerankTail""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH el AS (
