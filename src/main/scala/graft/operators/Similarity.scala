@@ -247,10 +247,81 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to the
-    * id-range `pred` (at scale: LSH-bucket first, or cap the universe). */
+  /** Banding parameters (bitsPerTable, tables) for [[cosineNearDupPairs]],
+    * derived from the threshold via the hyperplane S-curve: a pair at
+    * cosine exactly `threshold` agrees on one bit with probability
+    * p = 1 − acos(threshold)/π, collides in a b-bit table with p^b, and is
+    * MISSED by all L tables with (1 − p^b)^L ≤ `miss`. The widest b whose
+    * required L still fits the 64-bit signature wins — wider tables mean
+    * smaller buckets (fewer junk candidates); the miss budget caps how wide
+    * we can afford to go. Any threshold ≥ 0 is satisfiable (worst case
+    * p = 0.5 needs 20 single-bit tables at miss = 1e-6). */
+  private[graft] def nearDupBanding(threshold: Double,
+                                    miss: Double = 1e-6): (Int, Int) = {
+    require(threshold >= 0.0 && threshold < 1.0,
+      s"threshold $threshold outside [0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    (8 to 1 by -1).iterator.map { b =>
+      val l = math.max(1,
+        math.ceil(math.log(miss) / math.log1p(-math.pow(p, b))).toInt)
+      (b, l)
+    }.find { case (b, l) => b * l <= 64 }.get
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to
+    * the id-range `pred`: hyperplane-LSH band candidates (the same banding
+    * machinery as [[lshTopK]], with (bits, tables) derived from the
+    * threshold by [[nearDupBanding]]) verified by exact cosine. Every join
+    * is a hash-partitioned equi-join — on (table, bucket) for candidates,
+    * on the id for the vector rejoin — so there is no broadcast or
+    * nested-loop ceiling anywhere; this replaced an all-pairs
+    * `id1 < id2` BNLJ that was only survivable behind a bounded `pred`.
+    *
+    * Recall is 1 − miss ≈ 1 − 1e-6 AT the threshold and strictly higher
+    * above it (the spec pins exact agreement with the brute-force pairs on
+    * the catalog data). Cost honesty: for LOW thresholds on unclustered
+    * data the S-curve forces narrow tables, buckets stay big, and the
+    * candidate set approaches all pairs — the verification is then the
+    * same O(n²) work brute force does, just shuffle-safe. Real near-dup
+    * corpora (τ ≥ 0.8, clustered) get wide tables and tiny buckets, which
+    * is the regime this operator exists for. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, pred: Column): DataFrame = {
+                         dim: Int, threshold: Double,
+                         pred: Column): DataFrame = {
+    val (bits, tables) = nearDupBanding(threshold)
+    val mask = (1L << bits) - 1
+    val base = prepared(emb.where(pred), idCol, vecCol)
+    // same consume-once banding discipline as lshTopK: explode the table
+    // index off the materialized signature, band frame carries ids only
+    val banded = base
+      .select(col("id"),
+        hyperplaneSignature(col("v"), dim, tables * bits).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(tables - 1))).as("tbl"))
+      .withColumn("bucket", expr(s"shiftright(sig, $bits * tbl) & $mask"))
+      .select(col("id"), col("tbl"), col("bucket"))
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"))
+      .distinct()
+    val sim = round(dotFast(col("v1"), col("v2")) / (col("n1") * col("n2")), 6)
+    candidates
+      .join(base.select(col("id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1")), "id1")
+      .join(base.select(col("id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), "id2")
+      .select(col("id1"), col("id2"), sim.as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
+  /** The all-pairs reference implementation — spec-only, kept as ground
+    * truth for the recall pin on [[cosineNearDupPairs]] (its `id1 < id2`
+    * self-join is the BNLJ anti-pattern the LSH composition removed). */
+  private[graft] def cosineNearDupPairsBrute(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, pred: Column): DataFrame = {
     val base = prepared(emb.where(pred), idCol, vecCol)
     val sim = round(dotFast(col("x.v"), col("y.v")) /
       (col("x.nrm") * col("y.nrm")), 6)

@@ -140,10 +140,15 @@ object Analytics {
         round(sum(cents(col("value"))) / 100.0, 2).as("total"))
       .orderBy(col("hour"), col("event_type"))
 
-  // Embedding-cosine near-duplicate pairs in a bounded universe.
+  // Embedding-cosine near-duplicate pairs: hyperplane-LSH candidates
+  // (banding derived from the threshold) + exact verify — every join an
+  // equi-join. The oracle stays the exact all-pairs computation: at the
+  // derived (2-bit × 28-table) banding the miss probability at sim = 0.4
+  // is ≤ 1e-6, so the candidate set covers every true pair (RecallSpec
+  // pins exact agreement with the brute-force reference).
   def q31EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(t(s, dir)("embeddings"), "vec_id",
-      "embedding", threshold = 0.4, pred = col("vec_id") < 256)
+      "embedding", dim = 64, threshold = 0.4, pred = col("vec_id") < 256)
       .orderBy(col("id1"), col("id2"))
 
   // Keep-first dedup of events by (user, type) — the batch twin of

@@ -195,7 +195,7 @@ class DedupSimilaritySpec extends SparkSpec {
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
     val got = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
-      0.9, lit(true)).select("id1", "id2").collect()
+      dim = 2, 0.9, lit(true)).select("id1", "id2").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((0L, 1L)))
   }

@@ -93,9 +93,9 @@ class PlanSpec extends SparkSpec {
     // side of a kNN scan.
     val bnljAllowed = Set(
       "q24_knn_brute", // broadcast query side vs corpus — by design
-      "q31_embed_neardup", // bounded-universe pairwise, id1<id2 — documented
       "q35_tfidf", // broadcast single-row corpus-size scalar
       "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
+      "q73_knn_ivf_refined", // broadcast-K centroid grid (K = nCentroids)
       "q51_gapfill" // broadcast calendar grid (users × bounded date range)
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>

@@ -46,6 +46,37 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("q31 LSH-banded cosine near-dup == brute-force pairs at catalog parameters") {
+    // the derived banding's miss probability at sim = threshold is <= 1e-6
+    // and the plane grid is fixed, so this is a deterministic equality, not
+    // a flaky sample: the candidate set must cover every true pair
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.cosineNearDupPairsBrute(
+      emb, "vec_id", "embedding", 0.4, col("vec_id") < 256))
+    val banded = pairSet(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", dim = 64, 0.4, col("vec_id") < 256))
+    assert(banded === brute,
+      s"missed ${brute -- banded}, extra ${banded -- brute}")
+    assert(brute.nonEmpty, "fixture has no near-dup pairs — vacuous test")
+  }
+
+  test("near-dup banding derivation follows the S-curve budget") {
+    // high threshold -> wide tables / few of them; low -> narrow but many;
+    // always within the 64-bit signature and the 1e-6 miss budget
+    Seq(0.0, 0.4, 0.8, 0.95).foreach { t =>
+      val (b, l) = Similarity.nearDupBanding(t)
+      assert(b * l <= 64, s"t=$t: $b*$l exceeds the signature")
+      val p = 1.0 - math.acos(t) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, b), l)
+      assert(miss <= 1e-6, s"t=$t: miss $miss over budget at ($b, $l)")
+    }
+    val (bLow, _) = Similarity.nearDupBanding(0.4)
+    val (bHigh, _) = Similarity.nearDupBanding(0.95)
+    assert(bHigh > bLow, "higher threshold must afford wider tables")
+  }
+
   test("q73 refined IVF: recall >= 0.9 vs brute-force at catalog parameters") {
     val truth = hitSet(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       col("id") < 8, k = 5))
