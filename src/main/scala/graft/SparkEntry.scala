@@ -88,6 +88,9 @@ object SparkEntry {
     "q67_pipeline"            -> (Analytics.q67Pipeline _),
     "q68_range_join"          -> (Relational.q68RangeJoin _),
     "q69_heavy_hitters"       -> (Analytics.q69HeavyHitters _),
+    "q70_approx_agg"          -> (Analytics.q70ApproxAgg _),
+    "q71_setops"              -> (Relational.q71SetOps _),
+    "q72_json_path"           -> (Relational.q72JsonPath _),
     "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _)
   )
 

@@ -553,6 +553,25 @@ object Analytics {
       .orderBy(col("lang"), col("split"))
   }
 
+  // Approximate profiling aggregates — the 100 TB first-look over a fact
+  // table: HyperLogLog++ distinct counts and a quantile sketch per group,
+  // one partial-aggregating pass, sketch-sized shuffle rows regardless of
+  // cardinality. Sketch internals are engine-specific (rows-only gate;
+  // ApproxSpec pins |approx − exact| within the configured error at these
+  // exact parameters on the same tables).
+  def q70ApproxAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02)
+          .as("approx_parts"),
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
+          .as("qty_p50_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

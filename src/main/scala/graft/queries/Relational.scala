@@ -575,4 +575,55 @@ object Relational {
           .cast("int").as("deficit_accumulated")) // W2 + F5
       .orderBy(col("o_custkey"), col("day_number"))
   }
+
+  // Set-operation breadth (SURVEY §2.7 noted the reference lacks them; SQL
+  // gets them free, but unexercised is unproven): the four set semantics
+  // over customer-key sets from two order-status slices, labeled and
+  // unioned so one result pins DISTINCT vs ALL behavior — intersectAll /
+  // exceptAll keep multiset multiplicity (min / difference of per-key
+  // counts), which the sorted hash compare is sensitive to.
+  def q71SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir)("orders")
+    def keys(status: String) = orders
+      .where(col("o_orderstatus") === status)
+      .select(col("o_custkey").as("custkey"))
+    val f = keys("F")
+    val o = keys("O")
+    f.intersect(o).select(lit("intersect").as("set_kind"), col("custkey"))
+      .unionAll(f.except(o)
+        .select(lit("except").as("set_kind"), col("custkey")))
+      .unionAll(f.intersectAll(o)
+        .select(lit("intersect_all").as("set_kind"), col("custkey")))
+      .unionAll(f.exceptAll(o)
+        .select(lit("except_all").as("set_kind"), col("custkey")))
+      .orderBy(col("set_kind"), col("custkey"))
+  }
+
+  // JSON-path breadth beyond q16's single field: a nested document (object
+  // in object, array) built with deterministic formatting from event
+  // columns, then extracted three ways — get_json_object dotted paths,
+  // from_json with a nested schema + struct field access, and an array
+  // index path. Money rides as integer cents so the JSON round-trip never
+  // touches double formatting.
+  def q72JsonPath(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir)("events")
+    val cents = round(col("value") * 100, 0).cast("long")
+    val js = concat(
+      lit("{\"t\":\""), col("event_type"),
+      lit("\",\"m\":{\"u\":"), col("user_id").cast("string"),
+      lit(",\"c\":"), cents.cast("string"),
+      lit("},\"ids\":["), col("event_id").cast("string"),
+      lit(","), col("user_id").cast("string"), lit("]}"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "t STRING, m STRUCT<u: BIGINT, c: BIGINT>, ids ARRAY<BIGINT>")
+    ev.select(col("event_id"), js.as("js"))
+      .select(
+        col("event_id"),
+        get_json_object(col("js"), "$.t").as("t"),
+        get_json_object(col("js"), "$.m.u").cast("long").as("u"),
+        from_json(col("js"), schema).getField("m").getField("c").as("c"),
+        element_at(from_json(col("js"), schema).getField("ids"), 1)
+          .as("first_id"))
+      .orderBy(col("event_id"))
+  }
 }

@@ -375,6 +375,44 @@ object RelationalOracles {
         |  FROM r JOIN p ON p.d BETWEEN r.lo AND r.lo + 7
         |  GROUP BY o_orderkey)
         |SELECT r.o_orderkey, coalesce(n, 0) AS n, coalesce(qty, 0) AS qty
-        |FROM r LEFT JOIN m USING (o_orderkey) ORDER BY o_orderkey""".stripMargin
+        |FROM r LEFT JOIN m USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
+
+    // all four set semantics in one labeled result — INTERSECT/EXCEPT ALL
+    // keep multiset multiplicity, which the sorted hash compare verifies
+    "q71_setops" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders
+        |           WHERE o_orderstatus = 'F'),
+        |o AS (SELECT o_custkey AS custkey FROM orders
+        |      WHERE o_orderstatus = 'O')
+        |SELECT 'intersect' AS set_kind, custkey FROM
+        |  (SELECT custkey FROM f INTERSECT SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT 'except', custkey FROM
+        |  (SELECT custkey FROM f EXCEPT SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT 'intersect_all', custkey FROM
+        |  (SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM o)
+        |UNION ALL
+        |SELECT 'except_all', custkey FROM
+        |  (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM o)
+        |ORDER BY set_kind, custkey""".stripMargin,
+
+    // nested-object + array JSON paths over an identically-formatted
+    // document (integer cents — no double formatting in the round-trip)
+    "q72_json_path" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"t":"' || event_type ||
+        |    '","m":{"u":' || CAST(user_id AS VARCHAR) ||
+        |    ',"c":' || CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR) ||
+        |    '},"ids":[' || CAST(event_id AS VARCHAR) ||
+        |    ',' || CAST(user_id AS VARCHAR) || ']}' AS js
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(js, '$.t') AS t,
+        |  CAST(json_extract(js, '$.m.u') AS BIGINT) AS u,
+        |  CAST(json_extract(js, '$.m.c') AS BIGINT) AS c,
+        |  CAST(json_extract(js, '$.ids[0]') AS BIGINT) AS first_id
+        |FROM j ORDER BY event_id""".stripMargin
   )
 }

@@ -32,4 +32,35 @@ class ApproxSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0)
   }
+
+  test("q70 catalog query: every approximate column within its configured error") {
+    // the driver sees q70 rows-only (sketches are engine-specific), so THIS
+    // is its correctness gate: same tables, same parameters, vs exact
+    val got = graft.queries.Analytics.q70ApproxAgg(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Double](3), r.getLong(4))).toMap
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("orders"),
+        countDistinct(col("l_partkey")).as("parts"),
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("pcts"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(exact.nonEmpty && exact.length == got.size)
+    exact.foreach { r =>
+      val flag = r.getString(0)
+      val (aOrders, aParts, aPcts, aN) = got(flag)
+      // HLL++ rsd 0.02 → 5 sigma would be wild; 5% is a generous pin
+      assert(math.abs(aOrders - r.getLong(1)).toDouble / r.getLong(1) < 0.05,
+        s"$flag orders: $aOrders vs ${r.getLong(1)}")
+      assert(math.abs(aParts - r.getLong(2)).toDouble / r.getLong(2) < 0.05,
+        s"$flag parts: $aParts vs ${r.getLong(2)}")
+      val ePcts = r.getSeq[Double](3)
+      aPcts.zip(ePcts).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(math.abs(a - e) <= 1.0, s"$flag p$i: $a vs $e")
+      }
+      assert(aN == r.getLong(4), s"$flag count must be exact")
+    }
+  }
 }
