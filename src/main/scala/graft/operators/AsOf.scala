@@ -36,7 +36,9 @@ object AsOf {
     *                   match in both directions
     * @param maxGapSeconds when set, a match farther than this from the left
     *                   time is nulled out (the left row is kept — pandas
-    *                   merge_asof tolerance semantics). Requires TIMESTAMP
+    *                   merge_asof tolerance semantics). Compared at
+    *                   microsecond precision: a right row 3600.9 s away
+    *                   fails a 3600 s tolerance. Requires TIMESTAMP
     *                   time columns. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
@@ -89,11 +91,14 @@ object AsOf {
     val carried = carryVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
       (df, v) => df.withColumn(s"asof_$v", carry(col(s"_rv_$v")))
     }
+    // native (microsecond) precision: unix_timestamp would truncate both
+    // sides to whole seconds, quietly letting a match up to (g + 0.999...) s
+    // away pass a g-second tolerance
     val gapOk: Column = maxGapSeconds match {
       case Some(g) =>
-        val rt = unix_timestamp(col(s"asof_$rightTime"))
-        val lt = unix_timestamp(col("_t"))
-        (if (back) lt - rt else rt - lt) <= g
+        val rt = unix_micros(col(s"asof_$rightTime"))
+        val lt = unix_micros(col("_t"))
+        (if (back) lt - rt else rt - lt) <= g * 1000000L
       case None => lit(true)
     }
     carried

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Exact top-k frequent items at unbounded cardinality via a bounded-memory
@@ -62,17 +62,54 @@ object HeavyHitters {
     * is deterministic and cross-engine comparable), with per-partition
     * sketch capacity `m`. Two passes over `items`: one mapPartitions
     * sketch pass (the textbook per-partition-imperative case), one
-    * candidate-filtered count pass. */
+    * candidate-filtered count pass.
+    *
+    * The exactness guarantee is ENFORCED, not just documented: the sketch
+    * pass also counts N (a zero-cost sentinel row per partition riding the
+    * same job), and every emitted count is guarded by
+    * `cnt · (m+1) > N` — integer arithmetic, no division — so a result the
+    * guarantee does not cover raises at execution instead of silently
+    * omitting true heavy hitters. Callers that want best-effort candidates
+    * below the bound use the sketch directly.
+    *
+    * The candidate join carries NO broadcast hint: candidates are bounded
+    * by partitions × m, which is tiny for sane configs but can reach 10⁸⁺
+    * on a 100 TB corpus of near-unique items at large m — a forced
+    * broadcast would hard-fail exactly there, while AQE already broadcasts
+    * whenever the runtime size is actually small and falls back to a
+    * shuffled join when it is not. */
   def topK(items: Dataset[String], k: Int, m: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(m >= k, s"sketch capacity $m < k=$k")
-    val candidates = items.mapPartitions(misraGries(_, m))(Encoders.STRING)
-      .distinct().toDF("item")
+    import items.sparkSession.implicits._
+    // one sketch job: candidates + a (null, partitionCount) sentinel per
+    // partition. Eager localCheckpoint — the frame is ≤ partitions×(m+1)
+    // rows, and both the candidate set and N derive from it without
+    // re-running the corpus scan.
+    val sketch = items.mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      // misraGries exhausts its input before returning, so n is final
+      misraGries(counted, m).map(c => (c, 0L)) ++
+        Iterator((null: String, n))
+    }.toDF("item", "pn").localCheckpoint()
+    val n = sketch.agg(sum(col("pn"))).first().getLong(0)
+    val candidates = sketch.where(col("item").isNotNull)
+      .select(col("item")).distinct()
+    // guard rides IN the output column so pruning can't drop it: the
+    // k-th (smallest) returned count clearing N/(m+1) proves every
+    // non-candidate item ranks strictly below the returned set
+    val checkedCnt = when(col("cnt") * (m + 1) > n, col("cnt"))
+      .otherwise(raise_error(format_string(
+        s"heavy-hitters top-$k not guaranteed exact: count %s of item '%s' " +
+          s"does not clear N/(m+1) = $n/${m + 1} — increase m",
+        col("cnt"), col("item"))))
     items.toDF("item")
-      .join(broadcast(candidates), "item")
+      .join(candidates, "item")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
       .limit(k)
+      .select(col("item"), checkedCnt.as("cnt"))
   }
 }

@@ -539,8 +539,8 @@ object AnalyticsOracles {
 
     // forward as-of with tolerance: view side = 0 so a purchase at the
     // exact view time is inside the (current..following) frame, mirroring
-    // the operator's side ordering; date_diff('second') ≡ Spark's
-    // unix_timestamp subtraction (both truncate to second boundaries)
+    // the operator's side ordering; date_diff('microsecond') ≡ Spark's
+    // unix_micros subtraction (native precision, no second truncation)
     "q63_asof_forward" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id,
@@ -556,8 +556,8 @@ object AnalyticsOracles {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
         |               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT event_id,
-        |  CASE WHEN date_diff('second', ts, nxt_ts) <= 3600 THEN nxt_id END
-        |    AS purchase_id
+        |  CASE WHEN date_diff('microsecond', ts, nxt_ts) <= 3600000000
+        |       THEN nxt_id END AS purchase_id
         |FROM carried WHERE side = 0 ORDER BY event_id""".stripMargin,
 
     // q26's langId + q27's quality gate + q20's canonical dedup + q56's

@@ -70,7 +70,17 @@ object DocStream {
     * Returns the admitted (doc_id, text, ...) rows. Exposed for direct
     * batch use and reused by [[run]]'s foreachBatch. Rows must carry
     * non-null unique doc_id and non-null text — violations throw rather
-    * than silently vanish from both corpus and index. */
+    * than silently vanish from both corpus and index.
+    *
+    * CROSS-BATCH id contract: a doc_id may be re-delivered only with its
+    * ORIGINAL text. The retry-idempotence anti-join consults only the bkt
+    * partitions this batch's own band rows hash into (that is what makes
+    * the probe O(colliding partitions) instead of O(index)), which covers
+    * every true retry — same text ⇒ same bands ⇒ same bkts — but NOT an id
+    * re-sent with different text across batches: its old index rows can
+    * live in non-probed partitions, so such a violation is double-indexed
+    * rather than skipped. Feeds that cannot guarantee id stability must
+    * dedup ids upstream or use a separate id ledger. */
   def admitBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                  maxHamming: Int = 3,
                  maxBucket: Int = Int.MaxValue): DataFrame = {

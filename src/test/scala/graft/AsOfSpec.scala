@@ -67,6 +67,25 @@ class AsOfSpec extends SparkSpec {
     assert(run("forward", Some(600L)) == Map(10L -> 91L, 11L -> null))
   }
 
+  test("tolerance compares at sub-second precision, not floored seconds") {
+    // right row 10.5 s after the left one: a 10 s tolerance must null it —
+    // unix_timestamp-based comparison floored both sides to whole seconds
+    // (diff 10) and let it pass
+    def tms(ms: Long) = new Timestamp(ms)
+    val l = Seq((1L, tms(100000L), 10L)).toDF("k", "t", "lid")
+      .withColumn("tb", $"lid")
+    val r = Seq((1L, tms(110500L), 90L)).toDF("k", "t", "rid")
+      .withColumn("tb", $"rid")
+    def got(gap: Long): Any = {
+      val row = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid"), "tb",
+        direction = "forward", maxGapSeconds = Some(gap)).collect().head
+      if (row.isNullAt(row.fieldIndex("asof_rid"))) null
+      else row.getLong(row.fieldIndex("asof_rid"))
+    }
+    assert(got(10L) == null, "10.5 s gap must fail a 10 s tolerance")
+    assert(got(11L) == 90L, "10.5 s gap must pass an 11 s tolerance")
+  }
+
   test("property: both directions ≡ brute-force scan on random inputs") {
     // the union-sort-carry mechanism (and its reversed-sort forward twin)
     // against the O(n·m) definition: per left row, the nearest right row in

@@ -44,6 +44,20 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("unguaranteed result raises instead of silently missing heavy items") {
+    // uniform data: every count is far below N/(m+1), so the top-k is
+    // partition-layout luck — the guard must turn that into a loud failure
+    val data = (1 to 1000).map(i => s"u${i % 100}") // 100 items × 10 each
+    val ds = data.toDF("item").repartition(4).select($"item").as[String]
+    val e = intercept[Exception] {
+      HeavyHitters.topK(ds, k = 3, m = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not guaranteed exact")),
+      s"wrong failure: $e")
+  }
+
   test("ties rank deterministically by item") {
     val ds = Seq("b", "a", "b", "a", "c").toDF("item").select($"item").as[String]
     val got = HeavyHitters.topK(ds, k = 3, m = 8)
