@@ -61,8 +61,13 @@ object Bench {
             None
         }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // 4-decimal times (0.1 ms) — full Double.toString repr made the line
+    // ~3.1 KB, overflowing the round driver's ~2.6 KB output-tail capture
+    // window (BENCH_r05 parsed: null, q01–q05 clipped); at 4 decimals the
+    // whole line fits. Locale.ROOT as in the regression map below.
+    val qs = results.map { case (k, v) =>
+      String.format(java.util.Locale.ROOT, "\"%s\":%.4f", k, Double.box(v))
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
@@ -77,14 +82,25 @@ object Bench {
             String.format(java.util.Locale.ROOT, """"%s":%.2f""",
               name, Double.box(t / base(name)))
         }
-        s""","regressions":${slow.mkString("{", ",", "}")}"""
+        // omit when empty — every byte counts against the capture window
+        if (slow.isEmpty) ""
+        else s""","regressions":${slow.mkString("{", ",", "}")}"""
       case _ => ""
     }
     val failures = failed.result() match {
       case Nil => ""
       case fs => fs.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$regressions$failures}""")
+    val totalStr = String.format(java.util.Locale.ROOT, "%.4f",
+      Double.box(total))
+    val line =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"$regressions$failures}"""
+    println(line)
+    // capture-proof twin: the driver reads stdout through a bounded tail
+    // window, so the canonical copy of every run's metrics also lands on
+    // disk where nothing can clip it
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_metrics.json"), line + "\n")
     if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(baselinePath),
