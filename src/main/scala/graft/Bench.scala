@@ -48,7 +48,18 @@ object Bench {
     // rewritten baseline and flip the regression gate's meaning. Failures
     // are reported separately and excluded from timings and baseline.
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // SPARK_GRAFT_QUERIES=q19_…,q22_… times a named subset (stress runs on
+    // scaled-up data); unset = the whole catalog, the driver's mode
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = subset match {
+      case Some(names) =>
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown queries: $unknown")
+        SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
@@ -101,7 +112,9 @@ object Bench {
     // disk where nothing can clip it
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_metrics.json"), line + "\n")
-    if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1"))
+    // a subset run must never clobber the full-catalog baseline
+    if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1") &&
+        subset.isEmpty)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(baselinePath),
         s"""{"queries":$qs,"sf":"$sfDir"}""")

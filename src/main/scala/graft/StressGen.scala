@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the empirical stress bench (round-6 item 2):
+  * materializes an N× copy of a driver sf directory by unioning N
+  * key-shifted copies of each fact table, so the heavy catalog queries can
+  * be timed above sf0.1 and the scale claims (near-linear growth, no OOM,
+  * AQE skew splits firing) validated with measurements instead of plan
+  * properties.
+  *
+  * Scaling rules — chosen so each query's WORK grows linearly, the way a
+  * genuinely larger dataset would, rather than degenerately:
+  *   - join keys (orderkey/custkey/partkey/suppkey/event_id/doc_id/vec_id)
+  *     are shifted by `copy * KeyOffset`, preserving referential integrity
+  *     within a copy and uniqueness across copies (KeyOffset clears every
+  *     sf0.1 key range by >10×);
+  *   - `region`/`nation` stay fixed — TPC-H dims don't scale with sf, and
+  *     broadcast-side growth would change plan shape, not data scale;
+  *   - document text gets every token suffixed with the copy index, making
+  *     copies pairwise hamming-distant: near-dup clusters stay WITHIN a
+  *     copy, so candidate-pair counts scale linearly (a verbatim 10× copy
+  *     would put every doc in a 10-member exact-dup cluster — quadratic
+  *     pair blowup that measures the corpus, not the engine);
+  *   - embeddings are jittered per copy with a deterministic per-element
+  *     hash offset (±0.5 per dimension), decorrelating copies in cosine
+  *     space for the same reason;
+  *   - event timestamps shift by `copy` seconds so ROW_NUMBER tie-break
+  *     keys stay unique; `user_id` is NOT shifted, so per-user event
+  *     density grows 10× — sessions densify and q58's hot key gets 10×
+  *     hotter, exactly what a skew stress wants.
+  *
+  * Usage: `sbt "runMain graft.StressGen [srcDir outDir copies]"`, then
+  * `SPARK_GRAFT_SF_DIR=<outDir> sbt "runMain graft.Bench"` (optionally
+  * with SPARK_GRAFT_QUERIES=q19_…,q22_… to time a subset).
+  */
+object StressGen {
+
+  private val KeyOffset = 10_000_000L
+
+  private def copies(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+               n: Int): Unit = {
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def out(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    out(src("region"), "region")
+    out(src("nation"), "nation")
+
+    def shifted(t: String, keys: String*): DataFrame =
+      copies(src(t), n) { (df, i) =>
+        keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + i * KeyOffset))
+      }
+    out(shifted("customer", "c_custkey"), "customer")
+    out(shifted("supplier", "s_suppkey"), "supplier")
+    out(shifted("part", "p_partkey"), "part")
+    out(shifted("orders", "o_orderkey", "o_custkey"), "orders")
+    out(shifted("lineitem", "l_orderkey", "l_partkey", "l_suppkey"),
+      "lineitem")
+
+    out(copies(src("events"), n) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * KeyOffset)
+        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND"))
+    }, "events")
+
+    out(copies(src("documents"), n) { (df, i) =>
+      val text = if (i == 0) col("text")
+        else regexp_replace(col("text"), "(\\S+)", s"$$1x$i")
+      df.withColumn("doc_id", col("doc_id") + i * KeyOffset)
+        .withColumn("text", text)
+        .withColumn("n_chars", length(text).cast("long"))
+    }, "documents")
+
+    out(copies(src("embeddings"), n) { (df, i) =>
+      val jitter = transform(col("embedding"), (x, pos) =>
+        x + (pmod(xxhash64(col("vec_id"), pos, lit(i)), lit(1000L))
+          .cast("float") / 1000.0f - 0.5f) * lit(if (i == 0) 0.0f else 1.0f))
+      df.withColumn("vec_id", col("vec_id") + i * KeyOffset)
+        .withColumn("embedding", jitter)
+    }, "embeddings")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "target/stress/sf1x10"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, n)
+    println(s"[stressgen] wrote ${n}x $srcDir -> $outDir")
+    spark.stop()
+  }
+}

@@ -122,6 +122,72 @@ class DocStreamSpec extends SparkSpec {
       Seq((91L, nd)).toDF("doc_id", "text"), index).count() == 0)
   }
 
+  test("batch equivalence: streamed admission replays the batch operator's pair verdict") {
+    // End-to-end equivalence of the incremental index to the batch
+    // operator: stream a corpus through admitBatch in id-ordered waves,
+    // then recompute the admission set by replaying the DOCUMENTED policy
+    // (cross-batch: reject on any pair with an admitted doc; in-batch:
+    // greedy min-id over the corpus-surviving docs) over
+    // simhashNearDupPairs' verdict on the FULL corpus. Any recall hole in
+    // the persisted band layout / bkt pruning, or any spurious rejection,
+    // breaks the set-equality.
+    val index = tmpDir("doc-index-equiv") + "/idx"
+    // 8 clusters of base + one-word-variant texts spread across waves,
+    // plus deterministic hamming-0 duplicates (see below) so both reject
+    // modes provably fire regardless of where each variant's distance lands
+    def text(c: Int, v: String) =
+      s"cluster$c quick brown fox jumps over the lazy dog again and again $v ok"
+    val corpus: Seq[(Long, String)] = Seq(
+      // wave 1: ids 0-9
+      0L -> text(0, "today"), 1L -> text(1, "today"), 2L -> text(2, "today"),
+      3L -> text(0, "tonight"),          // likely in-batch near-dup of 0
+      4L -> text(3, "today"), 5L -> text(4, "today"),
+      6L -> text(4, "today"),            // hamming 0 vs 5: in-batch reject
+      7L -> text(5, "today"), 8L -> text(6, "today"), 9L -> text(7, "today"),
+      // wave 2: ids 10-16
+      10L -> text(1, "tonight"),         // likely cross-batch near-dup of 1
+      11L -> text(2, "today"),           // hamming 0 vs 2: cross-batch reject
+      12L -> text(8, "today"), 13L -> text(9, "today"),
+      14L -> text(3, "tonight"), 15L -> text(10, "today"),
+      16L -> text(10, "tonight"),        // in-batch near-dup candidate
+      // wave 3: ids 17-21
+      17L -> text(5, "tonight"), 18L -> text(11, "today"),
+      19L -> text(11, "today"),          // hamming 0 vs 18 in-batch
+      20L -> text(6, "today"),           // hamming 0 vs 8 cross-batch
+      21L -> text(12, "today"))
+    val waves = Seq(corpus.take(10), corpus.slice(10, 17), corpus.drop(17))
+
+    val streamed = waves.flatMap { w =>
+      DocStream.admitBatch(spark, w.toDF("doc_id", "text"), index)
+        .collect().map(_.getLong(0))
+    }.toSet
+
+    val pairs = graft.operators.Dedup
+      .simhashNearDupPairs(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def conflict(a: Long, b: Long): Boolean =
+      pairs((math.min(a, b), math.max(a, b)))
+    var admitted = Set.empty[Long]
+    var crossRejects, inBatchRejects = 0
+    for (w <- waves) {
+      val ids = w.map(_._1).sorted
+      val corpusRej = ids.filter(i => admitted.exists(conflict(_, i))).toSet
+      val survivors = ids.filterNot(corpusRej)
+      val batchRej =
+        survivors.filter(y => survivors.exists(x => x < y && conflict(x, y)))
+      crossRejects += corpusRej.size
+      inBatchRejects += batchRej.size
+      admitted ++= survivors.filterNot(batchRej.toSet)
+    }
+    assert(streamed == admitted,
+      s"streamed ${streamed.toSeq.sorted} != replay ${admitted.toSeq.sorted}")
+    // the equivalence must have been exercised on both reject paths (the
+    // hamming-0 plants guarantee at least ids 11/20 cross and 6/19 in-batch)
+    assert(crossRejects >= 2 && inBatchRejects >= 2,
+      s"cross=$crossRejects inBatch=$inBatchRejects — corpus too easy")
+  }
+
   test("streaming run: two waves through one staging dir and checkpoint") {
     // production shape: ONE staging dir receiving files, ONE checkpoint —
     // the second run resumes file tracking and batch numbering, so each
