@@ -59,12 +59,28 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => names(k) }
       case None => SparkEntry.queries
     }
+    // SPARK_GRAFT_PLANS=<dir>: dump each query's FINAL adaptive executed
+    // plan to <dir>/<name>.txt after it runs — evidence files for scale
+    // audits (AQE decisions only exist post-execution), kept off stdout
+    val planDir = sys.env.get("SPARK_GRAFT_PLANS")
+    planDir.foreach(d => java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(d)))
     val results = selected.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          Some(name -> (System.nanoTime() - t0) / 1e9)
+          val df = fn(spark, sfDir)
+          df.write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          planDir.foreach { d =>
+            // drive THIS QueryExecution so AQE finalizes (the noop write
+            // above ran its own); the extra pass is untimed audit cost
+            df.queryExecution.toRdd.count()
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(d, s"$name.txt"),
+              df.queryExecution.executedPlan.toString)
+          }
+          Some(name -> dt)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

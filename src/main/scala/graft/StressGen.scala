@@ -62,9 +62,14 @@ object StressGen {
     out(shifted("lineitem", "l_orderkey", "l_partkey", "l_suppkey"),
       "lineitem")
 
+    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless read
+    // as a raw long (the same nanosAsLong path graft.sources.Tables uses).
+    // Keep ts a nanos LONG in the output, shifted i seconds per copy, so
+    // Tables' `ts div 1000` conversion applies to stress data unchanged.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out(copies(src("events"), n) { (df, i) =>
       df.withColumn("event_id", col("event_id") + i * KeyOffset)
-        .withColumn("ts", col("ts") + expr(s"INTERVAL $i SECOND"))
+        .withColumn("ts", col("ts") + i * 1000000000L)
     }, "events")
 
     out(copies(src("documents"), n) { (df, i) =>

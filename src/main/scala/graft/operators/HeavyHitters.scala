@@ -112,4 +112,46 @@ object HeavyHitters {
       .limit(k)
       .select(col("item"), checkedCnt.as("cnt"))
   }
+
+  /** [[topK]] with the sketch capacity sized by RETRY instead of a priori:
+    * start at `m0`, and each time the exactness guard fires (the k-th
+    * count does not clear N/(m+1)) double m and re-run, up to
+    * `maxAttempts`. The right capacity depends on N/f_k — the corpus size
+    * over the k-th frequency — which no caller of a fresh corpus can know
+    * in advance; a fixed m either wastes sketch memory on easy data or
+    * hard-fails on flat data (the round-6 10× stress run did exactly
+    * that). Convergence is O(log(N/(f_k·m0))) attempts at two corpus
+    * passes each — the scans are the price of EXACT results under an
+    * honest guarantee; callers that tolerate approximation use the sketch
+    * pass directly. Deterministic: every attempt computes the same
+    * candidates-superset-then-exact-count result, so the first attempt
+    * whose guard clears returns the same rows any larger m would. */
+  def topKAdaptive(items: Dataset[String], k: Int, m0: Int,
+                   maxAttempts: Int = 6): DataFrame = {
+    require(maxAttempts >= 1, s"maxAttempts $maxAttempts < 1")
+    var m = m0
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      val result = topK(items, k, m)
+      try {
+        // the result is k rows by construction — collecting the winning
+        // attempt (bounded driver collection, like the CC small-graph
+        // fast path) avoids re-running both corpus passes when the
+        // caller's own action executes the returned frame
+        val rows = result.collect()
+        return items.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), result.schema)
+      } catch {
+        case e: Throwable if causeChain(e).exists(c =>
+            c.getMessage != null &&
+              c.getMessage.contains("not guaranteed exact")) =>
+          m = math.multiplyExact(m, 2)
+          attempt += 1
+      }
+    }
+    topK(items, k, m) // last attempt: let the guard raise to the caller
+  }
+
+  private def causeChain(e: Throwable): Iterator[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
 }

@@ -58,6 +58,31 @@ class HeavyHittersSpec extends SparkSpec {
       s"wrong failure: $e")
   }
 
+  test("adaptive capacity doubles past the guard and matches brute force") {
+    // 100 uniform items × 10: m=4 and m=8 fail the guard (counts of 10
+    // never clear 1000/(m+1)); doubling reaches m=128 > 100 distinct,
+    // where the sketch is lossless and the guard clears (10 · 129 > 1000).
+    // The result must equal the brute-force top-k, and the m0 that was
+    // undersized for fixed topK (the test above) must now succeed.
+    val data = (1 to 1000).map(i => s"u${i % 100}")
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, n) => (-n, item) }.take(3)
+    val ds = data.toDF("item").repartition(4).select($"item").as[String]
+    val got = HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+
+    // exhausted attempts surface the guard instead of looping forever
+    val e = intercept[Exception] {
+      HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 2)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not guaranteed exact")),
+      s"wrong failure: $e")
+  }
+
   test("ties rank deterministically by item") {
     val ds = Seq("b", "a", "b", "a", "c").toDF("item").select($"item").as[String]
     val got = HeavyHitters.topK(ds, k = 3, m = 8)
