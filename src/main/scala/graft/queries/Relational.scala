@@ -474,14 +474,24 @@ object Relational {
       .select(col("o_orderkey"),
         datediff(col("o_orderdate"), epoch).cast("long").as("lo"))
       .withColumn("hi", col("lo") + 7)
+    // Distributive pre-aggregation BELOW the range join: the needed
+    // per-range aggregates (count, sum) distribute over groups, so the
+    // fact rows collapse to one row per distinct day before binning. This
+    // is what keeps the join linear when the DOMAIN is fixed and both
+    // sides densify with scale — the 10× stress run measured the raw form
+    // at ~100× candidate rows (every range meets 10× more points AND
+    // there are 10× more ranges over the same dates) while this shape
+    // stays flat: the join now scales with distinct days, not fact rows.
     val points = t(s, dir)("lineitem")
       .select(datediff(col("l_shipdate"), epoch).cast("long").as("d"),
         col("l_quantity"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("long")).as("pqty"))
     val matched = graft.operators.RangeJoin
       .pointsInRanges(points, ranges, "d", "lo", "hi", binWidth = 8)
       .groupBy(col("o_orderkey"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("l_quantity").cast("long")).as("qty"))
+      .agg(sum(col("pn")).as("n"), sum(col("pqty")).as("qty"))
     ranges.select(col("o_orderkey"))
       .join(matched, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"),
