@@ -91,7 +91,8 @@ object SparkEntry {
     "q70_approx_agg"          -> (Analytics.q70ApproxAgg _),
     "q71_setops"              -> (Relational.q71SetOps _),
     "q72_json_path"           -> (Relational.q72JsonPath _),
-    "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _)
+    "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _),
+    "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

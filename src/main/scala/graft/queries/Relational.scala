@@ -467,6 +467,31 @@ object Relational {
     * [[graft.operators.RangeJoin]] bins it into an equi-join (the
     * no-BNLJ/no-Cartesian PlanSpec sweep covers this query
     * automatically). Left join keeps zero-shipment windows. */
+  /** Interval-overlap join (the second RangeJoin operator, previously
+    * spec-only): two sampled order-date interval sets, matched on
+    * [lo,hi]-inclusive overlap via bin-explode + left-edge dedup — an
+    * equi-join plan, never a nested loop — then per-left-key count and
+    * total overlap length. Sampling (1% each side) bounds the output the
+    * same way q68 bounds its ranges: overlap COUNT over a fixed domain is
+    * inherently quadratic in densification, so an unbounded catalog entry
+    * would measure the corpus, not the operator. */
+  def q74IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    def ivals(rem: Int, width: Int, k: String, lo: String, hi: String) =
+      t(s, dir)("orders").where(col("o_orderkey") % 100 === rem)
+        .select(col("o_orderkey").as(k),
+          datediff(col("o_orderdate"), epoch).cast("long").as(lo))
+        .withColumn(hi, col(lo) + width)
+    graft.operators.RangeJoin.intervalOverlaps(
+        ivals(0, 14, "k1", "lo1", "hi1"), ivals(1, 10, "k2", "lo2", "hi2"),
+        "lo1", "hi1", "lo2", "hi2", binWidth = 16)
+      .groupBy(col("k1"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(least(col("hi1"), col("hi2")) - greatest(col("lo1"), col("lo2"))
+          + 1).as("overlap_days"))
+      .orderBy(col("k1"))
+  }
+
   def q68RangeJoin(s: SparkSession, dir: String): DataFrame = {
     val epoch = lit("1970-01-01").cast("date")
     val ranges = t(s, dir)("orders")

@@ -377,6 +377,27 @@ object RelationalOracles {
         |SELECT r.o_orderkey, coalesce(n, 0) AS n, coalesce(qty, 0) AS qty
         |FROM r LEFT JOIN m USING (o_orderkey) ORDER BY o_orderkey""".stripMargin,
 
+    // brute-force inequality overlap join — DuckDB's optimizer handles the
+    // small sampled sides; the Spark twin's bin-explode must match exactly
+    "q74_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k1,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS lo1
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |aa AS (SELECT k1, lo1, lo1 + 14 AS hi1 FROM a),
+        |b AS (
+        |  SELECT o_orderkey AS k2,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS lo2
+        |  FROM orders WHERE o_orderkey % 100 = 1),
+        |bb AS (SELECT k2, lo2, lo2 + 10 AS hi2 FROM b)
+        |SELECT k1, count(*) AS n_overlap,
+        |  CAST(sum(least(hi1, hi2) - greatest(lo1, lo2) + 1) AS BIGINT)
+        |    AS overlap_days
+        |FROM aa JOIN bb ON lo1 <= hi2 AND lo2 <= hi1
+        |GROUP BY k1 ORDER BY k1""".stripMargin,
+
     // all four set semantics in one labeled result — INTERSECT/EXCEPT ALL
     // keep multiset multiplicity, which the sorted hash compare verifies
     "q71_setops" ->
