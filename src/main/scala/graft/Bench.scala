@@ -74,11 +74,18 @@ object Bench {
           val dt = (System.nanoTime() - t0) / 1e9
           planDir.foreach { d =>
             // drive THIS QueryExecution so AQE finalizes (the noop write
-            // above ran its own); the extra pass is untimed audit cost
-            df.queryExecution.toRdd.count()
-            java.nio.file.Files.writeString(
-              java.nio.file.Paths.get(d, s"$name.txt"),
-              df.queryExecution.executedPlan.toString)
+            // above ran its own); the extra pass is untimed audit cost.
+            // A dump failure must not reclassify the already-timed
+            // success as a failed query — warn and keep the timing.
+            try {
+              df.queryExecution.toRdd.count()
+              java.nio.file.Files.writeString(
+                java.nio.file.Paths.get(d, s"$name.txt"),
+                df.queryExecution.executedPlan.toString)
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name plan dump failed: ${e.getMessage}")
+            }
           }
           Some(name -> dt)
         } catch {

@@ -97,7 +97,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only where the result is not
-    * cross-engine reproducible (q73 — iterated float k-means centroids;
-    * driver records rows-only, RecallSpec pins the floor). */
+    * cross-engine reproducible: q70 (HLL/quantile-sketch internals differ
+    * by engine; ApproxSpec pins |approx − exact| within the configured
+    * bounds) and q73 (iterated float k-means centroids; RecallSpec pins
+    * the floor). The driver records rows-only for both. */
   def oracleSql: Map[String, String] = RelationalOracles.sql ++ AnalyticsOracles.sql
 }

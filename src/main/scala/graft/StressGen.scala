@@ -81,9 +81,15 @@ object StressGen {
     }, "documents")
 
     out(copies(src("embeddings"), n) { (df, i) =>
-      val jitter = transform(col("embedding"), (x, pos) =>
-        x + (pmod(xxhash64(col("vec_id"), pos, lit(i)), lit(1000L))
-          .cast("float") / 1000.0f - 0.5f) * lit(if (i == 0) 0.0f else 1.0f))
+      // copy 0 is byte-identical; later copies get ±0.5 per-element hash
+      // jitter, cast back to FLOAT — Spark's Divide/Add promote to double,
+      // and a silently widened array<double> would both break the sf0.1
+      // schema and time double-width vectors in the stress runs
+      val jitter =
+        if (i == 0) col("embedding")
+        else transform(col("embedding"), (x, pos) =>
+          (x + pmod(xxhash64(col("vec_id"), pos, lit(i)), lit(1000L))
+            .cast("double") / 1000.0 - 0.5).cast("float"))
       df.withColumn("vec_id", col("vec_id") + i * KeyOffset)
         .withColumn("embedding", jitter)
     }, "embeddings")

@@ -33,19 +33,25 @@ object HeavyHitters {
   /** Misra-Gries summary of one partition's stream: at most `m` counters;
     * an arrival of an untracked item at capacity decrements every counter
     * (dropping zeros) instead of evicting one — the classic amortized-O(1)
-    * frequent-items sketch. Returns the surviving (candidate) items. */
+    * frequent-items sketch. Returns the surviving (candidate) items and
+    * whether any decrement happened: a never-decremented sketch held EVERY
+    * distinct item of the stream (the capacity was never exceeded), which
+    * [[topK]] uses to recognize provably-exact results the frequency
+    * bound alone cannot certify. */
   private[graft] def misraGries(it: Iterator[String],
-                                m: Int): Iterator[String] = {
+                                m: Int): (Iterator[String], Boolean) = {
     // counter cells are mutated in place (long[1]) — a Long value would
     // box on every update, per-row garbage on the pass the sketch exists
     // to make cheap
     val counts = new java.util.HashMap[String, Array[Long]](m * 2)
+    var decremented = false
     while (it.hasNext) {
       val x = it.next()
       val cell = counts.get(x)
       if (cell != null) cell(0) += 1L
       else if (counts.size < m) counts.put(x, Array(1L))
       else {
+        decremented = true
         val entries = counts.entrySet().iterator()
         while (entries.hasNext) {
           val e = entries.next()
@@ -55,7 +61,7 @@ object HeavyHitters {
       }
     }
     import scala.jdk.CollectionConverters._
-    counts.keySet().iterator().asScala
+    (counts.keySet().iterator().asScala, decremented)
   }
 
   /** Exact top-`k` of `items` by count (ties broken by item, so the result
@@ -71,6 +77,13 @@ object HeavyHitters {
     * guarantee does not cover raises at execution instead of silently
     * omitting true heavy hitters. Callers that want best-effort candidates
     * below the bound use the sketch directly.
+    *
+    * The frequency bound is sufficient, not necessary: when NO partition
+    * ever decremented (global distinct cardinality ≤ per-partition m), the
+    * sketches held every distinct item, the candidate set is exhaustive,
+    * and the exact count pass covers the whole corpus — so the guard is
+    * skipped in that regime (a low-cardinality corpus of any N is exact at
+    * any m ≥ its distinct count; the sentinel rows carry the flag).
     *
     * The candidate join carries NO broadcast hint: candidates are bounded
     * by partitions × m, which is tiny for sane configs but can reach 10⁸⁺
@@ -89,21 +102,30 @@ object HeavyHitters {
     val sketch = items.mapPartitions { it =>
       var n = 0L
       val counted = it.map { x => n += 1; x }
-      // misraGries exhausts its input before returning, so n is final
-      misraGries(counted, m).map(c => (c, 0L)) ++
-        Iterator((null: String, n))
-    }.toDF("item", "pn").localCheckpoint()
-    val n = sketch.agg(sum(col("pn"))).first().getLong(0)
+      // misraGries exhausts its input before returning, so n and the
+      // decrement flag are final
+      val (cands, decremented) = misraGries(counted, m)
+      cands.map(c => (c, 0L, false)) ++
+        Iterator((null: String, n, decremented))
+    }.toDF("item", "pn", "lossy").localCheckpoint()
+    val stats = sketch.where(col("item").isNull)
+      .agg(sum(col("pn")), max(col("lossy"))).first()
+    val n = stats.getLong(0)
+    val anyLossy = stats.getBoolean(1)
     val candidates = sketch.where(col("item").isNotNull)
       .select(col("item")).distinct()
     // guard rides IN the output column so pruning can't drop it: the
     // k-th (smallest) returned count clearing N/(m+1) proves every
-    // non-candidate item ranks strictly below the returned set
-    val checkedCnt = when(col("cnt") * (m + 1) > n, col("cnt"))
-      .otherwise(raise_error(format_string(
-        s"heavy-hitters top-$k not guaranteed exact: count %s of item '%s' " +
-          s"does not clear N/(m+1) = $n/${m + 1} — increase m",
-        col("cnt"), col("item"))))
+    // non-candidate item ranks strictly below the returned set. Skipped
+    // when no partition decremented — the candidates are then ALL
+    // distinct items and the counts exact regardless of N/(m+1).
+    val checkedCnt =
+      if (!anyLossy) col("cnt")
+      else when(col("cnt") * (m + 1) > n, col("cnt"))
+        .otherwise(raise_error(format_string(
+          s"heavy-hitters top-$k not guaranteed exact: count %s of item '%s' " +
+            s"does not clear N/(m+1) = $n/${m + 1} — increase m",
+          col("cnt"), col("item"))))
     items.toDF("item")
       .join(candidates, "item")
       .groupBy(col("item"))

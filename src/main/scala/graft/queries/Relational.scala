@@ -651,14 +651,17 @@ object Relational {
       lit(","), col("user_id").cast("string"), lit("]}"))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "t STRING, m STRUCT<u: BIGINT, c: BIGINT>, ids ARRAY<BIGINT>")
+    // parse once, extract twice — two from_json copies in one Project
+    // would each pay a full JSON parse per row if codegen's subexpression
+    // elimination declines to fuse them
     ev.select(col("event_id"), js.as("js"))
+      .withColumn("parsed", from_json(col("js"), schema))
       .select(
         col("event_id"),
         get_json_object(col("js"), "$.t").as("t"),
         get_json_object(col("js"), "$.m.u").cast("long").as("u"),
-        from_json(col("js"), schema).getField("m").getField("c").as("c"),
-        element_at(from_json(col("js"), schema).getField("ids"), 1)
-          .as("first_id"))
+        col("parsed").getField("m").getField("c").as("c"),
+        element_at(col("parsed").getField("ids"), 1).as("first_id"))
       .orderBy(col("event_id"))
   }
 }

@@ -19,9 +19,25 @@ class HeavyHittersSpec extends SparkSpec {
     val stream = new scala.util.Random(29).shuffle(
       (Seq.fill(600)("HOT") ++ (1 to 9400).map(_ => s"junk${rnd.nextInt(5000)}"))
         .toList)
-    val kept = HeavyHitters.misraGries(stream.iterator, 31).toSet
+    val (cands, decremented) = HeavyHitters.misraGries(stream.iterator, 31)
+    val kept = cands.toSet
     assert(kept.contains("HOT"))
     assert(kept.size <= 31)
+    assert(decremented, "5000-distinct stream at m=31 must have decremented")
+  }
+
+  test("lossless sketch skips the frequency guard: low-cardinality corpus is exact at any N") {
+    // 26 distinct items at m=64: no partition ever decrements, so the
+    // candidate set is exhaustive and counts exact — yet the 3rd count (1)
+    // is far below N/(m+1) = 8024/65. The sufficient-but-not-necessary
+    // frequency guard must be SKIPPED here, not raise on a provably exact
+    // result (a regression an earlier guard version had).
+    val data = Seq.fill(5000)("a") ++ Seq.fill(3000)("b") ++
+      ('c' to 'z').map(_.toString)
+    val ds = data.toDF("item").repartition(4).select($"item").as[String]
+    val got = HeavyHitters.topK(ds, k = 3, m = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 5000L), ("b", 3000L), ("c", 1L)))
   }
 
   test("exact top-k on skewed data while the sketch is lossy; ≡ brute force") {

@@ -36,6 +36,15 @@ class PlanSpec extends SparkSpec {
   private lazy val catalogPlans: Seq[(String, org.apache.spark.sql.execution.SparkPlan)] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> fn(spark, dir).queryExecution.executedPlan
+    } :+ {
+      // q69's catalog entry collects the winning adaptive attempt into a
+      // k-row local relation, so its own plan is a LocalTableScan; sweep
+      // the DISTRIBUTED pipeline underneath via the raw fixed-m topK so a
+      // regression there (BNLJ candidate join, global window) can't hide
+      "q69_heavy_hitters.topK" ->
+        graft.operators.HeavyHitters
+          .topK(graft.queries.Analytics.q69Grams(spark, dir), 20, 1024)
+          .queryExecution.executedPlan
     }
 
   test("q19 flagship: userstats join is broadcast, date filter pushed to scan") {
