@@ -197,4 +197,46 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE splits a skewed unsalted join once partition sizes cross the thresholds") {
+    // q58's salted join pre-flattens its hot key, so its final plan shows
+    // no skew=true markers (NOTES_r06) — the engine's DEFAULT unsalted
+    // joins are what rely on AQE's OptimizeSkewedJoin at 100 TB. The
+    // 256 MB production threshold never trips at test scale, so pin the
+    // behavior with the thresholds floored, same discipline as the bloom
+    // pin above: a q58-shaped hot key through a plain shuffled join must
+    // come out of execution with skew=true splits in the final plan.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "4KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // tiny sf0.001 partitions otherwise coalesce BELOW the skew
+      // threshold and the splitter never sees a skewed one
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // at the session default of 4 the hot key shares its partition with
+      // ~24 others and hot/median never clears the factor
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // keep the SMJ
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      // q58's hot-key shape, sized so the hot shuffle partition (~10% of
+      // 200k rows, one long + one double) clears 4KB compressed while the
+      // median ~2k-row partitions stay well under 2× smaller
+      val big = spark.range(0, 200000).select(
+        when(col("id") % 10 === 0, 0L).otherwise(col("id") % 97).as("k"),
+        (col("id") * 7 % 1000).cast("double").as("v"))
+      val small = spark.range(0, 97).select(col("id").as("k"),
+        concat(lit("name-"), col("id")).as("name"))
+      val joined = big.join(small, "k")
+      joined.queryExecution.toRdd.count() // AQE decides during execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"no skew split in the final adaptive plan:\n${p.take(2000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
