@@ -50,15 +50,19 @@ object Relational {
       .agg(count(lit(1)).as("nations"))
       .orderBy(col("r_name"))
 
-  // J2: composite-key fact join + rollup (sql.py:265 shape).
+  // J2: composite-key fact join + rollup (sql.py:265 shape). Revenue goes
+  // through the integer ladder at FOUR decimals (price 2dp × discount
+  // factor 2dp) — a raw double sum-then-round last-cent-diverged from
+  // DuckDB at the 10× stress magnitude (~10^11), the exact trap the
+  // verify skill's gotcha list names for 2dp sums.
   def q03FactJoin(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("lineitem")
       .join(t(s, dir)("orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"),
+        round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 10000, 0).cast("long")) / 10000.0, 2).as("revenue"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus"))
 

@@ -22,10 +22,13 @@ object RelationalOracles {
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
+    // revenue through the 4-decimal integer ladder (see the Spark twin) —
+    // HUGEINT sum cast back so pandas sees a plain integer column
     "q03_fact_join" ->
       """SELECT o_orderstatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+        |    * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 2) AS revenue,
         |  count(*) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

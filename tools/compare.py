@@ -13,7 +13,20 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    # driver tables are single files; StressGen tables are Spark part-file
+    # directories — point DuckDB at the parts in that case
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    cols = "*"
+    if name == "events":
+        # driver events.ts is TIMESTAMP(NANOS) (DuckDB reads timestamp);
+        # StressGen keeps ts a raw nanos BIGINT so Spark 4 can read it —
+        # apply the same ns -> us truncation graft.sources.Tables does
+        probe = src if not os.path.isdir(p) else glob.glob(f"{p}/*.parquet")[0]
+        ts_type = str(pq.read_schema(probe).field("ts").type)
+        if ts_type.startswith("int"):
+            cols = ("* REPLACE (make_timestamp(CAST(ts // 1000 AS BIGINT))"
+                    " AS ts)")
+    con.execute(f"CREATE VIEW {name} AS SELECT {cols} FROM read_parquet('{src}')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
