@@ -36,8 +36,11 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        // 2dp prices through the cents ladder — a raw double sum is
+        // summation-order-sensitive at stress magnitudes (q03's 10× catch)
+        round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_price"),
+        round(sum(cents(col("l_extendedprice"))) / 100.0
+          / count(lit(1)), 2).as("avg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 

@@ -7,11 +7,15 @@ package graft.queries
   */
 object RelationalOracles {
   val sql: Map[String, String] = Map(
+    // prices through the cents ladder, like the Spark twin — HUGEINT sums
+    // cast back to BIGINT before the double division
     "q01_grouped_sum" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) / 100.0, 2) AS sum_price,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) / 100.0 / count(*), 2) AS avg_price,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
