@@ -52,26 +52,34 @@ object AsOf {
     // backward carries over (preceding..current) so right sorts FIRST;
     // forward carries over (current..following) so right sorts LAST
     val (leftSide, rightSide) = if (back) (1, 0) else (0, 1)
-    // the tolerance needs the matched right TIME carried alongside
+    // the tolerance needs the matched right TIME carried alongside. All
+    // carried values ride in ONE struct (null on left rows, the whole row's
+    // values on right rows): carrying each column independently with
+    // last(ignoreNulls) would let a column whose matched value is NULL fall
+    // through to an OLDER right row — mixing fields across rows, returning
+    // stale values where merge_asof returns the matched row's NULL, and
+    // leaking values from beyond the tolerance (gapOk checks the matched
+    // row's time, which per-column carries don't share).
     val carryVals = (rightVals ++
       (if (maxGapSeconds.isDefined) Seq(rightTime) else Nil)).distinct
+    val rvType = org.apache.spark.sql.types.StructType(carryVals.map(v =>
+      org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))
     val leftCols = left.columns
     val taggedLeft = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(leftSide))
       .withColumn("_tb", col(tiebreakCol))
       .select(Seq(col(key), col("_t"), col("_side"), col("_tb")) ++
-        leftCols.filter(_ != key).map(col) ++
-        carryVals.map(v =>
-          lit(null).cast(right.schema(v).dataType).as(s"_rv_$v")): _*)
+        leftCols.filter(_ != key).map(col) :+
+        lit(null).cast(rvType).as("_rv"): _*)
     val taggedRight = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(rightSide))
       .withColumn("_tb", col(tiebreakCol))
       .select(Seq(col(key), col("_t"), col("_side"), col("_tb")) ++
         leftCols.filter(_ != key).map(c =>
-          lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carryVals.map(v => col(v).as(s"_rv_$v")): _*)
+          lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carryVals.map(v => col(v).as(v)): _*).as("_rv"): _*)
     // both directions run over the O(n) growing frame: forward reverses the
     // sort instead of using a shrinking (current..following) frame, which
     // Spark re-aggregates from scratch per row (quadratic in the key group).
@@ -87,16 +95,14 @@ object AsOf {
       else Window.partitionBy(col(key))
         .orderBy(col("_t").desc, col("_side").desc, col("_tb").desc)
     val w = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def carry(c: Column): Column = last(c, ignoreNulls = true).over(w)
-    val carried = carryVals.foldLeft(taggedLeft.unionByName(taggedRight)) {
-      (df, v) => df.withColumn(s"asof_$v", carry(col(s"_rv_$v")))
-    }
+    val carried = taggedLeft.unionByName(taggedRight)
+      .withColumn("_asof", last(col("_rv"), ignoreNulls = true).over(w))
     // native (microsecond) precision: unix_timestamp would truncate both
     // sides to whole seconds, quietly letting a match up to (g + 0.999...) s
     // away pass a g-second tolerance
     val gapOk: Column = maxGapSeconds match {
       case Some(g) =>
-        val rt = unix_micros(col(s"asof_$rightTime"))
+        val rt = unix_micros(col("_asof").getField(rightTime))
         val lt = unix_micros(col("_t"))
         (if (back) lt - rt else rt - lt) <= g * 1000000L
       case None => lit(true)
@@ -104,6 +110,7 @@ object AsOf {
     carried
       .where(col("_side") === leftSide)
       .select(leftCols.map(col) ++
-        rightVals.map(v => when(gapOk, col(s"asof_$v")).as(s"asof_$v")): _*)
+        rightVals.map(v =>
+          when(gapOk, col("_asof").getField(v)).as(s"asof_$v")): _*)
   }
 }

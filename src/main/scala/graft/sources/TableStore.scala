@@ -68,8 +68,11 @@ final class TableStore(spark: SparkSession, root: String,
     if (!exists(table)) {
       val olds = glob.filter(_.getPath.getName.contains(".old-"))
       if (olds.nonEmpty) {
-        // at most one .old can exist (single writer, deleted per swap)
-        fs.rename(olds.head.getPath, new Path(path(table)))
+        // at most one .old can exist (single writer, deleted per swap);
+        // rename failure returns false — surface it, the .old is the only
+        // durable copy of the table
+        require(fs.rename(olds.head.getPath, new Path(path(table))),
+          s"recoverSwap($table): restoring ${olds.head.getPath} failed")
       }
     }
     fs.globStatus(new Path(path(table) + ".{old,tmp}-*"))
@@ -114,13 +117,18 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Keyed upsert (M1/M2): rows matching an incoming PK are replaced, all
     * others survive. Write-new + atomic swap so readers never see a partial
-    * table. */
+    * table. Duplicate PKs WITHIN `incoming` collapse to one row (which one
+    * is not defined — a DataFrame has no row order for SQLite's
+    * last-INSERT-wins to refer to); without the collapse the left_anti
+    * only removes OLD rows and both duplicates would land in the table,
+    * breaking the one-row-per-PK invariant every read/diff relies on. */
   def upsert(table: String, incoming: DataFrame): Unit = {
     val keys = Schemas.tables(table)._2
     require(keys.nonEmpty, s"$table has no PK; use append/replaceDays")
+    val deduped = incoming.dropDuplicates(keys)
     val kept = read(table).join(
-      incoming.select(keys.map(col): _*).distinct(), keys, "left_anti")
-    swapIn(table, kept.unionByName(align(table, incoming)))
+      deduped.select(keys.map(col): _*), keys, "left_anti")
+    swapIn(table, kept.unionByName(align(table, deduped)))
   }
 
   /** Delete-then-insert by (userid, date) — the intent-faithful child-table
@@ -138,13 +146,21 @@ final class TableStore(spark: SparkSession, root: String,
     * applied only when enforce=true (mirrors PRAGMA foreign_keys). */
   def cascadeDelete(parentKeys: DataFrame, enforce: Boolean = true): Unit = {
     val keys = Seq("userid", "date")
-    val victims = parentKeys.select(keys.map(col): _*).distinct()
-    swapIn("RawDayData", read("RawDayData").join(victims, keys, "left_anti"))
-    if (enforce) {
-      Schemas.tables.keys.filter(_ != "RawDayData").foreach { child =>
-        swapIn(child, read(child).join(victims, keys, "left_anti"))
+    // STAGED, not lazy: the natural call passes keys derived from the
+    // store (read("RawDayData").where(...)), and the first swapIn deletes
+    // the directory that frame reads — each child join would then
+    // re-evaluate the victims against the post-delete parent, find
+    // nothing, and silently leave every orphan in place
+    val (victims, cleanup) =
+      stage(parentKeys.select(keys.map(col): _*).distinct())
+    try {
+      swapIn("RawDayData", read("RawDayData").join(victims, keys, "left_anti"))
+      if (enforce) {
+        Schemas.tables.keys.filter(_ != "RawDayData").foreach { child =>
+          swapIn(child, read(child).join(victims, keys, "left_anti"))
+        }
       }
-    }
+    } finally cleanup()
   }
 
   /** Durably materialize `df` into a staging parquet dir under the store
@@ -183,8 +199,14 @@ final class TableStore(spark: SparkSession, root: String,
     val tmp = new Path(path(table) + ".tmp-" + java.util.UUID.randomUUID())
     write(table, align(table, df), mode = "errorifexists", dest = tmp.toString)
     val old = new Path(path(table) + ".old-" + java.util.UUID.randomUUID())
-    if (fs.exists(dest)) fs.rename(dest, old)
-    fs.rename(tmp, dest)
+    // Hadoop rename reports failure by RETURNING FALSE, not throwing — an
+    // unchecked failed rename here would silently no-op the upsert and the
+    // next recoverSwap would garbage-collect the .tmp holding the only
+    // copy of the new state
+    if (fs.exists(dest)) require(fs.rename(dest, old),
+      s"swapIn($table): rename $dest -> $old failed")
+    require(fs.rename(tmp, dest),
+      s"swapIn($table): rename $tmp -> $dest failed — pre-swap state is in $old")
     fs.delete(old, true)
   }
 }

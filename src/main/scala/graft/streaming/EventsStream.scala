@@ -84,8 +84,19 @@ object EventsStream {
         evs.foreach { case (_, ts, v) =>
           val t = ts.getTime
           cur match {
+            // late arrival (above the watermark, delivered a batch behind)
+            // more than a gap BEFORE the open session: a session of its
+            // own in the past, already closed — merging would stretch the
+            // session across a silence longer than the gap
+            case Some(s) if t < s.start - gapMs =>
+              closed += Session(uid, ts, ts, 1, v)
             case Some(s) if t - s.lastTs <= gapMs =>
-              cur = Some(SessionState(s.start, t, s.n + 1, s.total + v))
+              // min/max, not (start, t): a late event inside the session
+              // must not REGRESS lastTs — that re-arms the timeout from
+              // the older time and a following event can falsely split
+              // the session (end would also rewind below observed events)
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.lastTs, t), s.n + 1, s.total + v))
             case Some(s) =>
               closed += Session(uid, new java.sql.Timestamp(s.start),
                 new java.sql.Timestamp(s.lastTs), s.n, s.total)

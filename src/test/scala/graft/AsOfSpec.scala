@@ -27,6 +27,25 @@ class AsOfSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getLong(1)))
       .toMap
 
+  test("NULL value on the matched right row stays NULL — no fall-through to older rows") {
+    // merge_asof returns the NEAREST row's values as-is; a per-column
+    // ignoreNulls carry would instead leak v=5 from t=1 (and, with a
+    // 1-second tolerance, from outside the tolerance window). All carried
+    // columns must come from the same matched row.
+    val l = Seq((1L, ts(3), 30L)).toDF("k", "t", "lid").withColumn("tb", $"lid")
+    val r = Seq((1L, ts(1), 1L, Some(5L)), (1L, ts(2), 2L, None))
+      .toDF("k", "t", "rid", "v").withColumn("tb", $"rid")
+    val row = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid", "v"), "tb")
+      .select($"asof_rid", $"asof_v").collect().head
+    assert(row.getLong(0) == 2L, "nearest row is t=2")
+    assert(row.isNullAt(1), s"matched row's NULL must survive, got $row")
+
+    val tol = AsOf.asofJoin(l, r, "k", "t", "t", Seq("rid", "v"), "tb",
+        maxGapSeconds = Some(1L))
+      .select($"asof_rid", $"asof_v").collect().head
+    assert(tol.getLong(0) == 2L && tol.isNullAt(1))
+  }
+
   test("backward: most recent at-or-before; equal time matches") {
     // t=100 ties with right 91 (not 90); t=4000 reaches back to 92
     assert(run("backward", None) == Map(10L -> 91L, 11L -> 92L))

@@ -92,6 +92,50 @@ class EventsStreamSpec extends SparkSpec {
       s"user 7's first session missing from ${sessions.mkString(", ")}")
   }
 
+  test("sessionize: a late in-session event cannot regress the session end") {
+    import sqlImplicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
+    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // gap 30 min, watermark 30 min. b1 opens user 7's session (t=0, 25);
+    // b2 delivers a LATE event t=5 (above watermark, inside the session);
+    // b3's t=45 is 20 min after the true session end (25) — overwriting
+    // lastTs with the late 5 would make this look like a 40-min silence
+    // and falsely split the session; b4's user-9 event pushes the
+    // watermark past the timeout so the session emits
+    val src = tmpDir("late-src")
+    stageFile(rows((1L, ts(0), 7L, "view", 1.0, "{}"),
+                   (2L, ts(25), 7L, "view", 1.0, "{}")),
+      src, "b1.parquet", 1000000L)
+    stageFile(rows((3L, ts(5), 7L, "view", 1.0, "{}")),
+      src, "b2.parquet", 2000000L)
+    stageFile(rows((4L, ts(45), 7L, "view", 1.0, "{}")),
+      src, "b3.parquet", 3000000L)
+    stageFile(rows((5L, ts(120), 9L, "view", 1.0, "{}")),
+      src, "b4.parquet", 4000000L)
+
+    val out = tmpDir("late-out")
+    val schema = rows().schema
+    val q = EventsStream.sessionize(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "30 minutes"), gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("late-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val u7 = spark.read.parquet(out).collect()
+      .filter(_.getLong(0) == 7L)
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(u7.toSeq == Seq((ts(0), ts(45), 4L)),
+      s"expected ONE unsplit session (0..45, n=4), got ${u7.mkString(", ")}")
+  }
+
   test("attribution window longer than 1h keeps views the old fixed delay dropped") {
     import sqlImplicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime

@@ -59,6 +59,15 @@ class TableStoreSpec extends SparkSpec {
       .map(r => (r.getDate(1).toString, r.getString(2))).sorted
     assert(got.toSeq == Seq(("2021-01-01", "[{\"v\":2}]"),
       ("2021-01-02", "[{}]"), ("2021-01-03", "[{}]")))
+
+    // duplicate PK inside one batch collapses to a single row — the
+    // anti-join only removes OLD rows, so without the collapse both
+    // copies would land and break the one-row-per-PK invariant
+    s.upsert("RawDayData", rawRows((u, "2021-01-04", "[{\"a\":1}]"),
+      (u, "2021-01-04", "[{\"a\":2}]")))
+    assert(s.read("RawDayData")
+      .where(org.apache.spark.sql.functions.col("date") ===
+        Date.valueOf("2021-01-04")).count() == 1)
   }
 
   test("M3 replaceDays: changed day's child rows replaced, not appended") {
@@ -91,6 +100,21 @@ class TableStoreSpec extends SparkSpec {
     val off = seeded
     off.cascadeDelete(victims, enforce = false)
     assert(off.read("Water").count() == 3) // orphans remain, like FK off
+
+    // the natural usage: victims DERIVED FROM THE STORE. The first swap
+    // deletes the directory that frame reads, so an unstaged victims
+    // frame would re-evaluate empty for every child and leave orphans
+    val derived = seeded
+    derived.cascadeDelete(
+      derived.read("RawDayData")
+        .where(org.apache.spark.sql.functions.col("date") <
+          Date.valueOf("2021-01-03")),
+      enforce = true)
+    assert(derived.read("RawDayData").collect()
+      .map(_.getDate(1).toString).toSeq == Seq("2021-01-03"))
+    assert(derived.read("Water").collect()
+      .map(_.getDate(1).toString).toSeq == Seq("2021-01-03"),
+      "store-derived victims must cascade to children")
   }
 
   test("interrupted swap recovers the pre-swap table on init") {
