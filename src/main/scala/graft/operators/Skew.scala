@@ -14,13 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** The salted big side: `_salt` in [0, salts) derived per row from a
-    * hash of a synthetic row id — any distribution works, correctness
-    * never depends on it. Exposed so the spec can pin the property the
-    * operator exists for: max per-(key, salt) group ≈ max per-key / salts. */
+  /** The salted big side: `_salt` in [0, salts) hashed from the ROW'S OWN
+    * COLUMNS, never from a synthetic id. monotonically_increasing_id (or
+    * rand) is assigned by arrival order, and when the big side sits
+    * downstream of a shuffle a fetch-failure recompute can re-enumerate
+    * rows in a different order — the same row then lands on a different
+    * reducer than the partially-reused first attempt, duplicating or
+    * dropping joined rows (the SPARK-23207 class of bug). A content hash
+    * is recompute-stable; its residual is that IDENTICAL duplicate rows
+    * share a salt and don't spread — hot keys in real fact tables carry
+    * distinct payloads, which is exactly what the hash spreads on.
+    * Exposed so the spec can pin the property the operator exists for:
+    * max per-(key, salt) group ≈ max per-key / salts. */
   private[graft] def saltBig(big: DataFrame, salts: Int): DataFrame = {
     val saltCol: Column =
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong))
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong))
     big.withColumn("_salt", saltCol)
   }
 

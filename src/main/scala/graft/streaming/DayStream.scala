@@ -32,18 +32,35 @@ object DayStream {
 
     val q = days.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.col
         // within-batch dedup on the PK (last file wins is not meaningful for
         // identical re-deliveries; for conflicting ones the diff still keys
         // on full record equality)
         val deduped = batch.dropDuplicates("username", "date")
-        val serialized = Extractors.serializeDays(deduped)
+        // PERMISSIVE turns each malformed line into an all-null row; a null
+        // PK would anti-join-match nothing and upsert as garbage that then
+        // accumulates one row per poison batch (null keys never replace).
+        // Quarantine them loudly instead of letting them into the store.
+        val bad = deduped
+          .where(col("username").isNull || col("date").isNull).count()
+        if (bad > 0) System.err.println(
+          s"[daystream] dropping $bad malformed row(s) with null username/date")
+        val good = deduped
+          .where(col("username").isNotNull && col("date").isNotNull)
+        val serialized = Extractors.serializeDays(good)
         // staged, not persisted: upsert swaps away the diff's source dir, so
         // eviction+recompute would silently lose the batch (see EtlPipeline)
         val (diff, dropStaged) = store.stage(
           Extractors.changedDays(serialized, store.read("RawDayData")))
         try {
           if (diff.count() > 0) {
-            store.upsert("RawDayData", diff)
+            // children FIRST, RawDayData LAST as the commit marker: the
+            // diff is computed against RawDayData, so upserting the parent
+            // before the children means a crash mid-children + foreachBatch
+            // retry recomputes an EMPTY diff and permanently skips the
+            // remaining child loads. With the parent last, a retry re-runs
+            // the (idempotent per-day) child loads and only then marks the
+            // batch done by making the diff empty.
             val parsed = Extractors.deserializeDays(diff)
             store.replaceDays("Notes", Extractors.extractNotes(parsed))
             store.replaceDays("Water", Extractors.extractWater(parsed))
@@ -53,6 +70,7 @@ object DayStream {
             store.replaceDays("CardioExercises", Extractors.extractCardio(parsed))
             store.replaceDays("StrengthExercises", Extractors.extractStrength(parsed))
             store.upsert("Measurements", Extractors.extractMeasurements(parsed))
+            store.upsert("RawDayData", diff)
           }
         } finally dropStaged()
         ()

@@ -84,11 +84,15 @@ object DocStream {
   def admitBatch(spark: SparkSession, batch: DataFrame, indexDir: String,
                  maxHamming: Int = 3,
                  maxBucket: Int = Int.MaxValue): DataFrame = {
+    recoverIndex(spark, indexDir)
     val stats = batch.agg(
       count(lit(1)).as("n"),
-      sum(when(col("doc_id").isNull || col("text").isNull, 1L)
-        .otherwise(0L)).as("bad"),
+      // coalesce: sum over zero rows is NULL and getLong would NPE — an
+      // empty batch is a legal no-op, not an error
+      coalesce(sum(when(col("doc_id").isNull || col("text").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"),
       countDistinct(col("doc_id")).as("ids")).first()
+    if (stats.getLong(0) == 0) return batch
     require(stats.getLong(1) == 0,
       s"${stats.getLong(1)} rows with null doc_id/text — refusing to drop silently")
     require(stats.getLong(2) == stats.getLong(0),
@@ -150,13 +154,38 @@ object DocStream {
     batch.join(admittedIds.withColumnRenamed("id", "doc_id"), "doc_id")
   }
 
+  /** Crash recovery for [[compactIndex]]'s two-rename window (same shape
+    * as TableStore.recoverSwap): a kill between `index→old` and
+    * `compact→index` leaves the index ABSENT with a complete `.old-*`
+    * beside it — without restoration the next admitBatch would see an
+    * empty corpus and re-admit near-duplicates of everything ever
+    * indexed. The `.compact-*` copy is discarded (the swap never
+    * completed); leftovers from post-swap crashes are swept. */
+  private def recoverIndex(spark: SparkSession, indexDir: String): Unit = {
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val glob = fs.globStatus(new Path(indexDir + ".{old,compact}-*"))
+    if (glob == null || glob.isEmpty) return
+    if (!fs.exists(new Path(indexDir))) {
+      val olds = glob.filter(_.getPath.getName.contains(".old-"))
+      if (olds.nonEmpty)
+        require(fs.rename(olds.head.getPath, new Path(indexDir)),
+          s"recoverIndex: restoring ${olds.head.getPath} failed")
+    }
+    fs.globStatus(new Path(indexDir + ".{old,compact}-*"))
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
   /** Fold the per-batch parquet file accumulation back into
     * `targetPartitions` full files (same write-temp + atomic-rename shape
-    * as TableStore.compact) — run periodically on a long-lived index. */
+    * as TableStore.compact, including rename-result checks and the
+    * [[recoverIndex]] crash recovery) — run periodically on a long-lived
+    * index. */
   def compactIndex(spark: SparkSession, indexDir: String,
                    targetPartitions: Int = 8): Unit = {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIndex(spark, indexDir)
     if (!fs.exists(new Path(indexDir))) return
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID()
     // hash-distribute on bkt so each directory partition is written by one
@@ -165,8 +194,10 @@ object DocStream {
     spark.read.parquet(indexDir).repartition(targetPartitions, col("bkt"))
       .write.partitionBy("bkt").parquet(tmp)
     val old = indexDir + ".old-" + java.util.UUID.randomUUID()
-    fs.rename(new Path(indexDir), new Path(old))
-    fs.rename(new Path(tmp), new Path(indexDir))
+    require(fs.rename(new Path(indexDir), new Path(old)),
+      s"compactIndex: rename $indexDir -> $old failed")
+    require(fs.rename(new Path(tmp), new Path(indexDir)),
+      s"compactIndex: rename $tmp -> $indexDir failed — index is in $old")
     fs.delete(new Path(old), true)
   }
 

@@ -33,6 +33,43 @@ class DayStreamSpec extends SparkSpec {
     assert(w.toSeq == Seq(555.0))
   }
 
+  test("retry after a crash mid-children converges; malformed lines are quarantined") {
+    // RawDayData is the batch's COMMIT MARKER (upserted last): a crash
+    // after some child loads leaves the parent untouched, so the retry
+    // recomputes a NON-empty diff and re-runs every (idempotent per-day)
+    // child load. Parent-first ordering would recompute an empty diff and
+    // permanently skip the remaining children.
+    val staging = tmpDir("day-retry-staging")
+    val store = new TableStore(spark, tmpDir("day-retry-store"))
+    store.init()
+    DaySource.writeJsonl(spark.createDataset(Fixtures.fakeDays), staging)
+
+    // simulate the crashed first attempt: two children loaded, parent not
+    val parsed = graft.operators.Extractors.deserializeDays(
+      graft.operators.Extractors.serializeDays(
+        spark.createDataset(Fixtures.fakeDays).toDF()))
+    store.replaceDays("Notes", graft.operators.Extractors.extractNotes(parsed))
+    store.replaceDays("Water", graft.operators.Extractors.extractWater(parsed))
+    assert(store.read("RawDayData").count() == 0 &&
+      store.read("Water").count() == 3)
+
+    // plus a poison line that PERMISSIVE parses to all-null — it must be
+    // dropped loudly, not upserted as a null-PK row
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(staging, "poison.jsonl"), "{not json}\n")
+
+    DayStream.run(spark, staging, store, tmpDir("day-retry-ckpt"))
+    assert(store.read("RawDayData").count() == 3, "all days committed")
+    assert(store.read("Water").count() == 3, "children re-loaded, not doubled")
+    assert(store.read("RawDayData")
+      .where($"userid".isNull || $"date".isNull).count() == 0,
+      "no null-PK garbage from the poison line")
+    // fakeDays carry 3 measurement entries; Measurements was NOT loaded by
+    // the crashed attempt, so only the retry can have populated it
+    assert(store.read("Measurements").count() == 3,
+      "skipped child loaded on retry")
+  }
+
   test("multi-batch catch-up: sequential micro-batches stage diffs cleanly") {
     val staging = tmpDir("day-staging-mb")
     val root = tmpDir("day-store-mb")

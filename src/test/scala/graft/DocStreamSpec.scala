@@ -83,6 +83,22 @@ class DocStreamSpec extends SparkSpec {
     assert(spark.read.parquet(index).collect().toSet == before)
     assert(DocStream.admitBatch(spark,
       Seq((30L, neardup)).toDF("doc_id", "text"), index).count() == 0)
+
+    // an empty batch is a legal no-op, not an NPE
+    assert(DocStream.admitBatch(spark,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), index).count() == 0)
+
+    // crash between compaction's two renames: the index dir is absent and
+    // only the .old copy exists — the next admission must RESTORE it and
+    // keep rejecting, not see an empty corpus and re-admit the near-dup
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(index),
+      java.nio.file.Paths.get(index + ".old-simulated"))
+    assert(DocStream.admitBatch(spark,
+      Seq((31L, neardup)).toDF("doc_id", "text"), index).count() == 0,
+      "recovery must restore the index before probing")
+    assert(new java.io.File(index).exists() &&
+      !new java.io.File(index + ".old-simulated").exists())
   }
 
   test("admission index is bkt-partitioned and the probe scan prunes") {
