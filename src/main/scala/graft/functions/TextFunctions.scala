@@ -88,9 +88,21 @@ object TextFunctions {
     ((length(text) - (n - 1)) * lit(10000.0) / n).cast("int")
   }
 
+  /** Both stopword-marker counts from ONE [[graft.plans.TokenCounts]]
+    * subtree, the same single-tokenization trick langId uses — per-word
+    * `tokenOccurrences` calls each re-split the full text, and q27
+    * evaluates stopwordRatioBp + qualityScoreBp in one projection, where
+    * the shared deterministic subtree is eliminated to one pass. */
+  private def stopCounts(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.TokenCounts(
+        org.apache.spark.sql.graft.ColumnShim.expression(text),
+        Seq("the", "a")))
+
   /** Share of stopword tokens in basis points, truncated. */
   def stopwordRatioBp(text: Column): Column = {
-    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    val c = stopCounts(text)
+    val stop = element_at(c, 1) + element_at(c, 2)
     (stop * lit(10000.0) / tokenCount(text)).cast("int")
   }
 
@@ -102,7 +114,8 @@ object TextFunctions {
     * integral) × share of non-stopword tokens. */
   def qualityScoreBp(text: Column): Column = {
     val n = tokenCount(text)
-    val stop = tokenOccurrences(text, "the") + tokenOccurrences(text, "a")
+    val c = stopCounts(text)
+    val stop = element_at(c, 1) + element_at(c, 2)
     val gateX2 = when(n.between(20, 80), lit(2)).otherwise(lit(1))
     (gateX2 * (n - stop) * lit(10000.0) / (n * 2)).cast("int")
   }

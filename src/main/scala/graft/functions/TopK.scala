@@ -21,14 +21,24 @@ case class Scored(id: Long, score: Double)
 class TopKAggregator(k: Int)
     extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
 
-  private def prune(xs: Seq[Scored]): Seq[Scored] =
-    xs.sortBy(s => (-s.score, s.id)).take(k)
+  // Spark's sort order treats NaN as the LARGEST double (rank 1 under
+  // score DESC) — java.lang.Double.compare has the same total order. A
+  // raw `>` admission check is false for every NaN comparison, so one NaN
+  // in a full buffer would block all further admissions and silently
+  // diverge from the window path this aggregator must match exactly.
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score) // descending
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+  }
+
+  private def prune(xs: Seq[Scored]): Seq[Scored] = xs.sorted(ord).take(k)
 
   override def zero: Seq[Scored] = Seq.empty
   override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
     // cheap admission check before the O(k log k) prune
-    if (buf.length < k || a.score > buf.last.score ||
-      (a.score == buf.last.score && a.id < buf.last.id)) prune(buf :+ a)
+    if (buf.length < k || ord.compare(a, buf.last) < 0) prune(buf :+ a)
     else buf
   override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
     prune(a ++ b)

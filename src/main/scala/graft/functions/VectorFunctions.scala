@@ -26,11 +26,12 @@ object VectorFunctions {
 
   /** Unit-normalize, so downstream cosine is a plain dot product (compute
     * norms once per vector, not once per pair — the O(n·k) win in any
-    * all-pairs or top-k join). */
-  def normalize(v: Column): Column = {
-    val n = l2Norm(v)
-    transform(v, x => x / n)
-  }
+    * all-pairs or top-k join). Catalyst has no let-binding, so a norm
+    * referenced inside a `transform` lambda is RE-AGGREGATED per element
+    * (O(dim²) per row — the hazard minhashSignature's scaladoc documents);
+    * `array_repeat` evaluates the norm once and the lambda reads elements. */
+  def normalize(v: Column): Column =
+    zip_with(v, array_repeat(l2Norm(v), size(v)), (x, n) => x / n)
 
   /** Scalar int8 quantization for embedding storage (4× smaller than
     * float32, 8× smaller than the double working set — at 100 TB of
@@ -41,7 +42,11 @@ object VectorFunctions {
     val scale = greatest(array_max(transform(v, x => abs(x))), lit(1e-12))
     struct(
       scale.as("scale"),
-      transform(v, x => round(x / scale * 127, 0).cast("tinyint")).as("q"))
+      // same let-binding trick as normalize: `scale` is itself an array
+      // aggregate, so referencing it inside the lambda would recompute
+      // the max per element
+      zip_with(v, array_repeat(scale, size(v)),
+        (x, s) => round(x / s * 127, 0).cast("tinyint")).as("q"))
   }
 
   def dequantizeInt8(qv: Column): Column =

@@ -19,8 +19,11 @@ object TfIdf {
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.groupBy(col("term"))
-      .agg(count_distinct(col("id")).as("df"))
+    // document frequency FROM tf, not from the raw token stream: tf already
+    // holds exactly one row per (doc, term), so df is a plain count — this
+    // avoids a second tokenize+explode scan of the corpus and turns a
+    // corpus-wide count_distinct shuffle into a partial-aggregatable count
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val scored = tf
       .join(dfreq, "term")

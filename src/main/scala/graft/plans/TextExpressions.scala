@@ -41,8 +41,12 @@ case class MinHashSignature(child: Expression, numPerms: Int)
     val sig = Array.fill(numPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val seeded = XXH64.hashLong(
-        XXH64.hashUTF8String(arr.getUTF8String(i), 42L), 42L)
+      // null element hashes as the seed (xxhash64(NULL) = 42) — the same
+      // rule SimHash64 applies, keeping bit-parity with the composed
+      // xxhash64-based reference instead of NPE'ing on a null slot
+      val tok = if (arr.isNullAt(i)) 42L
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val seeded = XXH64.hashLong(tok, 42L)
       var p = 0
       while (p < numPerms) {
         val hp = XXH64.hashInt(p, seeded)
@@ -68,8 +72,8 @@ case class MinHashSignature(child: Expression, numPerms: Int)
          |long[] $sig = new long[$numPerms];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $seeded = $xxh.hashLong(
-         |    $xxh.hashUTF8String($a.getUTF8String($i), 42L), 42L);
+         |  long $seeded = $xxh.hashLong($a.isNullAt($i)
+         |    ? 42L : $xxh.hashUTF8String($a.getUTF8String($i), 42L), 42L);
          |  for (int $p = 0; $p < $numPerms; $p++) {
          |    long $hp = $xxh.hashInt($p, $seeded);
          |    if ($hp < $sig[$p]) $sig[$p] = $hp;

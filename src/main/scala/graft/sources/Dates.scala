@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Dates {
 
-  private val formats = Seq("yyyy-MM-dd", "dd.MM.yyyy")
+  // STRICT resolution (with `uuuu`, the era-free year STRICT requires):
+  // the default SMART resolver silently clamps invalid calendar dates —
+  // "2026-02-31" would parse as Feb 28 and quietly shift the fetch window,
+  // where the reference's strptime (_utils.py:33-40) raises on the typo
+  private val formats = Seq("uuuu-MM-dd", "dd.MM.uuuu").map(f =>
+    DateTimeFormatter.ofPattern(f)
+      .withResolverStyle(java.time.format.ResolverStyle.STRICT))
 
   /** Multi-format parse (F10): ISO first, then `dd.MM.yyyy`
-    * (_utils.py:33-40). */
+    * (_utils.py:33-40). Invalid calendar dates REJECT, like strptime. */
   def parseDate(s: String): LocalDate = {
     formats.view.flatMap { f =>
-      try Some(LocalDate.parse(s, DateTimeFormatter.ofPattern(f)))
+      try Some(LocalDate.parse(s, f))
       catch { case _: Exception => None }
     }.headOption.getOrElse(
       throw new IllegalArgumentException(s"unparseable date: $s"))

@@ -23,6 +23,15 @@ class DatesSpec extends SparkSpec {
     assert(Dates.parseDate("2021-03-04") == LocalDate.of(2021, 3, 4))
   }
 
+  test("invalid calendar dates reject instead of clamping (strptime parity)") {
+    // SMART resolution would silently read Feb 31 as Feb 28 and shift the
+    // fetch window; the reference's strptime raises
+    intercept[IllegalArgumentException](Dates.parseDate("2026-02-31"))
+    intercept[IllegalArgumentException](Dates.parseDate("31.02.2026"))
+    intercept[IllegalArgumentException](Dates.parseDate("2025-02-29"))
+    assert(Dates.parseDate("2024-02-29") == LocalDate.of(2024, 2, 29)) // leap
+  }
+
   test("exactly one date → error") {
     intercept[IllegalArgumentException] {
       Dates.prepareWindow(Some("2021-01-01"), None)

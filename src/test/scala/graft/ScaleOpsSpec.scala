@@ -21,6 +21,29 @@ class ScaleOpsSpec extends SparkSpec {
       col("id") < 4, 5).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted
     assert(win.toSeq == agg.toSeq)
+
+    // NaN scores must rank exactly as the window path ranks them: Spark
+    // sorts NaN as the LARGEST double, so it takes rank 1 — and it must
+    // not poison the aggregator's admission check (a raw `>` is false
+    // against NaN, which would freeze a full buffer and drop genuinely
+    // better candidates arriving after it)
+    val pairs = Seq(
+      (0L, 1L, 0.9), (0L, 2L, Double.NaN), (0L, 3L, 0.8),
+      (0L, 4L, 0.95), (0L, 5L, 0.1), (0L, 6L, 0.99))
+      .toDF("qid", "nid", "sim")
+    val winN = pairs
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"qid")
+          .orderBy($"sim".desc, $"nid")))
+      .where($"rank" <= 3).select($"qid", $"rank", $"nid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val aggN = Similarity.rankTopKAgg(pairs, 3)
+      .select($"qid", $"rank", $"nid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(winN.toSeq == aggN.toSeq,
+      s"NaN handling diverged: win=${winN.toSeq} agg=${aggN.toSeq}")
+    assert(winN.map(_._3).toSet == Set(2L, 4L, 6L),
+      "NaN ranks first; 0.99 and 0.95 follow")
   }
 
   test("salted join ≡ plain join on a skewed key distribution") {

@@ -27,6 +27,18 @@ class TextExpressionsSpec extends SparkSpec {
     }
     // empty shingle array → all-MaxValue signature (both paths)
     assert(got(2).getSeq[Long](0).forall(_ == Long.MaxValue))
+
+    // null element hashes as the seed, exactly like the composed path's
+    // xxhash64(NULL) = 42 (and no NPE) — SQL surface can hand the
+    // expression arrays the tokens() builder never produces
+    val withNull = spark.sql(
+      """SELECT minhash_signature(array('a', CAST(NULL AS STRING)), 16) AS fast
+        |""".stripMargin)
+      .select(col("fast"),
+        TextFunctions.minhashSignature(
+          array(lit("a"), lit(null).cast("string")), 16).as("ref"))
+      .collect().head
+    assert(withNull.getSeq[Long](0) == withNull.getSeq[Long](1))
   }
 
   test("shingles ≡ transform/slice/concat_ws composition, incl. edge inputs") {
