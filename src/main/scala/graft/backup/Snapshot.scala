@@ -21,7 +21,16 @@ object Snapshot {
     * to delete, oldest first (_utils.py:43-62 — timestamp parsed from
     * filename token index 3). */
   def rotationVictims(names: Seq[String], maxNum: Int = 5): Seq[String] = {
-    val dated = names.map { n => (LocalDate.parse(n.split("_")(3), fmt), n) }
+    // tolerate foreign names in the backup root (a stray
+    // `mfp_db_backup_old` passes the caller's prefix filter): an
+    // unparseable date must not abort the backup flow mid-rotation and
+    // let snapshots accumulate unbounded — such names are neither rotated
+    // nor counted against maxNum
+    val dated = names.flatMap { n =>
+      val toks = n.split("_")
+      if (toks.length <= 3) None
+      else scala.util.Try(LocalDate.parse(toks(3), fmt)).toOption.map(_ -> n)
+    }
     val sorted = dated.sortBy(_._1.toEpochDay).map(_._2)
     if (sorted.length <= maxNum) Seq.empty
     else sorted.take(sorted.length - maxNum)
@@ -38,6 +47,14 @@ object Snapshot {
     import java.nio.file._
     val s = Paths.get(src)
     val d = Paths.get(dest)
+    // a pre-existing destination (same-day re-backup) is REPLACED, not
+    // merged: parquet part files are uuid-named, so merging two store
+    // versions' files into one snapshot dir would read back as the union
+    // of both versions — every surviving row duplicated on restore
+    if (Files.exists(d)) scala.util.Using.resource(Files.walk(d)) { w =>
+      w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+    }
     if (!Files.exists(s)) { Files.createDirectories(d); return }
     scala.util.Using.resource(Files.walk(s)) { walk =>
       walk.forEach { p =>

@@ -34,8 +34,12 @@ object EtlPipeline {
     try {
       val nChanged = diff.count()
       if (nChanged > 0) {
-        store.upsert("RawDayData", diff) // M1
-        afterUpsert() // test seam: simulate eviction between M1 and children
+        // children FIRST, RawDayData LAST as the commit marker (same
+        // reasoning as DayStream): the diff keys on RawDayData content,
+        // so committing the parent before the children means a crash in
+        // any extract leaves the re-run's diff EMPTY and the children
+        // permanently stale. With the parent last, a re-run recomputes
+        // the same diff and repeats the idempotent per-day child loads.
         val parsed = Extractors.deserializeDays(diff)
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
@@ -48,6 +52,8 @@ object EtlPipeline {
           store.replaceDays("StrengthExercises", Extractors.extractStrength(parsed))
           store.upsert("Measurements", Extractors.extractMeasurements(parsed)) // M2
         } finally parsed.unpersist()
+        afterUpsert() // test seam: simulate eviction between loads and M1
+        store.upsert("RawDayData", diff) // M1 — the commit marker
       }
       nChanged
     } finally dropStaged()

@@ -88,7 +88,11 @@ object Extractors {
   /** D10: cardio = exercises[0] flattened; note the `"calories burned"` map
     * key with a space (tasks.py:579-601). */
   def extractCardio(days: DataFrame): DataFrame =
-    days.select(parent :+ explode(col("exercises")(0)).as("ex"): _*)
+    // get(), not (0): ANSI array indexing throws INVALID_ARRAY_INDEX on a
+    // schema-valid day whose exercises array is short (no strength list,
+    // or empty) — get() returns NULL out of bounds and explode drops it,
+    // which is the reference's missing-section behavior
+    days.select(parent :+ explode(get(col("exercises"), lit(0))).as("ex"): _*)
       .select(
         monotonically_increasing_id().as("id") +:
           (parentOut ++ Seq(
@@ -100,7 +104,7 @@ object Extractors {
   /** D11: strength = exercises[1]; keys sets / reps\/set / weight\/set
     * (tasks.py:604-629). */
   def extractStrength(days: DataFrame): DataFrame =
-    days.select(parent :+ explode(col("exercises")(1)).as("ex"): _*)
+    days.select(parent :+ explode(get(col("exercises"), lit(1))).as("ex"): _*)
       .select(
         monotonically_increasing_id().as("id") +:
           (parentOut ++ Seq(

@@ -28,14 +28,13 @@ object NutritionReport {
   def query(meals: DataFrame, goals: DataFrame, username: String,
             dateFrom: String, dateTo: String): DataFrame = {
     val nutrients = graft.model.Schemas.nutrientCols
+    val sums = nutrients.map(n => sum(col(n)).as(s"${n}_actual"))
     val actual = meals
       .where(col("userid") === username &&
         col("date").between(to_date(lit(dateFrom)), to_date(lit(dateTo))))
       .groupBy(col("userid"), col("date")) // A1 (both keys — see scaladoc)
-      .agg(nutrients.map(n => sum(col(n)).as(s"${n}_actual")).head,
-        nutrients.map(n => sum(col(n)).as(s"${n}_actual")).tail: _*)
+      .agg(sums.head, sums.tail: _*)
 
-    val goalCols = nutrients.map(n => col(s"g.$n").as(s"${n}_goal"))
     actual.as("a")
       .join(goals.as("g"), Seq("userid", "date")) // J2 composite key
       .select(Seq(

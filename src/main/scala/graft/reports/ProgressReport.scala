@@ -38,8 +38,15 @@ object ProgressReport {
     * (SURVEY §4.2). Asserted equal to [[query]] in ReportsSpec.
     */
   def sqlQuery(measurements: DataFrame, goals: DataFrame, cardio: DataFrame,
-               meals: DataFrame, username: String, startingDate: String)
+               meals: DataFrame, username0: String, startingDate0: String)
               (implicit spark: SparkSession): DataFrame = {
+    // the parameters ride inside single-quoted SQL literals: escape
+    // embedded quotes so a username like o'brien is data, not a parse
+    // error (or injected SQL) — the DataFrame twin's === literals handle
+    // these values natively, and the twin-equality spec only holds if
+    // this path does too
+    val username = username0.replace("'", "''")
+    val startingDate = startingDate0.replace("'", "''")
     measurements.createOrReplaceTempView("mfp_measurements")
     goals.createOrReplaceTempView("mfp_goals")
     cardio.createOrReplaceTempView("mfp_cardio")

@@ -26,27 +26,36 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
                     nBuckets: Int): Unit = {
     val spark = df.sparkSession
-    // idempotent across SESSIONS, not just within one: an in-memory
-    // catalog forgets the table when the session ends but the managed
-    // location survives in the warehouse dir, and saveAsTable(Overwrite)
-    // refuses to adopt an unregistered location (LOCATION_ALREADY_EXISTS)
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // WRITE-NEW-THEN-SWAP, the TableStore.swapIn discipline: dropping the
+    // existing table before the write means a mid-write failure loses
+    // BOTH versions. The new data lands under a temp table name first;
+    // only after the write commits is the old table dropped and the temp
+    // renamed in (ALTER RENAME moves the managed location with it).
+    val tmp = table + "_tmp_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the catalog's own default-path computation, not a hand-built
     // warehouse/<table> guess: it accounts for the current database
     // (warehouse/<db>.db/<table> outside `default`) and normalizes the
-    // name with Locale.ROOT (a tr_TR JVM default would fold 'I' wrong)
-    val loc = new org.apache.hadoop.fs.Path(
+    // name with Locale.ROOT (a tr_TR JVM default would fold 'I' wrong).
+    // Clearing stranded locations keeps the write idempotent across
+    // SESSIONS: an in-memory catalog forgets the table when the session
+    // ends but managed dirs survive in the warehouse, and saveAsTable
+    // refuses to adopt an unregistered location (LOCATION_ALREADY_EXISTS).
+    def loc(name: String) = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+    val fs = loc(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    if (fs.exists(loc(tmp))) fs.delete(loc(tmp), true)
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
       .write
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .mode("overwrite")
-      .saveAsTable(table)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    if (fs.exists(loc(table))) fs.delete(loc(table), true)
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$table`")
   }
 
   /** Join two same-bucketed tables on their bucket key. With matching

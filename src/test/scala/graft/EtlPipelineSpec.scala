@@ -43,6 +43,27 @@ class EtlPipelineSpec extends SparkSpec {
     assert(w.toSeq == Seq(777.0))
   }
 
+  test("crash before the RawDayData commit retries to a complete, duplicate-free store") {
+    // RawDayData is upserted LAST as the commit marker: a crash after the
+    // child loads leaves the parent untouched, so the retry recomputes the
+    // SAME non-empty diff and re-runs the idempotent child loads. The old
+    // parent-first ordering made the retry's diff empty — children stale
+    // forever with no error.
+    val store = new TableStore(spark, tmpDir("etl-crash"))
+    val days = Fixtures.fakeDays
+    val boom: () => Unit = () => throw new RuntimeException("injected crash")
+    intercept[RuntimeException](
+      EtlPipeline.run(store, spark.createDataset(days), boom))
+    assert(store.read("RawDayData").count() == 0, "commit marker not written")
+    assert(store.read("Water").count() == 3, "children were loaded pre-crash")
+
+    val n = EtlPipeline.run(store, spark.createDataset(days))
+    assert(n == 3, "retry must see the full diff")
+    assert(store.read("RawDayData").count() == 3)
+    assert(store.read("Water").count() == 3)
+    assert(store.read("Measurements").count() == 3)
+  }
+
   test("diff survives cache eviction between upsert and child loads") {
     // The hazard: upsert atomically swaps away RawDayData — the directory the
     // diff's lineage reads. If the diff were only persist()ed, evicting it

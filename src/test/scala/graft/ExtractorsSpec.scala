@@ -70,6 +70,18 @@ class ExtractorsSpec extends SparkSpec {
     assert(strength.getAs[Double]("sets") == 3.0)
     assert(strength.getAs[Double]("reps") == 10.0)
     assert(strength.getAs[Double]("weight") == 60.0)
+
+    // a short exercises array (no strength section, or empty) is
+    // schema-valid input: under ANSI, raw (0)/(1) indexing would throw
+    // INVALID_ARRAY_INDEX and kill the ETL — the missing section must
+    // simply contribute no rows
+    val short = spark.createDataset(Seq(
+      Fixtures.fullDay.copy(exercises =
+        Seq(Fixtures.fullDay.exercises.head)), // cardio only
+      Fixtures.fullDay.copy(date = java.sql.Date.valueOf("2021-02-02"),
+        exercises = Seq.empty))).toDF()
+    assert(Extractors.extractCardio(short).count() == 1)
+    assert(Extractors.extractStrength(short).count() == 0)
   }
 
   test("D1/D3 serialize→deserialize round trip; D2 diff detects change") {

@@ -66,6 +66,16 @@ class ReportsSpec extends SparkSpec {
     val sql = ProgressReport.sqlQuery(measurements, goals, cardio, meals,
       u, "2021-03-01")(spark).collect().map(_.toSeq)
     assert(df.toSeq == sql.toSeq)
+
+    // a quoted username is DATA in both twins — the SQL twin interpolates
+    // into single-quoted literals, so an unescaped o'brien would be a
+    // parse error (or injected SQL) while the === twin just matches rows
+    val quoted = "o'brien"
+    val dfQ = ProgressReport.query(measurements, goals, cardio, meals,
+      quoted, "2021-03-01", 150000L).collect()
+    val sqlQ = ProgressReport.sqlQuery(measurements, goals, cardio, meals,
+      quoted, "2021-03-01")(spark).collect()
+    assert(dfQ.map(_.toSeq).toSeq == sqlQ.map(_.toSeq).toSeq)
   }
 
   test("progress report: day with no goals row simply absent") {

@@ -181,5 +181,30 @@ class TextMultimodalSpec extends SparkSpec {
       "mfp_db_backup_2021-01-04", "mfp_db_backup_2021-01-06")
     assert(Snapshot.rotationVictims(names, 5) == Seq("mfp_db_backup_2021-01-01"))
     assert(Snapshot.rotationVictims(names.take(3), 5).isEmpty)
+
+    // foreign names sharing the prefix must not abort rotation (a stray
+    // file would otherwise let snapshots accumulate unbounded) and are
+    // neither counted nor rotated
+    val withForeign = names ++ Seq("mfp_db_backup_old", "mfp_db_backup_2021-01-07.bak")
+    assert(Snapshot.rotationVictims(withForeign, 5) ==
+      Seq("mfp_db_backup_2021-01-01"))
+  }
+
+  test("same-day re-backup replaces the snapshot instead of merging versions") {
+    // parquet part files are uuid-named: merging two store versions' files
+    // into one snapshot dir would restore the UNION of both versions
+    val src = tmpDir("snap-src")
+    val dest = tmpDir("snap-dest") + "/mfp_db_backup_2021-01-01"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "part-uuidA.parquet"), "v1")
+    Snapshot.copyDir(src, dest)
+    // store rewrites: the old part file is swapped for a new uuid
+    java.nio.file.Files.delete(java.nio.file.Paths.get(src, "part-uuidA.parquet"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(src, "part-uuidB.parquet"), "v2")
+    Snapshot.copyDir(src, dest)
+    val files = new java.io.File(dest).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("part-uuidB.parquet"),
+      s"stale uuidA must not survive the re-backup: ${files.toSeq}")
   }
 }
