@@ -173,8 +173,15 @@ object Dedup {
     * (executor-local storage — fast, but an executor loss mid-loop is
     * unrecoverable because lineage is truncated). Pass a reliable directory
     * (HDFS/S3 at cluster scale) to write every `reliableInterval`-th round
-    * through `Dataset.checkpoint` instead, bounding replay after a failure
-    * to the rounds since the last reliable checkpoint.
+    * through `Dataset.checkpoint` instead. AUTOMATIC storage-loss survival
+    * (Spark recomputing lost partitions from the checkpoint files) holds
+    * only at `reliableInterval = 1`, where every round is file-backed —
+    * the configuration the eviction-injection spec runs. A larger interval
+    * trades that for fewer writes: intermediate rounds are local-only, so
+    * a loss there still fails the job, but the latest reliable round's
+    * files are RETAINED until the next reliable round lands (a local round
+    * never deletes its durable anchor), so a driver/orchestrator can
+    * restart the loop from those files instead of from the pair source.
     *
     * Returns (id, cluster) with cluster = min member id, materialized — the
     * loop's working sets are freed before returning. */
@@ -193,8 +200,25 @@ object Dedup {
       pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
       reliableInterval: Int, smallGraphThreshold: Long,
       onRoundEnd: Int => Unit): DataFrame = {
+    // setCheckpointDir mutates SESSION-GLOBAL state: restore the caller's
+    // directory on every exit so an unrelated Dataset.checkpoint elsewhere
+    // in the application doesn't silently land under (and get swept with)
+    // this operator's directory. When no prior dir existed the CC dir
+    // stays set (Spark has no public unset); concurrent CC runs with
+    // different dirs on one SparkContext still race — use one dir.
+    val sc = pairs.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
+    try ccLoop(pairs, maxIters, checkpointDir, reliableInterval,
+      smallGraphThreshold, onRoundEnd)
+    finally if (checkpointDir.isDefined) prevCkptDir.foreach(sc.setCheckpointDir)
+  }
+
+  private def ccLoop(
+      pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
+      reliableInterval: Int, smallGraphThreshold: Long,
+      onRoundEnd: Int => Unit): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     // The persisted RDD behind an (local)checkpointed Dataset, for explicit
     // round-to-round storage reclamation. Freeing a superseded RELIABLE
@@ -333,16 +357,34 @@ object Dedup {
     var lastFp: Option[(Long, Long, Long)] = None
     var converged = false
     var iter = 0
+    // The last reliable round's frame, kept alive while local-only rounds
+    // supersede it: freeing it as soon as the next LOCAL round materializes
+    // would delete the only durable copy in the system — the exact state
+    // reliable mode exists to preserve — making every interval > 1
+    // equivalent to local-only mode. Reclaimed when the next reliable
+    // round lands (or at exit).
+    var reliableAnchor: Option[DataFrame] = None
+    def isReliableRound(r: Int) =
+      checkpointDir.isDefined && r % reliableInterval == 0
     while (!converged && iter < maxIters) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val prev = e
+      // prev is file-backed if it is the promoted seed or a reliable round
+      val prevReliable =
+        checkpointDir.isDefined && (iter == 0 || isReliableRound(iter - 1))
       // the one action per round; fingerprints ride along via observe()
       e = materialize(smallStar(largeStar(e))
         .observe(obs, count(lit(1)).as("cnt"),
           coalesce(bit_xor(xxhash64(col("a"), col("b"))), lit(0L)).as("fp"),
           coalesce(bit_xor(xxhash64(lit(0x9E3779B9L), col("b"), col("a"))),
             lit(0L)).as("fp2")), iter)
-      free(prev) // new round is materialized — reclaim the superseded copy
+      // reclaim the superseded copy — unless it is the durable anchor and
+      // its successor is local-only
+      if (isReliableRound(iter)) {
+        free(prev); reliableAnchor.foreach(free); reliableAnchor = None
+      } else if (prevReliable) {
+        reliableAnchor.foreach(free); reliableAnchor = Some(prev)
+      } else free(prev)
       val m = obs.get
       val fp = (m("cnt").asInstanceOf[Long], m("fp").asInstanceOf[Long],
         m("fp2").asInstanceOf[Long])
@@ -360,6 +402,7 @@ object Dedup {
       .select(col("n.id").as("id"),
         coalesce(col("pr.cluster"), col("n.id")).as("cluster")))
     Seq(e, nodes, p).foreach(free) // result is self-contained now
+    reliableAnchor.foreach(free)
     result
   }
 

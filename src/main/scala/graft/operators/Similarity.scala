@@ -116,6 +116,12 @@ object Similarity {
               queryPred: Column, k: Int,
               tables: Int = 21, bitsPerTable: Int = 3,
               portable: Boolean = false): DataFrame = {
+    // 1..63 bits per table: bitsPerTable = 64 wraps the shift so mask = 0
+    // (every row in bucket 0 — a silent full cross join), 0 degenerates the
+    // same way, and tables = 0 would make sequence() count DOWN to -1
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    require(bitsPerTable >= 1 && bitsPerTable <= 63,
+      s"bitsPerTable must be in [1, 63], got $bitsPerTable")
     require(tables * bitsPerTable <= 64,
       s"signature needs ${tables * bitsPerTable} bits; max 64")
     val mask = (1L << bitsPerTable) - 1
@@ -226,17 +232,24 @@ object Similarity {
 
     // Each query probes its nProbe nearest cells. This window is over q·K
     // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
-    // acceptable; the corpus-sized rankings below use rankTopK.
+    // acceptable; the corpus-sized rankings below use rankTopK. The window
+    // ranks (qid, cid, csim) ONLY — the query vectors are projected away
+    // before the exchange and rejoined by qid afterward, the same ids-only
+    // shuffle discipline lshTopK applies to its band join (vectors riding
+    // the probe window would copy every query embedding K times through
+    // the sort).
     val probeW = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
-    val probes = base.where(queryPred)
+    val qVecs = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = qVecs
       .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("qn"), col("cid"),
+      .select(col("qid"), col("cid"),
         dotFast(col("qv"), col("cv")).divide(col("qn") * col("cn")).as("csim"))
       .withColumn("rn", row_number().over(probeW))
       .where(col("rn") <= nProbe)
-      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+      .select(col("qid"), col("cid"))
+      .join(qVecs, "qid")
 
     // exact rerank within the probed cells only
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
@@ -265,7 +278,11 @@ object Similarity {
       val l = math.max(1,
         math.ceil(math.log(miss) / math.log1p(-math.pow(p, b))).toInt)
       (b, l)
-    }.find { case (b, l) => b * l <= 64 }.get
+    }.find { case (b, l) => b * l <= 64 }.getOrElse(
+      throw new IllegalArgumentException(
+        s"no banding fits the 64-bit signature for threshold=$threshold, " +
+          s"miss=$miss (worst-case p=0.5 needs ceil(log(miss)/log(0.5)) " +
+          "single-bit tables) — loosen the miss budget"))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, bounded to
@@ -284,7 +301,14 @@ object Similarity {
     * candidate set approaches all pairs — the verification is then the
     * same O(n²) work brute force does, just shuffle-safe. Real near-dup
     * corpora (τ ≥ 0.8, clustered) get wide tables and tiny buckets, which
-    * is the regime this operator exists for. */
+    * is the regime this operator exists for.
+    *
+    * CONVENTION: `pred` filters the RAW frame, so it references the
+    * ORIGINAL column names (e.g. `col("vec_id") < 256`) — unlike the topK
+    * operators' `queryPred`, which applies after the internal rename and
+    * references the synthetic `id` column. Passing a post-rename pred
+    * here fails analysis (or, if the frame coincidentally carries an
+    * unrelated `id` column, silently filters the wrong thing). */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double,
                          pred: Column): DataFrame = {

@@ -106,6 +106,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(leftover <= 1, s"$leftover reliable checkpoint dirs leaked")
   }
 
+  test("reliableInterval > 1 keeps the durable anchor alive through local rounds") {
+    // A local-only round must not delete the preceding reliable round's
+    // checkpoint files — they are the only durable copy in the system
+    // while the interval elapses (the pre-fix code freed them immediately,
+    // making every interval > 1 equivalent to local-only mode). The hook
+    // fires between rounds: whenever the system is mid-interval, the
+    // checkpoint dir must still hold at least one rdd-* snapshot.
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val ckptDir = tmpDir("cc-anchor")
+    var violations = 0
+    val check = (_: Int) => {
+      val present = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      if (present == 0) violations += 1
+    }
+    val got = Dedup.connectedComponentsWithHook(chain.toDF("id1", "id2"), 30,
+      Some(ckptDir), 3, 0L, check).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L to 60L).map(_ -> 0L).toSet)
+    assert(violations == 0,
+      s"$violations rounds left NO reliable files on disk mid-interval")
+  }
+
   test("reliable CC mode survives loss of every executor-local block between rounds") {
     // The failure reliable checkpointing exists for: executor storage wiped
     // between rounds. unpersist(blocking) on a lineage-truncated
