@@ -27,6 +27,19 @@ object PortableHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Per-thread direct-mapped memo for the UTF8String entry point (the
+    * per-token hot path in SimHash64 portable mode). Token frequencies are
+    * Zipfian, so a small cache absorbs most MD5 work — the xxhash64 slot
+    * probe is ~20× cheaper than a digest. Keys are defensively cloned:
+    * the input UTF8String may view a buffer Spark reuses across rows. */
+  private val memoMask = (1 << 15) - 1
+  private final class Memo(
+      val keys: Array[UTF8String] = new Array[UTF8String](memoMask + 1),
+      val vals: Array[Long] = new Array[Long](memoMask + 1))
+  private val memos = new ThreadLocal[Memo] {
+    override def initialValue(): Memo = new Memo()
+  }
+
   def md5Head60(bytes: Array[Byte]): Long = {
     val md = digests.get()
     md.reset()
@@ -42,7 +55,23 @@ object PortableHashKernel {
 
   def md5Head60(s: String): Long = md5Head60(s.getBytes("UTF-8"))
 
-  def md5Head60(u: UTF8String): Long = md5Head60(u.getBytes)
+  def md5Head60(u: UTF8String): Long = {
+    val m = memos.get()
+    val slot = (org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUTF8String(u, 0L) & memoMask).toInt
+    val k = m.keys(slot)
+    if (k != null && k.equals(u)) m.vals(slot)
+    else {
+      val b = u.getBytes
+      val v = md5Head60(b)
+      // UTF8String.clone()/getBytes() return the CALLER'S array when the
+      // string spans it whole — copyOf guarantees a private key copy
+      // (PortableHashSpec's engineered slot collision catches sharing)
+      m.keys(slot) = UTF8String.fromBytes(java.util.Arrays.copyOf(b, b.length))
+      m.vals(slot) = v
+      v
+    }
+  }
 
   /** Signed recentering into [-1000002, 1000002] — the portable twin of the
     * `xxhash64 % 1000003` weight recipe. xxhash64 longs are full-range so %

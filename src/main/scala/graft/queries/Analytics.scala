@@ -578,9 +578,16 @@ object Analytics {
           .as("approx_orders"),
         approx_count_distinct(col("l_partkey"), rsd = 0.02)
           .as("approx_parts"),
+        // One shared sketch pass; flattened to SCALAR columns (the driver
+        // harness records scalar results; an array column left it err'd).
         expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
-          .as("qty_p50_p90"),
+          .as("qty_pcts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("approx_orders"), col("approx_parts"),
+        element_at(col("qty_pcts"), 1).as("qty_p50"),
+        element_at(col("qty_pcts"), 2).as("qty_p90"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen

@@ -38,7 +38,8 @@ class ApproxSpec extends SparkSpec {
     // is its correctness gate: same tables, same parameters, vs exact
     val got = graft.queries.Analytics.q70ApproxAgg(spark, dir).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getSeq[Double](3), r.getLong(4))).toMap
+        (r.getLong(1), r.getLong(2), Seq(r.getDouble(3), r.getDouble(4)),
+          r.getLong(5))).toMap
     val li = graft.sources.Tables(spark, dir, "lineitem")
     val exact = li.groupBy(col("l_returnflag"))
       .agg(

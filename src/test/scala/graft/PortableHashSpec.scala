@@ -77,6 +77,45 @@ class PortableHashSpec extends SparkSpec {
     assert(expr.eval(null) === want, "interpreted eval must match codegen")
   }
 
+  test("memoized UTF8String entry point is bit-identical to the bytes path") {
+    // the per-token hot path carries a per-thread direct-mapped memo; this
+    // hammers one thread with repeats (hits), fresh keys (misses), and
+    // slot-collision evictions, checking every answer against a fresh digest
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(7)
+    val vocab = Array.fill(512)(rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    (0 until 20000).foreach { _ =>
+      val s = vocab(rnd.nextInt(vocab.length))
+      assert(PortableHashKernel.md5Head60(UTF8String.fromString(s)) ===
+        PortableHashKernel.md5Head60(s.getBytes("UTF-8")), s)
+    }
+    // a key whose backing buffer is mutated after the call must not poison
+    // the memo (the kernel clones defensively). To catch a non-cloning bug
+    // the mutated content must land in the SAME memo slot as the original,
+    // so search for a same-length string that collides on the slot index.
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def slot(s: String) =
+      (XXH64.hashUTF8String(UTF8String.fromString(s), 0L) & ((1 << 15) - 1)).toInt
+    val orig = "aaaa"
+    val alpha = ('0' to '9') ++ ('b' to 'z') // 35^4 candidates, none == orig
+    val collider = Iterator.from(0).take(35 * 35 * 35 * 35).map { i =>
+      new String(Array(alpha(i % 35), alpha(i / 35 % 35),
+        alpha(i / (35 * 35) % 35), alpha(i / (35 * 35 * 35))))
+    }.find(c => slot(c) == slot(orig))
+    collider match {
+      case Some(c) =>
+        val buf = orig.getBytes("UTF-8")
+        PortableHashKernel.md5Head60(UTF8String.fromBytes(buf)) // store
+        System.arraycopy(c.getBytes("UTF-8"), 0, buf, 0, buf.length)
+        // without a defensive clone the stored key now reads `c`, the
+        // lookup hits, and the stale md5(orig) value comes back
+        assert(PortableHashKernel.md5Head60(UTF8String.fromBytes(buf)) ===
+          PortableHashKernel.md5Head60(c.getBytes("UTF-8")), s"collider $c")
+      case None =>
+        fail("no 4-char slot collider among 35^4 candidates (p < 1e-20)")
+    }
+  }
+
   test("portable HyperplaneSig weights follow the md5Signed grid recipe") {
     import sqlImplicits._
     val dim = 4
