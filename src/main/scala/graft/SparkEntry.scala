@@ -92,7 +92,8 @@ object SparkEntry {
     "q71_setops"              -> (Relational.q71SetOps _),
     "q72_json_path"           -> (Relational.q72JsonPath _),
     "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _),
-    "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _)
+    "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _),
+    "q75_quantize"            -> (Analytics.q75Quantize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -62,7 +62,16 @@ object Multimodal {
     * pipeline runs BEFORE paying decode cost: only sampled frames reach
     * [[decodeFeatures]]'s per-partition codec. */
   def frameSample(media: DataFrame, frameBytes: Int = 64,
-                  stride: Int = 4): DataFrame =
+                  stride: Int = 4, maxFrames: Int = Int.MaxValue): DataFrame = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
+    // sequence() materializes the index array per row BEFORE explode, so a
+    // degenerate payload (GBs of video against a small frameBytes) would
+    // build a multi-million-element array in one row. maxFrames bounds
+    // that: at most maxFrames kept indices per record — the last kept
+    // index is (maxFrames-1)*stride (long arithmetic: the product
+    // overflows Int at the defaults).
+    val lastKept = math.min((maxFrames.toLong - 1) * stride,
+      Int.MaxValue.toLong).toInt
     media
       .where(col("meta.nBytes") > 0)
       .select(col("media_id"), col("bytes"),
@@ -70,11 +79,14 @@ object Multimodal {
         // every frame and filtering stride-1 of stride away would push
         // stride× the rows through the Generate node for nothing
         explode(sequence(lit(0),
-          expr(s"CAST((meta.nBytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1"),
+          least(
+            expr(s"CAST((meta.nBytes + ${frameBytes - 1}) DIV $frameBytes AS INT) - 1"),
+            lit(lastKept)),
           lit(stride))).as("frame_idx"))
       .select(col("media_id"), col("frame_idx"),
         expr(s"substring(bytes, frame_idx * $frameBytes + 1, $frameBytes)")
           .as("frame_bytes"))
+  }
 
   /** Batched decode via mapPartitions — per-partition codec init, iterate
     * records, emit features. Payloads ImageIO recognizes (header sniff, no
@@ -82,8 +94,10 @@ object Multimodal {
     * mean over the RGB channel bytes. Unclaimed payloads keep the labeled
     * deterministic byte-level fallback (`decoded = false`) so the operator
     * is total over mixed media columns. */
-  def decodeFeatures(media: DataFrame, frameStride: Int = 32)
+  def decodeFeatures(media: DataFrame, frameStride: Int = 32,
+                     maxFrames: Int = 4096)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    require(maxFrames > 0, s"maxFrames must be positive, got $maxFrames")
     import spark.implicits._
     media.select(col("media_id"), col("bytes"), col("meta"))
       .as[(Long, Array[Byte], MediaMeta)]
@@ -91,7 +105,8 @@ object Multimodal {
         // per-partition codec init: no disk-backed ImageInputStream cache —
         // executor-local tmp files for a per-record decode are pure overhead
         javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, bytes, meta) => decodeOne(id, bytes, meta, frameStride) }
+        it.map { case (id, bytes, meta) =>
+          decodeOne(id, bytes, meta, frameStride, maxFrames) }
       }
   }
 
@@ -215,11 +230,18 @@ object Multimodal {
     * emitted for ALL paths — they are cheap and downstream filters key on
     * them uniformly. */
   private def decodeOne(id: Long, bytes: Array[Byte], meta: MediaMeta,
-                        frameStride: Int): MediaFeatures = {
+                        frameStride: Int, maxFrames: Int): MediaFeatures = {
     val byteMean =
       if (bytes.isEmpty) 0.0
       else bytes.foldLeft(0L)((a, b) => a + (b & 0xFF)).toDouble / bytes.length
-    val frames = 0L.until(bytes.length.toLong, frameStride.toLong)
+    // the frames FIELD is a bounded shortlist (maxFrames offsets), not a
+    // full enumeration: materialized per ROW by the encoder, an unbounded
+    // range would turn a GB-scale payload into a 10^8-element Seq in one
+    // output row — full sampling belongs to [[frameSample]], which streams
+    // one row per kept frame instead
+    val frames = 0L.until(
+      math.min(bytes.length.toLong, frameStride.toLong * maxFrames),
+      frameStride.toLong)
     val headerHex = bytes.take(8).map("%02X".format(_)).mkString
     readImage(bytes) match {
       case Some(img) =>

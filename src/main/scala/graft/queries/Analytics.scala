@@ -590,6 +590,26 @@ object Analytics {
         col("n"))
       .orderBy(col("l_returnflag"))
 
+  // Int8 quantization, driver-gated: per-vector integer checksums over the
+  // quantized codes. Every output column is integral, so the result
+  // hash-matches DuckDB despite float inputs: float→double casts are
+  // value-exact, the x/scale*127 arithmetic is IEEE-identical in both
+  // engines, and both round ties away from zero. QuantizeCompactSpec pins
+  // the reconstruction-error bound; this pins the CODES cross-engine.
+  def q75Quantize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("embeddings")
+      .where(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding"))
+          .getField("q").as("q"))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x.cast("long"))
+          .as("qsum"),
+        array_min(col("q")).cast("int").as("qmin"),
+        array_max(col("q")).cast("int").as("qmax"),
+        size(col("q")).as("dim"))
+      .orderBy(col("vec_id"))
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

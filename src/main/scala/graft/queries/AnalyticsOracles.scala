@@ -591,6 +591,33 @@ object AnalyticsOracles {
         |  CAST(start % 2048 AS INTEGER) AS chunk_offset
         |FROM c ORDER BY doc_id""".stripMargin,
 
+    // int8 quantization codes, checked cross-engine via integer checksums:
+    // float→double promotion is value-exact, x/scale*127 is IEEE-identical,
+    // and both engines round ties away from zero, so the TINYINT codes are
+    // bit-equal and the integral sums hash-match
+    "q75_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |s AS (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, x -> abs(x))),
+        |             1e-12) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) / scale * 127) AS TINYINT))
+        |      AS qv
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_sum(list_transform(qv, y -> CAST(y AS BIGINT)))
+        |    AS BIGINT) AS qsum,
+        |  CAST(list_min(qv) AS INTEGER) AS qmin,
+        |  CAST(list_max(qv) AS INTEGER) AS qmax,
+        |  CAST(len(qv) AS INTEGER) AS dim
+        |FROM q ORDER BY vec_id""".stripMargin,
+
     // the sketch only nominates candidates; emitted counts are exact, so
     // the oracle is the plain distinct-bigram doc-frequency top-k
     "q69_heavy_hitters" ->

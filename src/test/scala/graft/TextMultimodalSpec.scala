@@ -71,6 +71,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0, 64), (1L, 2, 22), (2L, 0, 2)))
   }
 
+  test("multimodal frame caps: maxFrames bounds per-record materialization") {
+    import sqlImplicits._
+    // 150 bytes / 16-byte frames = 10 frames; stride 1 would keep all 10,
+    // maxFrames 3 keeps exactly indices 0, 1, 2
+    val docs = Seq((1L, "a" * 150)).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.fromDocuments(docs)
+    val capped = graft.operators.Multimodal.frameSample(
+        media, frameBytes = 16, stride = 1, maxFrames = 3)
+      .select($"frame_idx").collect().map(_.getInt(0)).sorted
+    assert(capped.toSeq == Seq(0, 1, 2))
+    // the decode-path frames shortlist: stride 8 over 150 bytes would be
+    // 19 offsets; maxFrames 3 keeps 0, 8, 16
+    val f = graft.operators.Multimodal.decodeFeatures(
+      media, frameStride = 8, maxFrames = 3)(spark).collect().head
+    assert(f.frames == Seq(0L, 8L, 16L))
+    // defaults unchanged for small payloads (no cap in range)
+    val fd = graft.operators.Multimodal.decodeFeatures(media)(spark)
+      .collect().head
+    assert(fd.frames == 0L.until(150L, 32L))
+  }
+
   test("multimodal resize: batch shape, proportional payload, determinism") {
     import sqlImplicits._
     val docs = Seq((10L, "a" * 400), (11L, "b" * 40)).toDF("doc_id", "text")
