@@ -93,7 +93,8 @@ object SparkEntry {
     "q72_json_path"           -> (Relational.q72JsonPath _),
     "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _),
     "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _),
-    "q75_quantize"            -> (Analytics.q75Quantize _)
+    "q75_quantize"            -> (Analytics.q75Quantize _),
+    "q76_rank_suite"          -> (Relational.q76RankSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

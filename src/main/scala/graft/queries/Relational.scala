@@ -262,6 +262,27 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  // Ranking-function breadth: rank/dense_rank diverge on the date ties the
+  // single-key ordering leaves in place; percent_rank/cume_dist ride as
+  // basis-point integers (the (rank-1)/(n-1) double is the same exact
+  // rational in both engines, but integer outputs keep the hash compare
+  // trivially safe); nth_value needs the full frame or rows 1..k-1 see NULL.
+  def q76RankSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+    val full = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir)("orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w) * 10000, 0).cast("long").as("pct_rank_bp"),
+        round(cume_dist().over(w) * 10000, 0).cast("long").as("cume_bp"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // String-function breadth (all ASCII-deterministic cross-engine).
   def q41StringSuite(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("customer")

@@ -163,6 +163,21 @@ object RelationalOracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q76_rank_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(round(percent_rank() OVER w * 10000) AS BIGINT)
+        |    AS pct_rank_bp,
+        |  CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cume_bp,
+        |  nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
     "q41_string_suite" ->
       """SELECT c_custkey,
         |  upper(c_name) AS uname,
