@@ -55,6 +55,13 @@ object PortableHashKernel {
 
   def md5Head60(s: String): Long = md5Head60(s.getBytes("UTF-8"))
 
+  /** Keys above this size are hashed but never stored: the memo pins its
+    * keys for the thread's lifetime, so without a bound a pathological
+    * corpus (megabyte "tokens" with no separator) could pin slots × token
+    * bytes of heap per thread. Natural-language tokens — the entire point
+    * of the cache — are far below it. */
+  private val memoMaxKeyBytes = 256
+
   def md5Head60(u: UTF8String): Long = {
     val m = memos.get()
     val slot = (org.apache.spark.sql.catalyst.expressions.XXH64
@@ -67,8 +74,10 @@ object PortableHashKernel {
       // UTF8String.clone()/getBytes() return the CALLER'S array when the
       // string spans it whole — copyOf guarantees a private key copy
       // (PortableHashSpec's engineered slot collision catches sharing)
-      m.keys(slot) = UTF8String.fromBytes(java.util.Arrays.copyOf(b, b.length))
-      m.vals(slot) = v
+      if (b.length <= memoMaxKeyBytes) {
+        m.keys(slot) = UTF8String.fromBytes(java.util.Arrays.copyOf(b, b.length))
+        m.vals(slot) = v
+      }
       v
     }
   }

@@ -114,6 +114,14 @@ class PortableHashSpec extends SparkSpec {
       case None =>
         fail("no 4-char slot collider among 35^4 candidates (p < 1e-20)")
     }
+    // oversized keys are computed correctly but never pinned in the memo
+    // (the memo holds keys for the thread's lifetime — a bound keeps a
+    // pathological no-separator corpus from pinning MBs per slot)
+    val big = "z" * 5000
+    (0 until 2).foreach { _ =>
+      assert(PortableHashKernel.md5Head60(UTF8String.fromString(big)) ===
+        PortableHashKernel.md5Head60(big.getBytes("UTF-8")))
+    }
   }
 
   test("portable HyperplaneSig weights follow the md5Signed grid recipe") {
