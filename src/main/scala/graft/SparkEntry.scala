@@ -94,7 +94,8 @@ object SparkEntry {
     "q73_knn_ivf_refined"     -> (Analytics.q73KnnIvfRefined _),
     "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _),
     "q75_quantize"            -> (Analytics.q75Quantize _),
-    "q76_rank_suite"          -> (Relational.q76RankSuite _)
+    "q76_rank_suite"          -> (Relational.q76RankSuite _),
+    "q77_corr_suite"          -> (Relational.q77CorrSuite _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

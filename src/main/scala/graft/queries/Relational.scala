@@ -309,6 +309,28 @@ object Relational {
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag"))
 
+  // Bivariate statistics breadth: Pearson correlation (scale-invariant, so
+  // both engines' bias conventions cancel), population/sample covariance,
+  // and the regr_* least-squares family — 4dp rounding absorbs the
+  // last-ulp co-moment-merge differences, the q42 stats convention.
+  // Quantity is cast to double on BOTH sides so the co-moment stream is
+  // bit-identical before rounding.
+  def q77CorrSuite(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("double")
+    val y = col("l_extendedprice")
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(x, y), 4).as("corr_qp"),
+        round(covar_pop(x, y), 4).as("covp_qp"),
+        round(covar_samp(x, y), 4).as("covs_qp"),
+        round(regr_slope(y, x), 4).as("slope"),
+        round(regr_intercept(y, x), 4).as("icept"),
+        round(regr_r2(y, x), 4).as("r2"),
+        regr_count(y, x).as("n_pairs"))
+      .orderBy(col("l_returnflag"))
+  }
+
   // NULL semantics: nullif-manufactured NULLs, null-safe equality, coalesce
   // chains, and NULL-aware counting.
   def q43NullSuite(s: SparkSession, dir: String): DataFrame = {

@@ -163,6 +163,25 @@ object RelationalOracles {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
+    "q77_corr_suite" ->
+      """SELECT l_returnflag,
+        |  round(corr(CAST(l_quantity AS DOUBLE), l_extendedprice), 4)
+        |    AS corr_qp,
+        |  round(covar_pop(CAST(l_quantity AS DOUBLE), l_extendedprice), 4)
+        |    AS covp_qp,
+        |  round(covar_samp(CAST(l_quantity AS DOUBLE), l_extendedprice), 4)
+        |    AS covs_qp,
+        |  round(regr_slope(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4)
+        |    AS slope,
+        |  round(regr_intercept(l_extendedprice,
+        |    CAST(l_quantity AS DOUBLE)), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, CAST(l_quantity AS DOUBLE)), 4)
+        |    AS r2,
+        |  CAST(regr_count(l_extendedprice, CAST(l_quantity AS DOUBLE))
+        |    AS BIGINT) AS n_pairs
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q76_rank_suite" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(rank() OVER w AS INTEGER) AS rnk,
