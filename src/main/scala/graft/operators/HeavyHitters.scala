@@ -94,26 +94,7 @@ object HeavyHitters {
   def topK(items: Dataset[String], k: Int, m: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(m >= k, s"sketch capacity $m < k=$k")
-    import items.sparkSession.implicits._
-    // one sketch job: candidates + a (null, partitionCount) sentinel per
-    // partition. Eager localCheckpoint — the frame is ≤ partitions×(m+1)
-    // rows, and both the candidate set and N derive from it without
-    // re-running the corpus scan.
-    val sketch = items.mapPartitions { it =>
-      var n = 0L
-      val counted = it.map { x => n += 1; x }
-      // misraGries exhausts its input before returning, so n and the
-      // decrement flag are final
-      val (cands, decremented) = misraGries(counted, m)
-      cands.map(c => (c, 0L, false)) ++
-        Iterator((null: String, n, decremented))
-    }.toDF("item", "pn", "lossy").localCheckpoint()
-    val stats = sketch.where(col("item").isNull)
-      .agg(sum(col("pn")), max(col("lossy"))).first()
-    val n = stats.getLong(0)
-    val anyLossy = stats.getBoolean(1)
-    val candidates = sketch.where(col("item").isNotNull)
-      .select(col("item")).distinct()
+    val (candidates, n, anyLossy) = sketchPass(items, m)
     // guard rides IN the output column so pruning can't drop it: the
     // k-th (smallest) returned count clearing N/(m+1) proves every
     // non-candidate item ranks strictly below the returned set. Skipped
@@ -126,26 +107,68 @@ object HeavyHitters {
           s"heavy-hitters top-$k not guaranteed exact: count %s of item '%s' " +
             s"does not clear N/(m+1) = $n/${m + 1} — increase m",
           col("cnt"), col("item"))))
+    exactTopK(items, candidates, k)
+      .select(col("item"), checkedCnt.as("cnt"))
+  }
+
+  /** Sketch job shared by both entry points: candidates + a
+    * (null, partitionCount, decremented) sentinel per partition. Eager
+    * localCheckpoint — the frame is ≤ partitions×(m+1) rows, and both the
+    * candidate set and (N, anyLossy) derive from it without re-running the
+    * corpus scan. */
+  private def sketchPass(items: Dataset[String],
+                         m: Int): (DataFrame, Long, Boolean) = {
+    import items.sparkSession.implicits._
+    val sketch = items.mapPartitions { it =>
+      var n = 0L
+      val counted = it.map { x => n += 1; x }
+      // misraGries exhausts its input before returning, so n and the
+      // decrement flag are final
+      val (cands, decremented) = misraGries(counted, m)
+      cands.map(c => (c, 0L, false)) ++
+        Iterator((null: String, n, decremented))
+    }.toDF("item", "pn", "lossy").localCheckpoint()
+    val stats = sketch.where(col("item").isNull)
+      .agg(sum(col("pn")), max(col("lossy"))).first()
+    val candidates = sketch.where(col("item").isNotNull)
+      .select(col("item")).distinct()
+    (candidates, stats.getLong(0), stats.getBoolean(1))
+  }
+
+  /** The exact second pass: candidate-filtered count, deterministic
+    * (count desc, item) order, limit k. Unguarded — each caller applies
+    * its own exactness check. */
+  private def exactTopK(items: Dataset[String], candidates: DataFrame,
+                        k: Int): DataFrame =
     items.toDF("item")
       .join(candidates, "item")
       .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
       .limit(k)
-      .select(col("item"), checkedCnt.as("cnt"))
-  }
 
-  /** [[topK]] with the sketch capacity sized by RETRY instead of a priori:
-    * start at `m0`, and each time the exactness guard fires (the k-th
-    * count does not clear N/(m+1)) double m and re-run, up to
-    * `maxAttempts`. The right capacity depends on N/f_k — the corpus size
-    * over the k-th frequency — which no caller of a fresh corpus can know
-    * in advance; a fixed m either wastes sketch memory on easy data or
+  /** [[topK]] with the sketch capacity sized by MEASUREMENT instead of a
+    * priori: the right capacity depends on N/f_k — the corpus size over
+    * the k-th frequency — which no caller of a fresh corpus can know in
+    * advance; a fixed m either wastes sketch memory on easy data or
     * hard-fails on flat data (the round-6 10× stress run did exactly
-    * that). Convergence is O(log(N/(f_k·m0))) attempts at two corpus
-    * passes each — the scans are the price of EXACT results under an
-    * honest guarantee; callers that tolerate approximation use the sketch
-    * pass directly. Deterministic: every attempt computes the same
+    * that).
+    *
+    * Each attempt collects its k rows anyway (bounded driver collection,
+    * like the CC small-graph fast path — it also keeps the caller's own
+    * action from re-running both corpus passes), so the guard is checked
+    * driver-side and a failed attempt sizes the NEXT one directly:
+    * the guarantee needs cnt_k·(m+1) > N, and the observed k-th count is
+    * a lower bound on the true k-th frequency (candidates only grow with
+    * m, so the observed top-k can only rank at-or-below the true one) —
+    * m' = N/cnt_k + 1 is therefore sufficient, and because the k-th count
+    * at m' is ≥ the one measured, the SECOND attempt clears the guard by
+    * construction. Pure doubling needed O(log(N/(f_k·m0))) attempts at
+    * two corpus passes each — on a frequency-flat corpus 100× the sketch
+    * design point, that made the adaptive path the only superlinear query
+    * in the scaling study. Doubling remains the floor so capacity still
+    * ratchets when a degenerate attempt returns no usable count.
+    * Deterministic: every attempt computes the same
     * candidates-superset-then-exact-count result, so the first attempt
     * whose guard clears returns the same rows any larger m would. */
   def topKAdaptive(items: Dataset[String], k: Int, m0: Int,
@@ -153,27 +176,26 @@ object HeavyHitters {
     require(maxAttempts >= 1, s"maxAttempts $maxAttempts < 1")
     var m = m0
     var attempt = 1
-    while (attempt < maxAttempts) {
-      val result = topK(items, k, m)
-      try {
-        // the result is k rows by construction — collecting the winning
-        // attempt (bounded driver collection, like the CC small-graph
-        // fast path) avoids re-running both corpus passes when the
-        // caller's own action executes the returned frame
-        val rows = result.collect()
+    while (true) {
+      val (candidates, n, anyLossy) = sketchPass(items, m)
+      val result = exactTopK(items, candidates, k)
+      val rows = result.collect()
+      // driver-side guard, Long arithmetic (the in-plan column guard of
+      // topK serves callers that never materialize on the driver)
+      val exact = !anyLossy || rows.forall(_.getLong(1) * (m + 1L) > n)
+      if (exact)
         return items.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows: _*), result.schema)
-      } catch {
-        case e: Throwable if causeChain(e).exists(c =>
-            c.getMessage != null &&
-              c.getMessage.contains("not guaranteed exact")) =>
-          m = math.multiplyExact(m, 2)
-          attempt += 1
-      }
+      val minCnt = rows.map(_.getLong(1)).min // rows nonempty: lossy ⇒ candidates exist
+      if (attempt >= maxAttempts)
+        throw new IllegalStateException(
+          s"heavy-hitters top-$k not guaranteed exact after $attempt attempts " +
+            s"(m=$m, N=$n): smallest returned count $minCnt does not clear " +
+            s"N/(m+1) = ${n / (m + 1L)} — raise m0 or maxAttempts")
+      val jump = if (minCnt > 0) n / minCnt + 1L else 2L * m
+      m = math.min(math.max(2L * m, jump), Int.MaxValue.toLong).toInt
+      attempt += 1
     }
-    topK(items, k, m) // last attempt: let the guard raise to the caller
+    sys.error("unreachable") // while(true) exits only via return/throw
   }
-
-  private def causeChain(e: Throwable): Iterator[Throwable] =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
 }

@@ -74,23 +74,26 @@ class HeavyHittersSpec extends SparkSpec {
       s"wrong failure: $e")
   }
 
-  test("adaptive capacity doubles past the guard and matches brute force") {
-    // 100 uniform items × 10: m=4 and m=8 fail the guard (counts of 10
-    // never clear 1000/(m+1)); doubling reaches m=128 > 100 distinct,
-    // where the sketch is lossless and the guard clears (10 · 129 > 1000).
-    // The result must equal the brute-force top-k, and the m0 that was
-    // undersized for fixed topK (the test above) must now succeed.
+  test("adaptive capacity jumps past the guard in ONE resize and matches brute force") {
+    // 100 uniform items × 10 at m0=4: the first attempt fails the guard
+    // (counts of 10 never clear 1000/5) but MEASURES minCnt=10, so the
+    // resize jumps straight to m = 1000/10 + 1 = 101 > 100 distinct —
+    // lossless, guard cleared. maxAttempts=2 pins that a single resize
+    // suffices: pure doubling (4→8→…→128) would need 6 attempts and
+    // raise here. Result must equal the brute-force top-k.
     val data = (1 to 1000).map(i => s"u${i % 100}")
     val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .sortBy { case (item, n) => (-n, item) }.take(3)
     val ds = data.toDF("item").repartition(4).select($"item").as[String]
-    val got = HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4)
+    val got = HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 2)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == want)
 
-    // exhausted attempts surface the guard instead of looping forever
+    // exhausted attempts surface the guard instead of looping forever:
+    // a single attempt at the undersized m0 must raise, not return the
+    // partition-layout-luck top-k
     val e = intercept[Exception] {
-      HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 2)
+      HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 1)
         .collect()
     }
     def messages(t: Throwable): Seq[String] =
