@@ -369,7 +369,8 @@ object Analytics {
   def q69HeavyHitters(s: SparkSession, dir: String): DataFrame = {
     // adaptive capacity: m0=1024 clears the guarantee at the driver's sf
     // scales in one attempt; a flatter corpus (the 10× stress run, where
-    // fixed m=1024 hard-failed) converges by doubling instead of failing
+    // fixed m=1024 hard-failed) converges in ONE measured resize — the
+    // failed attempt's k-th count sizes the next capacity directly
     HeavyHitters.topKAdaptive(q69Grams(s, dir), k = 20, m0 = 1024)
       .select(col("item").as("gram"), col("cnt").as("n_docs"))
   }
