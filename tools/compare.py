@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run Verify's parquet
 outputs against the DuckDB oracles and diff. Usage:
-    python3 tools/compare.py <sfDir> <verifyOutDir>
+    python3 tools/compare.py <sfDir> <verifyOutDir> [q1,q2,...]
+The optional third arg restricts the sweep to the named queries — for
+re-checking a follow-up fix, or at stress scales where one ORACLE (not
+the engine) is the bottleneck (q68's DuckDB twin materializes the
+billions of pre-aggregation join pairs Spark's pushed-down plan never
+builds).
 """
 import json, sys, glob, os
 import duckdb
@@ -9,6 +14,7 @@ import pyarrow.parquet as pq
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
@@ -31,6 +37,8 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     qdir = f"{outdir}/{name}"
     if not os.path.isdir(qdir):
         print(f"FAIL {name}: no spark output"); fails += 1; continue
