@@ -94,7 +94,7 @@ object HeavyHitters {
   def topK(items: Dataset[String], k: Int, m: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     require(m >= k, s"sketch capacity $m < k=$k")
-    val (candidates, n, anyLossy) = sketchPass(items, m)
+    val (candidates, n, anyLossy, _) = sketchPass(items, m)
     // guard rides IN the output column so pruning can't drop it: the
     // k-th (smallest) returned count clearing N/(m+1) proves every
     // non-candidate item ranks strictly below the returned set. Skipped
@@ -112,27 +112,77 @@ object HeavyHitters {
   }
 
   /** Sketch job shared by both entry points: candidates + a
-    * (null, partitionCount, decremented) sentinel per partition. Eager
-    * localCheckpoint — the frame is ≤ partitions×(m+1) rows, and both the
-    * candidate set and (N, anyLossy) derive from it without re-running the
-    * corpus scan. */
+    * (null, partitionCount, decremented, hllRegisters) sentinel per
+    * partition. Eager localCheckpoint — the frame is ≤ partitions×(m+1)
+    * rows, and the candidate set, (N, anyLossy), and a vocabulary
+    * estimate all derive from it without re-running the corpus scan: the
+    * HLL registers ride the same row iteration the MG counters already
+    * pay for, so strategy selection after a failed guard costs no extra
+    * pass. Sentinels are merged on the driver (partitions × 2 KB). */
   private def sketchPass(items: Dataset[String],
-                         m: Int): (DataFrame, Long, Boolean) = {
+                         m: Int): (DataFrame, Long, Boolean, Long) = {
     import items.sparkSession.implicits._
     val sketch = items.mapPartitions { it =>
       var n = 0L
-      val counted = it.map { x => n += 1; x }
-      // misraGries exhausts its input before returning, so n and the
-      // decrement flag are final
+      val reg = Hll.empty()
+      val counted = it.map { x => n += 1; Hll.add(reg, x); x }
+      // misraGries exhausts its input before returning, so n, the
+      // decrement flag, and the registers are final
       val (cands, decremented) = misraGries(counted, m)
-      cands.map(c => (c, 0L, false)) ++
-        Iterator((null: String, n, decremented))
-    }.toDF("item", "pn", "lossy").localCheckpoint()
-    val stats = sketch.where(col("item").isNull)
-      .agg(sum(col("pn")), max(col("lossy"))).first()
+      cands.map(c => (c, 0L, false, null: Array[Byte])) ++
+        Iterator((null: String, n, decremented, reg))
+    }.toDF("item", "pn", "lossy", "reg").localCheckpoint()
+    val sentinels = sketch.where(col("item").isNull)
+      .select(col("pn"), col("lossy"), col("reg")).collect()
+    val merged = Hll.empty()
+    sentinels.foreach(r => Hll.mergeInto(merged, r.getAs[Array[Byte]](2)))
     val candidates = sketch.where(col("item").isNotNull)
       .select(col("item")).distinct()
-    (candidates, stats.getLong(0), stats.getBoolean(1))
+    (candidates, sentinels.map(_.getLong(0)).sum,
+      sentinels.exists(_.getBoolean(1)), Hll.estimate(merged))
+  }
+
+  /** Minimal HyperLogLog (p=11, 2048 byte registers, 64-bit xxhash —
+    * standard error ≈ 2.3%, no large-range correction needed at 64 bits)
+    * used only to size the sketch-vs-exact decision; never surfaced as a
+    * result. Kept local instead of `approx_count_distinct` because the
+    * estimate must come from the SAME pass as the MG sketch — a separate
+    * aggregation would re-scan the corpus exactly when the operator is
+    * trying not to. */
+  private[graft] object Hll {
+    private val P = 11
+    private val M = 1 << P
+    private val Alpha = 0.7213 / (1.0 + 1.079 / M)
+    def empty(): Array[Byte] = new Array[Byte](M)
+    def add(reg: Array[Byte], s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 42L)
+      val idx = (h >>> (64 - P)).toInt
+      val w = h << P
+      val rank = (if (w == 0L) 64 - P
+                  else java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rank > reg(idx)) reg(idx) = rank.toByte // rank ≤ 54, fits a byte
+    }
+    def mergeInto(acc: Array[Byte], other: Array[Byte]): Unit = {
+      var i = 0
+      while (i < M) { if (other(i) > acc(i)) acc(i) = other(i); i += 1 }
+    }
+    def estimate(reg: Array[Byte]): Long = {
+      var sum = 0.0
+      var zeros = 0
+      var i = 0
+      while (i < M) {
+        sum += 1.0 / (1L << reg(i))
+        if (reg(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = Alpha * M * M / sum
+      val e = if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+              else raw
+      math.round(e)
+    }
   }
 
   /** The exact second pass: candidate-filtered count, deterministic
@@ -168,32 +218,77 @@ object HeavyHitters {
     * design point, that made the adaptive path the only superlinear query
     * in the scaling study. Doubling remains the floor so capacity still
     * ratchets when a degenerate attempt returns no usable count.
+    *
+    * The sketch pass also carries a 2 KB HyperLogLog per partition, so a
+    * failed attempt knows the vocabulary size for free — and when the
+    * required capacity rivals it ([[sketchWorthwhile]]), the operator
+    * stops sketching: MG counters at m ≈ distinct ARE a full vocabulary
+    * hash map, so a plain exact groupBy top-k (no guard needed — exact
+    * by construction) does strictly less work. At the 100 TB skewed
+    * design point (near-unique items, heavy k-th frequency) the estimate
+    * is huge, the jump small, and the sketch path is kept.
     * Deterministic: every attempt computes the same
     * candidates-superset-then-exact-count result, so the first attempt
     * whose guard clears returns the same rows any larger m would. */
   def topKAdaptive(items: Dataset[String], k: Int, m0: Int,
-                   maxAttempts: Int = 6): DataFrame = {
+                   maxAttempts: Int = 6): DataFrame =
+    topKAdaptiveImpl(items, k, m0, maxAttempts)._1
+
+  /** True when a sketch of capacity `jump` still pays for its two extra
+    * corpus passes: below half the estimated vocabulary, the MG counters
+    * and candidate shuffle are meaningfully smaller than a full exact
+    * count's hash table; at-or-above it, the "sketch" IS the vocabulary
+    * map and one plain groupBy does strictly less work. */
+  private[graft] def sketchWorthwhile(jump: Long, estDistinct: Long): Boolean =
+    2L * jump < estDistinct
+
+  /** Implementation of [[topKAdaptive]] that also reports which strategy
+    * produced the result — "first-try", "jump" (resized sketch), or
+    * "exact-fallback" — so specs can pin the regime selection, not just
+    * the rows. */
+  private[graft] def topKAdaptiveImpl(items: Dataset[String], k: Int, m0: Int,
+                                      maxAttempts: Int): (DataFrame, String) = {
     require(maxAttempts >= 1, s"maxAttempts $maxAttempts < 1")
     var m = m0
     var attempt = 1
     while (true) {
-      val (candidates, n, anyLossy) = sketchPass(items, m)
+      val (candidates, n, anyLossy, estDistinct) = sketchPass(items, m)
       val result = exactTopK(items, candidates, k)
       val rows = result.collect()
       // driver-side guard, Long arithmetic (the in-plan column guard of
       // topK serves callers that never materialize on the driver)
       val exact = !anyLossy || rows.forall(_.getLong(1) * (m + 1L) > n)
       if (exact)
-        return items.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), result.schema)
+        return (items.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), result.schema),
+          if (attempt == 1) "first-try" else "jump")
       val minCnt = rows.map(_.getLong(1)).min // rows nonempty: lossy ⇒ candidates exist
+      // the guarantee needs cnt_k·(m+1) > N, and the observed k-th count
+      // lower-bounds the true k-th frequency (candidates only grow with
+      // m), so this capacity clears the guard on the next attempt by
+      // construction
+      val jump = math.max(2L * m, if (minCnt > 0) n / minCnt + 1L else 2L * m)
+      if (!sketchWorthwhile(jump, estDistinct)) {
+        // flat-corpus regime (the required capacity rivals the
+        // vocabulary): a plain exact count is the better plan and needs
+        // no guard — never raise when the exact answer is one groupBy
+        // away, regardless of attempts left
+        val fallback = items.toDF("item")
+          .groupBy(col("item"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("item"))
+          .limit(k)
+        val frows = fallback.collect()
+        return (items.sparkSession.createDataFrame(
+          java.util.Arrays.asList(frows: _*), fallback.schema),
+          "exact-fallback")
+      }
       if (attempt >= maxAttempts)
         throw new IllegalStateException(
           s"heavy-hitters top-$k not guaranteed exact after $attempt attempts " +
             s"(m=$m, N=$n): smallest returned count $minCnt does not clear " +
             s"N/(m+1) = ${n / (m + 1L)} — raise m0 or maxAttempts")
-      val jump = if (minCnt > 0) n / minCnt + 1L else 2L * m
-      m = math.min(math.max(2L * m, jump), Int.MaxValue.toLong).toInt
+      m = math.min(jump, Int.MaxValue.toLong).toInt
       attempt += 1
     }
     sys.error("unreachable") // while(true) exits only via return/throw

@@ -74,32 +74,67 @@ class HeavyHittersSpec extends SparkSpec {
       s"wrong failure: $e")
   }
 
-  test("adaptive capacity jumps past the guard in ONE resize and matches brute force") {
+  test("flat corpus: a failed guard falls back to ONE exact groupBy, even at maxAttempts=1") {
     // 100 uniform items × 10 at m0=4: the first attempt fails the guard
-    // (counts of 10 never clear 1000/5) but MEASURES minCnt=10, so the
-    // resize jumps straight to m = 1000/10 + 1 = 101 > 100 distinct —
-    // lossless, guard cleared. maxAttempts=2 pins that a single resize
-    // suffices: pure doubling (4→8→…→128) would need 6 attempts and
-    // raise here. Result must equal the brute-force top-k.
+    // (counts of 10 never clear 1000/5) and measures minCnt=10, so the
+    // required capacity is 1000/10 + 1 = 101 — within 2× of the ~100-item
+    // vocabulary the piggybacked HLL reports. Sketching again would just
+    // rebuild the vocabulary map with extra passes, so the operator must
+    // pick the exact-groupBy fallback, which is exact by construction and
+    // therefore legitimate even when no sketch attempts remain.
     val data = (1 to 1000).map(i => s"u${i % 100}")
     val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
       .sortBy { case (item, n) => (-n, item) }.take(3)
     val ds = data.toDF("item").repartition(4).select($"item").as[String]
-    val got = HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 2)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(got == want)
+    val (df, strategy) =
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 1)
+    assert(strategy == "exact-fallback")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
 
-    // exhausted attempts surface the guard instead of looping forever:
-    // a single attempt at the undersized m0 must raise, not return the
-    // partition-layout-luck top-k
+  test("skewed corpus with undersized m0: ONE measured resize clears the guard") {
+    // 3 plants × 500 over 5000-distinct junk (N ≈ 10k): at m0=4 the guard
+    // needs counts > 2000, so the first attempt fails — but the measured
+    // k-th count sizes the retry at ~N/minCnt, far below the ~5000-word
+    // vocabulary, so the SKETCH path is kept (not the fallback) and the
+    // second attempt clears by construction. Pure doubling from 4 would
+    // have needed 4 attempts. maxAttempts=1 must still raise: the sketch
+    // path has no exact result in hand and no attempts left.
+    val rnd = new scala.util.Random(41)
+    val plants = (1 to 3).flatMap(i => Seq.fill(500)(s"plant$i"))
+    val junk = (1 to 8500).map(_ => s"j${rnd.nextInt(5000)}")
+    val data = new scala.util.Random(43).shuffle((plants ++ junk).toList)
+    val want = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, n) => (-n, item) }.take(3)
+    val ds = data.toDF("item").repartition(4).select($"item").as[String]
+    val (df, strategy) =
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 2)
+    assert(strategy == "jump", s"expected the resized-sketch path, got $strategy")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+
+    // exhausted attempts surface the guard instead of looping forever
     val e = intercept[Exception] {
-      HeavyHitters.topKAdaptive(ds, k = 3, m0 = 4, maxAttempts = 1)
-        .collect()
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 1)
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("not guaranteed exact")),
       s"wrong failure: $e")
+  }
+
+  test("piggybacked HLL estimates cardinality within 5% and merges by register max") {
+    val a = HeavyHitters.Hll.empty()
+    val b = HeavyHitters.Hll.empty()
+    (1 to 30000).foreach(i => HeavyHitters.Hll.add(a, s"item$i"))
+    (20001 to 50000).foreach(i => HeavyHitters.Hll.add(b, s"item$i"))
+    HeavyHitters.Hll.mergeInto(a, b) // union is exactly 50k distinct
+    val est = HeavyHitters.Hll.estimate(a)
+    assert(math.abs(est - 50000) < 2500, s"estimate $est off >5% from 50000")
+    // small-range regime: exact-ish via linear counting
+    val c = HeavyHitters.Hll.empty()
+    (1 to 40).foreach(i => HeavyHitters.Hll.add(c, s"x$i"))
+    val small = HeavyHitters.Hll.estimate(c)
+    assert(math.abs(small - 40) <= 2, s"small-range estimate $small vs 40")
   }
 
   test("ties rank deterministically by item") {
