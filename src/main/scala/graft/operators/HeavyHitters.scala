@@ -95,6 +95,21 @@ object HeavyHitters {
     require(k >= 1, s"k must be positive, got $k")
     require(m >= k, s"sketch capacity $m < k=$k")
     val (candidates, n, anyLossy, _) = sketchPass(items, m)
+    // Completeness check, driver-side over the checkpointed sketch (tiny —
+    // ≤ partitions × m rows, no corpus re-scan): the in-plan count guard
+    // below can only fire on rows that EXIST, so a lossy sketch whose
+    // decrement storms emptied (or shrank below k) the candidate set would
+    // return a short frame with every present row passing — silently
+    // dropping true heavy hitters. Lossy ⇒ some partition saw > m ≥ k
+    // distinct items ⇒ the true top-k has exactly k rows, so fewer than k
+    // candidates under a lossy sketch is PROVABLY incomplete, never a
+    // small-corpus answer. (k or more candidates ⇒ the join returns ≥ k
+    // rows and the per-row guard covers the rest.)
+    if (anyLossy && candidates.count() < k)
+      throw new IllegalStateException(
+        s"heavy-hitters top-$k not guaranteed exact: the lossy sketch " +
+          s"(capacity m=$m) retained fewer than $k candidates, so the " +
+          "result would be incomplete — increase m")
     // guard rides IN the output column so pruning can't drop it: the
     // k-th (smallest) returned count clearing N/(m+1) proves every
     // non-candidate item ranks strictly below the returned set. Skipped
@@ -229,7 +244,16 @@ object HeavyHitters {
     * is huge, the jump small, and the sketch path is kept.
     * Deterministic: every attempt computes the same
     * candidates-superset-then-exact-count result, so the first attempt
-    * whose guard clears returns the same rows any larger m would. */
+    * whose guard clears returns the same rows any larger m would.
+    *
+    * NOTE the returned frame is a DRIVER-MATERIALIZED local relation:
+    * each attempt collects its k rows to check the guard, and the winning
+    * attempt's rows are re-wrapped via `createDataFrame` so the caller's
+    * own action doesn't re-run both corpus passes. Bounded at k rows —
+    * but callers composing it into larger plans should know the result
+    * has no lineage to the corpus (it re-broadcasts from the driver, and
+    * plan audits see a LocalTableScan, not the sketch/count jobs — see
+    * [[graft.queries.Analytics.q69Grams]] for the sweepable pipeline). */
   def topKAdaptive(items: Dataset[String], k: Int, m0: Int,
                    maxAttempts: Int = 6): DataFrame =
     topKAdaptiveImpl(items, k, m0, maxAttempts)._1
@@ -249,25 +273,41 @@ object HeavyHitters {
   private[graft] def topKAdaptiveImpl(items: Dataset[String], k: Int, m0: Int,
                                       maxAttempts: Int): (DataFrame, String) = {
     require(maxAttempts >= 1, s"maxAttempts $maxAttempts < 1")
+    require(k >= 1, s"k must be positive, got $k")
+    // the completeness guard's "lossy ⇒ true top-k has k rows" argument
+    // needs every partition's capacity to be at least k
+    require(m0 >= k, s"initial sketch capacity $m0 < k=$k")
     var m = m0
     var attempt = 1
     while (true) {
       val (candidates, n, anyLossy, estDistinct) = sketchPass(items, m)
       val result = exactTopK(items, candidates, k)
       val rows = result.collect()
-      // driver-side guard, Long arithmetic (the in-plan column guard of
-      // topK serves callers that never materialize on the driver)
-      val exact = !anyLossy || rows.forall(_.getLong(1) * (m + 1L) > n)
+      // Driver-side guard, Long arithmetic (the in-plan column guard of
+      // topK serves callers that never materialize on the driver). The
+      // completeness conjunct mirrors topK's candidate check: lossy ⇒ some
+      // partition saw > m ≥ k distinct items ⇒ the true top-k has exactly
+      // k rows, so a SHORT result under a lossy sketch means MG's
+      // decrement storms dropped real candidates (e.g. a flat stream whose
+      // per-partition length is a multiple of m+1 empties every counter) —
+      // rows.forall alone would pass vacuously on the very rows that are
+      // missing and return an incomplete result labeled exact.
+      val exact = !anyLossy ||
+        (rows.length >= k && rows.forall(_.getLong(1) * (m + 1L) > n))
       if (exact)
         return (items.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows: _*), result.schema),
           if (attempt == 1) "first-try" else "jump")
-      val minCnt = rows.map(_.getLong(1)).min // rows nonempty: lossy ⇒ candidates exist
-      // the guarantee needs cnt_k·(m+1) > N, and the observed k-th count
-      // lower-bounds the true k-th frequency (candidates only grow with
-      // m), so this capacity clears the guard on the next attempt by
-      // construction
-      val jump = math.max(2L * m, if (minCnt > 0) n / minCnt + 1L else 2L * m)
+      // the guarantee needs cnt_k·(m+1) > N, and with a FULL k-row result
+      // the observed k-th count lower-bounds the true k-th frequency
+      // (candidates only grow with m), so that capacity clears the guard
+      // on the next attempt by construction. A short result carries no
+      // such bound (its smallest count can exceed the true f_k), so the
+      // measured jump only applies at rows.length ≥ k; the doubling floor
+      // still ratchets capacity for degenerate short/empty attempts.
+      val minCnt = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).min
+      val jump = math.max(2L * m,
+        if (minCnt > 0 && rows.length >= k) n / minCnt + 1L else 0L)
       if (!sketchWorthwhile(jump, estDistinct)) {
         // flat-corpus regime (the required capacity rivals the
         // vocabulary): a plain exact count is the better plan and needs

@@ -137,6 +137,56 @@ class HeavyHittersSpec extends SparkSpec {
     assert(math.abs(small - 40) <= 2, s"small-range estimate $small vs 40")
   }
 
+  test("decrement-emptied sketch fails the guard loudly instead of returning empty-labeled-exact") {
+    // all-distinct stream whose length is a multiple of m+1, one partition:
+    // every (m+1)-th arrival decrements ALL counters to zero, so the final
+    // candidate set is EMPTY while decremented=true. The in-plan per-row
+    // count guard can only evaluate on rows that exist — before the
+    // completeness check, topK returned an empty frame silently and
+    // topKAdaptive returned it labeled exact (vacuous forall). Lossy at
+    // m ≥ k proves the true top-k has k rows, so both must treat the
+    // short result as a failed guard.
+    val data = (1 to 10).map(i => s"d$i") // 10 = 2 × (m+1) at m=4
+    val ds = spark.sparkContext.parallelize(data, 1).toDS()
+    val (cands, decremented) = HeavyHitters.misraGries(data.iterator, 4)
+    assert(decremented && cands.isEmpty,
+      "precondition: the engineered stream must empty the sketch")
+
+    val e = intercept[Exception] { HeavyHitters.topK(ds, k = 3, m = 4) }
+    assert(Option(e.getMessage).exists(_.contains("not guaranteed exact")),
+      s"wrong failure: $e")
+
+    // the adaptive path must fall THROUGH the failed guard: doubling floor
+    // (no measured jump exists for an empty result), then the HLL sees the
+    // required capacity rival the ~10-word vocabulary -> exact fallback
+    val (df, strategy) =
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 6)
+    assert(strategy == "exact-fallback", s"got $strategy")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("d1", 1L), ("d10", 1L), ("d2", 1L)))
+  }
+
+  test("short-but-all-passing result fails the completeness guard (incomplete top-k)") {
+    // two heavies + 15 distinct junk, one partition, m=4: MG's decrement
+    // storms strip every junk candidate, leaving TWO candidates whose
+    // counts both clear N/(m+1) — so rows.forall alone passes on a 2-row
+    // result for k=3, silently dropping the true 3rd item. The
+    // completeness conjunct must reject it and converge to the exact
+    // fallback (the measured jump is unavailable below k rows; the junk
+    // vocabulary is tiny, so the HLL decision lands on exact).
+    val data = Seq.fill(50)("a") ++ Seq.fill(50)("b") ++
+      (1 to 15).map(i => f"j$i%02d")
+    val (cands, decremented) = HeavyHitters.misraGries(data.iterator, 4)
+    assert(decremented && cands.size < 3,
+      s"precondition: sketch must end below k candidates, got ${cands.size}")
+    val ds = spark.sparkContext.parallelize(data, 1).toDS()
+    val (df, strategy) =
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 6)
+    assert(strategy == "exact-fallback", s"got $strategy")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 50L), ("b", 50L), ("j01", 1L)))
+  }
+
   test("ties rank deterministically by item") {
     val ds = Seq("b", "a", "b", "a", "c").toDF("item").select($"item").as[String]
     val got = HeavyHitters.topK(ds, k = 3, m = 8)
