@@ -95,7 +95,10 @@ object SparkEntry {
     "q74_interval_overlap"    -> (Relational.q74IntervalOverlap _),
     "q75_quantize"            -> (Analytics.q75Quantize _),
     "q76_rank_suite"          -> (Relational.q76RankSuite _),
-    "q77_corr_suite"          -> (Relational.q77CorrSuite _)
+    "q77_corr_suite"          -> (Relational.q77CorrSuite _),
+    "q78_exact_distinct_pct"  -> (Analytics.q78ExactDistinctPct _),
+    "q79_kmeans_step"         -> (Analytics.q79KmeansStep _),
+    "q80_heavy_fallback"      -> (Analytics.q80HeavyFallback _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -103,6 +106,9 @@ object SparkEntry {
     * cross-engine reproducible: q70 (HLL/quantile-sketch internals differ
     * by engine; ApproxSpec pins |approx − exact| within the configured
     * bounds) and q73 (iterated float k-means centroids; RecallSpec pins
-    * the floor). The driver records rows-only for both. */
+    * the floor). The driver records rows-only for both — and each is
+    * anchored by an exact, hash-matched twin of the same shape: q78
+    * computes q70's distinct/quantile columns exactly, and q79 replays
+    * one k-means update in fixed-point integer arithmetic. */
   def oracleSql: Map[String, String] = RelationalOracles.sql ++ AnalyticsOracles.sql
 }

@@ -340,6 +340,71 @@ object Similarity {
       .where(col("sim") >= threshold)
   }
 
+  /** One FIXED-POINT k-means refinement iteration over the corpus,
+    * computed entirely in scaled-integer arithmetic so the result is
+    * bit-reproducible across engines — the exact, DuckDB-twinnable anchor
+    * for [[ivfTopK]]'s float refinement loop (whose iterated centroid
+    * means differ by engine at the last ulp and are therefore rows-only
+    * at the driver's hash gate).
+    *
+    * Pipeline: quantize each vector to `round(x · scale)` longs (both
+    * engines promote float→double value-exactly and round ties away from
+    * zero), pick the [[ivfTopK]]-portable md5-seeded centroids, assign
+    * every vector to its nearest centroid by INTEGER squared euclidean
+    * distance (argmin, ties to the smallest cid — no norms, no division),
+    * then one centroid update with floor-of-exact-ratio coordinates
+    * (sums < 2^53, so the double division is IEEE-identical cross-engine
+    * and floor is deterministic). Emitted per cell: member count, integer
+    * inertia (Σ d² — the quantity Lloyd iteration descends), and integer
+    * checksums (Σ/min/max) of the updated centroid coordinates.
+    *
+    * Same scale shape as one [[ivfTopK]] k-means round: broadcast K-row
+    * centroid grid, one partial-agg argmin pass, one posexplode partial
+    * agg for the update — no corpus shuffle beyond the (cid, pos) and cid
+    * aggregations. */
+  def kmeansStepFixedPoint(emb: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, scale: Long): DataFrame = {
+    val q = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+    val seeds = q
+      .withColumn("h",
+        graft.functions.PortableHash.md5Head60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(nCentroids)
+      .select(col("id").as("cid"), col("qv").as("cv"))
+    // pure long arithmetic end to end: products ≤ (2·scale·|x|max)²·dim
+    // stay far below 2^63 for unit-scale embeddings at scale ≤ 1e6
+    val d2 = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    // same partial-agg argmin shape as ivfTopK.assign, integer ordering
+    val assigned = q.crossJoin(broadcast(seeds))
+      .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("d2"), col("qv")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
+        col("m.qv").as("qv"))
+    val members = assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+    val sums = assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("s"))
+    val newc = sums
+      .join(broadcast(members.select(col("cid"), col("n_members"))), "cid")
+      .select(col("cid"),
+        floor(col("s") / col("n_members")).cast("long").as("c"))
+    val chk = newc.groupBy(col("cid"))
+      .agg(sum(col("c")).as("csum"), min(col("c")).as("cmin"),
+        max(col("c")).as("cmax"))
+    members.join(chk, "cid")
+      .select(col("cid"), col("n_members"), col("inertia"),
+        col("csum"), col("cmin"), col("cmax"))
+      .orderBy(col("cid"))
+  }
+
   /** The all-pairs reference implementation — spec-only, kept as ground
     * truth for the recall pin on [[cosineNearDupPairs]] (its `id1 < id2`
     * self-join is the BNLJ anti-pattern the LSH composition removed). */

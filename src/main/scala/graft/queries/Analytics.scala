@@ -611,6 +611,63 @@ object Analytics {
         size(col("q")).as("dim"))
       .orderBy(col("vec_id"))
 
+  // Exact twin of q70's shapes (the approx-agg anchor): the same columns
+  // the approximate profiling pass estimates — distinct orders/parts and
+  // the 0.5/0.9 quantity quantiles per returnflag — computed EXACTLY, so
+  // the driver's hash gate covers every shape q70's sketches approximate
+  // (q70 itself stays rows-only: HLL/quantile-sketch internals differ by
+  // engine). ApproxSpec pins |approx − exact| between the two on the same
+  // tables. percentile stays on integral l_quantity (q36's convention:
+  // quantile neighbors are equal or integer-adjacent, so interpolation is
+  // exact in both engines).
+  def q78ExactDistinctPct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir)("lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("qty_p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 2).as("qty_p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  // Fixed-point anchor for q73's refinement loop: ONE scaled-integer
+  // k-means update over the same embeddings, md5-portable seeds, integer
+  // distances and floor-ratio centroid coordinates — bit-reproducible
+  // cross-engine, so the driver hash-gates the exact arithmetic shape
+  // whose float twin (q73's iterated means) is rows-only by physics.
+  // scale = 1e6 bounds every intermediate far below 2^53/2^63 for these
+  // unit-scale vectors (|x| < 0.6, dim 64).
+  def q79KmeansStep(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansStepFixedPoint(t(s, dir)("embeddings"), "vec_id",
+      "embedding", nCentroids = 16, scale = 1000000L)
+
+  // The adaptive heavy-hitters EXACT-FALLBACK regime, driver-visible: the
+  // key is the (orderkey, linenumber) composite — unique per row, the
+  // extreme of the flat-frequency regime (the "100 TB corpus of
+  // near-unique items" design point). No sketch capacity below the
+  // vocabulary can clear N/(m+1) when every count is 1, and the measured
+  // jump N/cnt_k + 1 = N + 1 always rivals the HLL vocabulary estimate,
+  // so topKAdaptive must choose the exact-groupBy fallback at EVERY
+  // scale (strategy pinned by name in HeavyHittersSpec on this corpus;
+  // q69 keeps the sketch paths). Exact by construction — the oracle is
+  // the plain groupBy/order/limit, ties broken by key string.
+  def q80HeavyFallback(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    HeavyHitters.topKAdaptive(q80Keys(s, dir), k = 20, m0 = 64)
+      .select(col("item").as("line_key"), col("cnt").as("n_rows"))
+  }
+
+  /** q80's near-unique key stream, named so the spec pins the strategy on
+    * exactly the catalog corpus. */
+  private[graft] def q80Keys(s: SparkSession, dir: String) = {
+    import s.implicits._
+    t(s, dir)("lineitem")
+      .select(concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string")).as("k"))
+      .as[String]
+  }
+
   // Multimodal plumbing: opaque binary payload + typed metadata → codegen
   // feature projection (decode itself is the stubbed mapPartitions path,
   // exercised in ScalaTest).

@@ -618,6 +618,83 @@ object AnalyticsOracles {
         |  CAST(len(qv) AS INTEGER) AS dim
         |FROM q ORDER BY vec_id""".stripMargin,
 
+    // exact twin of q70's approximate shapes — count(DISTINCT) and the
+    // 0.5/0.9 quantiles on the same columns, q36's integral-quantity
+    // interpolation convention
+    "q78_exact_distinct_pct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.9), 2) AS qty_p90,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // fixed-point k-means step replayed in SQL: the same round(x*1e6)
+    // quantization (float->double promotion value-exact, ties away from
+    // zero in both engines), md5-picked seeds, INTEGER squared-euclidean
+    // argmin (ties to smallest cid), floor-of-exact-ratio centroid update.
+    // sums go through explicit BIGINT casts (DuckDB sum(BIGINT) returns
+    // HUGEINT); s / n_members is BIGINT/BIGINT -> DOUBLE, IEEE-identical
+    // to Spark's long division, and floor of it is deterministic
+    "q79_kmeans_step" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |seeds AS (
+         |  SELECT id AS cid, qv AS cv FROM q
+         |  ORDER BY ${md5Head60("CAST(id AS VARCHAR)")}, id
+         |  LIMIT 16),
+         |el AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM q),
+         |cel AS (
+         |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
+         |    unnest(cv) AS v
+         |  FROM seeds),
+         |dist AS (
+         |  SELECT el.id, cel.cid,
+         |    CAST(sum((el.v - cel.v) * (el.v - cel.v)) AS BIGINT) AS d2
+         |  FROM el JOIN cel ON el.pos = cel.pos
+         |  GROUP BY el.id, cel.cid),
+         |asg AS (
+         |  SELECT id, cid, d2 FROM (
+         |    SELECT id, cid, d2,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1),
+         |members AS (
+         |  SELECT cid, count(*) AS n_members,
+         |    CAST(sum(d2) AS BIGINT) AS inertia
+         |  FROM asg GROUP BY cid),
+         |sums AS (
+         |  SELECT a.cid, el.pos, CAST(sum(el.v) AS BIGINT) AS s
+         |  FROM asg a JOIN el ON el.id = a.id
+         |  GROUP BY a.cid, el.pos),
+         |newc AS (
+         |  SELECT sums.cid, pos,
+         |    CAST(floor(s / n_members) AS BIGINT) AS c
+         |  FROM sums JOIN members ON members.cid = sums.cid),
+         |chk AS (
+         |  SELECT cid, CAST(sum(c) AS BIGINT) AS csum,
+         |    min(c) AS cmin, max(c) AS cmax
+         |  FROM newc GROUP BY cid)
+         |SELECT m.cid, m.n_members, m.inertia, chk.csum, chk.cmin, chk.cmax
+         |FROM members m JOIN chk ON chk.cid = m.cid
+         |ORDER BY m.cid""".stripMargin,
+
+    // the adaptive operator's exact-fallback path IS a plain groupBy, so
+    // the oracle is the same computation spelled directly
+    "q80_heavy_fallback" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || ':' ||
+        |    CAST(l_linenumber AS VARCHAR) AS line_key,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_rows DESC, line_key LIMIT 20""".stripMargin,
+
     // the sketch only nominates candidates; emitted counts are exact, so
     // the oracle is the plain distinct-bigram doc-frequency top-k
     "q69_heavy_hitters" ->

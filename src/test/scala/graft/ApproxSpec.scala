@@ -33,20 +33,17 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 1.0)
   }
 
-  test("q70 catalog query: every approximate column within its configured error") {
+  test("q70 catalog query: every approximate column within its configured error of the q78 exact twin") {
     // the driver sees q70 rows-only (sketches are engine-specific), so THIS
-    // is its correctness gate: same tables, same parameters, vs exact
+    // is its correctness gate — and the exact side is the q78 CATALOG query
+    // (hash-matched against DuckDB), so the bound chains q70's sketches to
+    // a driver-verified anchor rather than a spec-local recomputation.
+    // q78's percentiles carry a 2dp round; the ±1.0 bound dwarfs it.
     val got = graft.queries.Analytics.q70ApproxAgg(spark, dir).collect()
       .map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), Seq(r.getDouble(3), r.getDouble(4)),
           r.getLong(5))).toMap
-    val li = graft.sources.Tables(spark, dir, "lineitem")
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("orders"),
-        countDistinct(col("l_partkey")).as("parts"),
-        expr("percentile(l_quantity, array(0.5, 0.9))").as("pcts"),
-        count(lit(1)).as("n"))
+    val exact = graft.queries.Analytics.q78ExactDistinctPct(spark, dir)
       .collect()
     assert(exact.nonEmpty && exact.length == got.size)
     exact.foreach { r =>
@@ -57,11 +54,11 @@ class ApproxSpec extends SparkSpec {
         s"$flag orders: $aOrders vs ${r.getLong(1)}")
       assert(math.abs(aParts - r.getLong(2)).toDouble / r.getLong(2) < 0.05,
         s"$flag parts: $aParts vs ${r.getLong(2)}")
-      val ePcts = r.getSeq[Double](3)
+      val ePcts = Seq(r.getDouble(3), r.getDouble(4))
       aPcts.zip(ePcts).zipWithIndex.foreach { case ((a, e), i) =>
         assert(math.abs(a - e) <= 1.0, s"$flag p$i: $a vs $e")
       }
-      assert(aN == r.getLong(4), s"$flag count must be exact")
+      assert(aN == r.getLong(5), s"$flag count must be exact")
     }
   }
 }

@@ -187,6 +187,23 @@ class HeavyHittersSpec extends SparkSpec {
       Seq(("a", 50L), ("b", 50L), ("j01", 1L)))
   }
 
+  test("q80's near-unique catalog corpus forces the exact-fallback strategy at every attempt budget") {
+    // every (orderkey, linenumber) key is unique, so no capacity below the
+    // vocabulary clears N/(m+1) and the measured jump is N+1 — the HLL
+    // decision must land on the exact groupBy, making the catalog entry
+    // exact by construction (this is what gives q80's green oracle entry
+    // its meaning as a pin of the FALLBACK regime, not sketch luck)
+    val keys = graft.queries.Analytics.q80Keys(spark, "/root/testdata/sf0.001")
+    val (df, strategy) =
+      HeavyHitters.topKAdaptiveImpl(keys, k = 20, m0 = 64, maxAttempts = 6)
+    assert(strategy == "exact-fallback", s"got $strategy")
+    val want = keys.toDF("item").groupBy($"item")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"item").limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
   test("ties rank deterministically by item") {
     val ds = Seq("b", "a", "b", "a", "c").toDF("item").select($"item").as[String]
     val got = HeavyHitters.topK(ds, k = 3, m = 8)
