@@ -31,8 +31,22 @@ object PortableHashKernel {
     * per-token hot path in SimHash64 portable mode). Token frequencies are
     * Zipfian, so a small cache absorbs most MD5 work — the xxhash64 slot
     * probe is ~20× cheaper than a digest. Keys are defensively cloned:
-    * the input UTF8String may view a buffer Spark reuses across rows. */
-  private val memoMask = (1 << 15) - 1
+    * the input UTF8String may view a buffer Spark reuses across rows.
+    *
+    * Sizing: slots × ≤256 B keys pins up to ~8 MB per task thread for the
+    * JVM lifetime (~256 MB across 32 threads at the default 32k slots) —
+    * fine on this box's 128 GiB, a real reservation on small executors.
+    * `-Dgraft.portableHash.memoSlots=N` (read once at class load, rounded
+    * DOWN to a power of two, clamped to [1, 2^24]) trades hit rate for
+    * heap; Zipfian token mixes lose little even at 2^13. */
+  private[graft] def memoSlots(prop: Option[String]): Int = {
+    val requested = prop.flatMap(_.trim.toIntOption)
+      .filter(n => n >= 1 && n <= (1 << 24))
+      .getOrElse(1 << 15)
+    Integer.highestOneBit(requested)
+  }
+  private val memoMask =
+    memoSlots(sys.props.get("graft.portableHash.memoSlots")) - 1
   private final class Memo(
       val keys: Array[UTF8String] = new Array[UTF8String](memoMask + 1),
       val vals: Array[Long] = new Array[Long](memoMask + 1))

@@ -315,6 +315,15 @@ object Relational {
   // last-ulp co-moment-merge differences, the q42 stats convention.
   // Quantity is cast to double on BOTH sides so the co-moment stream is
   // bit-identical before rounding.
+  //
+  // KNOWN FLAKE MODE (empirically quiet, inherently possible): co-moment
+  // MERGE ORDER differs by engine and partitioning, so a statistic within
+  // half an ulp of a .00005 boundary can round to a different 4th decimal
+  // in one engine and break the hash nondeterministically. Seen zero
+  // times across six scale points; if a q77/q42 hash mismatch ever shows
+  // a single final-digit-off float cell, adjudicate it like a bench drift
+  // flag (min-of-two policy): re-run before believing a code regression
+  // — and prefer widening the rounding over chasing the merge order.
   def q77CorrSuite(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity").cast("double")
     val y = col("l_extendedprice")

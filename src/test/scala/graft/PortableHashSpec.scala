@@ -124,6 +124,20 @@ class PortableHashSpec extends SparkSpec {
     }
   }
 
+  test("memo slot-count knob: default 32k, power-of-two floor, bad values fall back") {
+    // -Dgraft.portableHash.memoSlots=N is read once at class load; this
+    // pins the parse so the override is trustworthy on executors where the
+    // default's ~8 MB/thread reservation matters
+    assert(PortableHashKernel.memoSlots(None) == (1 << 15))
+    assert(PortableHashKernel.memoSlots(Some("8192")) == 8192)
+    assert(PortableHashKernel.memoSlots(Some(" 10000 ")) == 8192) // floor to 2^13
+    assert(PortableHashKernel.memoSlots(Some("1")) == 1)
+    assert(PortableHashKernel.memoSlots(Some("0")) == (1 << 15))
+    assert(PortableHashKernel.memoSlots(Some("-4")) == (1 << 15))
+    assert(PortableHashKernel.memoSlots(Some("junk")) == (1 << 15))
+    assert(PortableHashKernel.memoSlots(Some((1 << 25).toString)) == (1 << 15))
+  }
+
   test("portable HyperplaneSig weights follow the md5Signed grid recipe") {
     import sqlImplicits._
     val dim = 4
