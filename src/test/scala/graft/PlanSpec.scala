@@ -105,6 +105,7 @@ class PlanSpec extends SparkSpec {
       "q35_tfidf", // broadcast single-row corpus-size scalar
       "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
       "q73_knn_ivf_refined", // broadcast-K centroid grid (K = nCentroids)
+      "q79_kmeans_step", // broadcast-K centroid grid (K = nCentroids)
       "q51_gapfill" // broadcast calendar grid (users × bounded date range)
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
