@@ -37,13 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object StressGen {
 
-  private val KeyOffset = 10_000_000L
+  private val DefaultKeyOffset = 10_000_000L
 
   private def copies(df: DataFrame, n: Int)(f: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => f(df, i)).reduce(_ unionAll _)
 
+  /** `keyOffset` must clear the SOURCE dir's key range: the default clears
+    * any driver sf dir by >10×, but COMPOSED runs (e.g. 1000× built as
+    * 10 copies of a 100× dir, keeping each level's union shallow instead
+    * of planning a 1000-way left-deep tree) must pass an offset clearing
+    * the already-shifted input range — 10^10 for a 100-copy input. All
+    * shifted keys stay far below 2^53, so long arithmetic is exact. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-               n: Int): Unit = {
+               n: Int, keyOffset: Long = DefaultKeyOffset): Unit = {
+    val KeyOffset = keyOffset
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def out(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -67,9 +74,14 @@ object StressGen {
     // Keep ts a nanos LONG in the output, shifted i seconds per copy, so
     // Tables' `ts div 1000` conversion applies to stress data unchanged.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the per-copy seconds shift keeps (user_id, ts) row_number tie-break
+    // keys unique; composed runs scale it with the key offset so level-2
+    // shifts land in a range disjoint from level-1's (copy (5,0) and
+    // (0,5) would otherwise collide at the same ts)
+    val tsStep = 1000000000L * (KeyOffset / DefaultKeyOffset)
     out(copies(src("events"), n) { (df, i) =>
       df.withColumn("event_id", col("event_id") + i * KeyOffset)
-        .withColumn("ts", col("ts") + i * 1000000000L)
+        .withColumn("ts", col("ts") + i * tsStep)
     }, "events")
 
     out(copies(src("documents"), n) { (df, i) =>
@@ -99,6 +111,8 @@ object StressGen {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "target/stress/sf1x10"
     val n = if (args.length > 2) args(2).toInt else 10
+    val keyOffset =
+      if (args.length > 3) args(3).toLong else DefaultKeyOffset
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -106,7 +120,7 @@ object StressGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, n)
+    generate(spark, srcDir, outDir, n, keyOffset)
     println(s"[stressgen] wrote ${n}x $srcDir -> $outDir")
     spark.stop()
   }
