@@ -32,9 +32,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_SHUFFLE (default = cores): post-shuffle partition count.
+    // Partition count must scale with data volume, not core count — the
+    // fit-in-memory band is ~100-200 MB per post-shuffle partition, and at
+    // the 1000x stress decade (600M lineitem rows) cores-many partitions
+    // are ~19M rows each, pushing every wide stage into disk spill. A real
+    // cluster scales both memory and partition count with the data; stress
+    // runs emulate that here (e.g. SPARK_GRAFT_SHUFFLE=256 at 1000x) while
+    // the driver's sf0.1 gate keeps the cores default.
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE") match {
+      case None => cpus
+      case Some(v) => v.trim.toIntOption.filter(_ >= 1).map(_.toString)
+        .getOrElse(sys.error(
+          s"SPARK_GRAFT_SHUFFLE must be an integer >= 1, got '$v'"))
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -112,6 +126,16 @@ object Bench {
                 System.err.println(s"[bench] $name plan dump failed: ${e.getMessage}")
             }
           }
+          // Shuffle files of finished queries are reclaimed by Spark's
+          // ContextCleaner only when their RDD/shuffle objects are GC'd;
+          // under a stress-sized heap (SPARK_DRIVER_MEM=64g at the 1000x
+          // decade) there is no allocation pressure, the cleaner never
+          // fires, and per-query shuffle residue accumulates across the
+          // run until the disk fills (observed: 5 queries x 600M rows
+          // left ~60 GB of dead shuffle files, ENOSPC on the 6th).
+          // Deterministic reclaim between queries — untimed, millisecond
+          // cost at the driver's sf0.1 gate scale.
+          System.gc()
           Some(name -> dt)
         } catch {
           case e: Throwable =>
