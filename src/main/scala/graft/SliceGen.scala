@@ -51,9 +51,10 @@ object SliceGen {
   def generate(spark: SparkSession, srcDir: String, outDir: String,
                every: Int): Unit = {
     require(every >= 1, s"every must be >= 1, got $every")
-    // stress events keep ts a raw nanos BIGINT; driver testdata carries
-    // TIMESTAMP(NANOS), which Spark 4 only reads as a long — either way
-    // the sliced output holds the raw long and Tables/compare.py convert
+    // events.ts passes through UNCHANGED whatever its physical form —
+    // raw nanos BIGINT (older stress dirs), TIMESTAMP(NANOS) (older driver
+    // data, readable only via nanosAsLong), or TIMESTAMP(MICROS)/NTZ
+    // (current data) — Tables/compare.py normalize on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def out(df: DataFrame, t: String): Unit =

@@ -69,19 +69,26 @@ object StressGen {
     out(shifted("lineitem", "l_orderkey", "l_partkey", "l_suppkey"),
       "lineitem")
 
-    // events.ts is parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless read
-    // as a raw long (the same nanosAsLong path graft.sources.Tables uses).
-    // Keep ts a nanos LONG in the output, shifted i seconds per copy, so
-    // Tables' `ts div 1000` conversion applies to stress data unchanged.
+    // events.ts ships either as parquet TIMESTAMP(NANOS) (older driver data
+    // — Spark 4 only reads it as a raw long via nanosAsLong; keep the LONG
+    // in the output so Tables' `ts div 1000` branch applies unchanged) or
+    // as TIMESTAMP(MICROS)/NTZ (current data — shift with timestampadd and
+    // keep the timestamp type, which Tables' NTZ branch normalizes).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the per-copy seconds shift keeps (user_id, ts) row_number tie-break
     // keys unique; composed runs scale it with the key offset so level-2
     // shifts land in a range disjoint from level-1's (copy (5,0) and
     // (0,5) would otherwise collide at the same ts)
-    val tsStep = 1000000000L * (KeyOffset / DefaultKeyOffset)
-    out(copies(src("events"), n) { (df, i) =>
+    val stepSec = KeyOffset / DefaultKeyOffset
+    val evs = src("events")
+    val tsIsLong =
+      evs.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    out(copies(evs, n) { (df, i) =>
+      val shifted =
+        if (tsIsLong) col("ts") + i * (1000000000L * stepSec)
+        else timestamp_add("SECOND", lit(i * stepSec), col("ts"))
       df.withColumn("event_id", col("event_id") + i * KeyOffset)
-        .withColumn("ts", col("ts") + i * tsStep)
+        .withColumn("ts", shifted)
     }, "events")
 
     out(copies(src("documents"), n) { (df, i) =>

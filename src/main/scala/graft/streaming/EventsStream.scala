@@ -26,8 +26,11 @@ case class Session(user_id: Long, session_start: java.sql.Timestamp,
   */
 object EventsStream {
 
-  /** events.parquet physical schema (ts is TIMESTAMP(NANOS) → read as long
-    * via nanosAsLong, converted to micros exactly with integer div). */
+  /** events.parquet physical schema in its OLDER vintage (ts is
+    * TIMESTAMP(NANOS) → read as long via nanosAsLong, converted to micros
+    * exactly with integer div). Kept public for fixtures that stage raw
+    * nanos-long files; [[readEventsNoDedup]] probes the actual on-disk ts
+    * type and substitutes it here, so both data vintages stream. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
@@ -44,10 +47,15 @@ object EventsStream {
     * their own per-side watermarks). */
   def readEventsNoDedup(spark: SparkSession, srcPath: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(srcPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Streaming sources need an explicit schema; a one-time batch footer
+    // probe yields the physical ts type (nanos LONG vs TIMESTAMP_NTZ micros
+    // — see Tables.normalizeTs) so the schema matches whichever vintage of
+    // generator wrote the files. Driver cost: one footer read at plan time.
+    val tsType = spark.read.parquet(srcPath).schema("ts").dataType
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.sources.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(srcPath))
   }
 
   /** Tumbling-window rollup per event type. */
