@@ -620,16 +620,60 @@ object Analytics {
   // tables. percentile stays on integral l_quantity (q36's convention:
   // quantile neighbors are equal or integer-adjacent, so interpolation is
   // exact in both engines).
-  def q78ExactDistinctPct(s: SparkSession, dir: String): DataFrame =
-    t(s, dir)("lineitem")
-      .groupBy(col("l_returnflag"))
+  // Shape note (the 100 TB plan): the naive single groupBy with two
+  // countDistinct + percentile plans an Expand (×3 row duplication) and an
+  // object aggregate that buffers EVERY l_quantity for only 3 groups — 3
+  // fat tasks own the whole table (15.6 s at sf0.1). Instead each piece is
+  // its own map-side-combining hash aggregate: the distinct counts as
+  // (flag, key) dedup → count, and the exact percentile reconstructed from
+  // a (flag, quantity) histogram — l_quantity has ~50 distinct values, so
+  // the post-shuffle state is O(flags × values), not O(rows), at any SF.
+  // percentile(v, p) over sorted v_0..v_{n-1}: pos = p(n-1), result =
+  // v_lo + (pos-⌊pos⌋)(v_hi - v_lo) where v_r = min value with cum > r.
+  def q78ExactDistinctPct(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_partkey"),
+        col("l_quantity"))
+    def distinctCount(key: String, as: String) =
+      li.select(col("l_returnflag"), col(key))
+        .where(col(key).isNotNull) // countDistinct-equivalent: nulls excluded
+        .distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+    val hist = li
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    // nulls sort first and carry cum = null, so they occupy no rank and
+    // nn counts only rankable values (n keeps the all-rows count(*))
+    val wOrd = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity").asc_nulls_first)
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = hist
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("nn",
+        sum(when(col("l_quantity").isNotNull, col("c"))).over(wAll))
+      .withColumn("cum",
+        when(col("l_quantity").isNotNull,
+          sum(when(col("l_quantity").isNotNull, col("c"))).over(wOrd)))
+    def vAtRank(rank: org.apache.spark.sql.Column) =
+      min(when(col("cum") > rank, col("l_quantity")))
+    def pos(p: Double) = lit(p) * (col("nn") - 1)
+    val pcts = ranked
+      .groupBy(col("l_returnflag"), col("n"), col("nn"))
       .agg(
-        countDistinct(col("l_orderkey")).as("n_orders"),
-        countDistinct(col("l_partkey")).as("n_parts"),
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("qty_p50"),
-        round(expr("percentile(l_quantity, 0.9)"), 2).as("qty_p90"),
-        count(lit(1)).as("n"))
+        vAtRank(floor(pos(0.5))).as("lo50"), vAtRank(ceil(pos(0.5))).as("hi50"),
+        vAtRank(floor(pos(0.9))).as("lo90"), vAtRank(ceil(pos(0.9))).as("hi90"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("lo50") + (pos(0.5) - floor(pos(0.5)))
+          * (col("hi50") - col("lo50")), 2).as("qty_p50"),
+        round(col("lo90") + (pos(0.9) - floor(pos(0.9)))
+          * (col("hi90") - col("lo90")), 2).as("qty_p90"))
+    distinctCount("l_orderkey", "n_orders")
+      .join(distinctCount("l_partkey", "n_parts"), Seq("l_returnflag"))
+      .join(pcts, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        col("qty_p50"), col("qty_p90"), col("n"))
       .orderBy(col("l_returnflag"))
+  }
 
   // Fixed-point anchor for q73's refinement loop: ONE scaled-integer
   // k-means update over the same embeddings, md5-portable seeds, integer
