@@ -200,6 +200,64 @@ object HeavyHitters {
     }
   }
 
+  /** Exact top-k over the WHOLE corpus without a hash aggregate, for the
+    * regime where grouping cardinality rivals corpus size: `groupBy(item)
+    * .count` keys a hash table on every distinct item on BOTH sides of
+    * the exchange — on a near-unique corpus the map-side partial reduces
+    * nothing (it builds, spills, and ships a distinct-sized map for zero
+    * compression) and the final side builds it again (measured 24 s vs
+    * 5.9 s for this plan at the 100× stress dir's 60M unique keys).
+    * Instead: one hash repartition of the RAW keys (the same bytes the
+    * partial aggregate would have shipped anyway at compression ~1),
+    * sort within partitions, and a streaming run-length count feeding a
+    * bounded k-entry heap — per-partition state is O(k), not O(distinct),
+    * and only partitions × k rows reach the final global top-k. Ordering
+    * matches the groupBy twin exactly: count desc, then item asc with
+    * nulls first (Spark's asc default), applied both in the per-partition
+    * heap and the final sort, so the result is bit-identical to the
+    * `GROUP BY / ORDER BY / LIMIT` oracle. */
+  private[graft] def exactTopKFullScan(items: Dataset[String],
+                                       k: Int): DataFrame = {
+    import items.sparkSession.implicits._
+    // worst-first ordering: PriorityQueue dequeues its maximum, so "max"
+    // must mean "first to evict" — smaller count, then larger item
+    // (null smallest, mirroring asc_nulls_first on the item tie-break)
+    val worstFirst = new Ordering[(Long, String)] {
+      def compare(a: (Long, String), b: (Long, String)): Int = {
+        val byCnt = java.lang.Long.compare(b._1, a._1)
+        if (byCnt != 0) byCnt
+        else if (a._2 == null) if (b._2 == null) 0 else -1
+        else if (b._2 == null) 1
+        else a._2.compareTo(b._2)
+      }
+    }
+    val perPartition = items.toDF("item")
+      .repartition(col("item"))
+      .sortWithinPartitions(col("item"))
+      .as[String]
+      .mapPartitions { it =>
+        val heap =
+          new scala.collection.mutable.PriorityQueue[(Long, String)]()(
+            worstFirst)
+        var cur: String = null
+        var cnt = 0L
+        var started = false
+        def flush(): Unit = if (started) {
+          heap.enqueue((cnt, cur))
+          if (heap.size > k) heap.dequeue()
+        }
+        while (it.hasNext) {
+          val s = it.next()
+          if (started && java.util.Objects.equals(s, cur)) cnt += 1L
+          else { flush(); cur = s; cnt = 1L; started = true }
+        }
+        flush()
+        heap.iterator.map { case (c, i) => (i, c) }
+      }
+      .toDF("item", "cnt")
+    perPartition.orderBy(col("cnt").desc, col("item")).limit(k)
+  }
+
   /** The exact second pass: candidate-filtered count, deterministic
     * (count desc, item) order, limit k. Unguarded — each caller applies
     * its own exactness check. */
@@ -259,12 +317,26 @@ object HeavyHitters {
     topKAdaptiveImpl(items, k, m0, maxAttempts)._1
 
   /** True when a sketch of capacity `jump` still pays for its two extra
-    * corpus passes: below half the estimated vocabulary, the MG counters
-    * and candidate shuffle are meaningfully smaller than a full exact
-    * count's hash table; at-or-above it, the "sketch" IS the vocabulary
-    * map and one plain groupBy does strictly less work. */
-  private[graft] def sketchWorthwhile(jump: Long, estDistinct: Long): Boolean =
-    2L * jump < estDistinct
+    * corpus passes. The quantity the sketch must keep small is the
+    * CANDIDATE UNION the second pass joins against — bounded by
+    * partitions × jump, not jump alone: a jump near vocab/partitions
+    * yields per-partition lossless sketches whose union IS the
+    * vocabulary, and the "candidate-filtered" count degenerates into a
+    * full-vocabulary join that does strictly more work than one exact
+    * pass (measured on the 100× stress corpus after a data regeneration
+    * gave q80's keys multiplicity ≤ 6: jump = N/3 + 1 = 20M against a
+    * 45.7M vocabulary passed the old `2·jump < est` test, and the
+    * resulting 20M-counter "sketch" + 45.7M-candidate join ran 99 s where
+    * the exact fallback runs in one N-row shuffle). The exact fallback
+    * ([[exactTopKFullScan]]) holds O(k) state per partition, so leaning
+    * exact is safe — the sketch only earns its passes when the candidate
+    * bound sits well below the vocabulary (margin 2, mirroring the old
+    * rule's intent at the new bound). At the 100 TB skewed design point
+    * (near-unique corpus, heavy k-th frequency) jump ≈ N/f_k is tiny,
+    * partitions × jump ≪ vocabulary, and the sketch path is kept. */
+  private[graft] def sketchWorthwhile(jump: Long, estDistinct: Long,
+                                      partitions: Int): Boolean =
+    2L * partitions * jump < estDistinct
 
   /** Implementation of [[topKAdaptive]] that also reports which strategy
     * produced the result — "first-try", "jump" (resized sketch), or
@@ -277,12 +349,26 @@ object HeavyHitters {
     // the completeness guard's "lossy ⇒ true top-k has k rows" argument
     // needs every partition's capacity to be at least k
     require(m0 >= k, s"initial sketch capacity $m0 < k=$k")
+    // phase timings to stderr when GRAFT_HH_DEBUG is set — driver-side
+    // only, zero cost otherwise (strategy tuning on stress corpora needs
+    // to know which pass dominates; see NOTES_r09)
+    val debug = sys.env.contains("GRAFT_HH_DEBUG")
+    def timed[T](label: String)(f: => T): T =
+      if (!debug) f
+      else {
+        val t0 = System.nanoTime()
+        val r = f
+        System.err.println(
+          f"[hh] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
+      }
     var m = m0
     var attempt = 1
     while (true) {
-      val (candidates, n, anyLossy, estDistinct) = sketchPass(items, m)
+      val (candidates, n, anyLossy, estDistinct) =
+        timed(s"sketchPass m=$m")(sketchPass(items, m))
       val result = exactTopK(items, candidates, k)
-      val rows = result.collect()
+      val rows = timed("exactTopK collect")(result.collect())
       // Driver-side guard, Long arithmetic (the in-plan column guard of
       // topK serves callers that never materialize on the driver). The
       // completeness conjunct mirrors topK's candidate check: lossy ⇒ some
@@ -308,17 +394,14 @@ object HeavyHitters {
       val minCnt = if (rows.isEmpty) 0L else rows.map(_.getLong(1)).min
       val jump = math.max(2L * m,
         if (minCnt > 0 && rows.length >= k) n / minCnt + 1L else 0L)
-      if (!sketchWorthwhile(jump, estDistinct)) {
+      if (!sketchWorthwhile(jump, estDistinct,
+            items.rdd.getNumPartitions)) {
         // flat-corpus regime (the required capacity rivals the
-        // vocabulary): a plain exact count is the better plan and needs
-        // no guard — never raise when the exact answer is one groupBy
-        // away, regardless of attempts left
-        val fallback = items.toDF("item")
-          .groupBy(col("item"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("item"))
-          .limit(k)
-        val frows = fallback.collect()
+        // vocabulary): an exact count is the better plan and needs no
+        // guard — never raise when the exact answer is one pass away,
+        // regardless of attempts left
+        val fallback = exactTopKFullScan(items, k)
+        val frows = timed("fallback collect")(fallback.collect())
         return (items.sparkSession.createDataFrame(
           java.util.Arrays.asList(frows: _*), fallback.schema),
           "exact-fallback")

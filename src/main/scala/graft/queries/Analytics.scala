@@ -687,15 +687,16 @@ object Analytics {
       "embedding", nCentroids = 16, scale = 1000000L)
 
   // The adaptive heavy-hitters EXACT-FALLBACK regime, driver-visible: the
-  // key is the (orderkey, linenumber) composite — unique per row, the
-  // extreme of the flat-frequency regime (the "100 TB corpus of
-  // near-unique items" design point). No sketch capacity below the
-  // vocabulary can clear N/(m+1) when every count is 1, and the measured
-  // jump N/cnt_k + 1 = N + 1 always rivals the HLL vocabulary estimate,
-  // so topKAdaptive must choose the exact-groupBy fallback at EVERY
-  // scale (strategy pinned by name in HeavyHittersSpec on this corpus;
-  // q69 keeps the sketch paths). Exact by construction — the oracle is
-  // the plain groupBy/order/limit, ties broken by key string.
+  // key is the (orderkey, linenumber) composite — near-unique (the
+  // regenerated driver data carries multiplicity ≤ 6, ~0.76 distinct
+  // pairs per row), the extreme of the flat-frequency regime (the
+  // "100 TB corpus of near-unique items" design point). The k-th
+  // frequency is a small constant, so the required capacity N/f_k — and
+  // with it the candidate union partitions × m — rivals the HLL
+  // vocabulary estimate at every scale, and topKAdaptive must choose the
+  // exact fallback (strategy pinned by name in HeavyHittersSpec on this
+  // corpus; q69 keeps the sketch paths). Exact by construction — the
+  // oracle is the plain groupBy/order/limit, ties broken by key string.
   def q80HeavyFallback(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     HeavyHitters.topKAdaptive(q80Keys(s, dir), k = 20, m0 = 64)

@@ -93,13 +93,15 @@ class HeavyHittersSpec extends SparkSpec {
   }
 
   test("skewed corpus with undersized m0: ONE measured resize clears the guard") {
-    // 3 plants × 500 over 5000-distinct junk (N ≈ 10k): at m0=4 the guard
-    // needs counts > 2000, so the first attempt fails — but the measured
-    // k-th count sizes the retry at ~N/minCnt, far below the ~5000-word
-    // vocabulary, so the SKETCH path is kept (not the fallback) and the
-    // second attempt clears by construction. Pure doubling from 4 would
-    // have needed 4 attempts. maxAttempts=1 must still raise: the sketch
-    // path has no exact result in hand and no attempts left.
+    // 3 plants × 500 over 5000-distinct junk (N ≈ 10k): at m0=16 the
+    // guard needs counts > 588, so the first attempt fails — but the
+    // plants survive the sketch (seeded data, fixed partitioning), so the
+    // measured k-th count is a true plant count and the retry sizes at
+    // ~N/500 ≈ 21, far below the vocabulary even through the
+    // partitions-aware margin (2 · 4 · 21 ≪ ~3900) — the SKETCH path is
+    // kept (not the fallback) and the second attempt clears by
+    // construction. maxAttempts=1 must still raise: the sketch path has
+    // no exact result in hand and no attempts left.
     val rnd = new scala.util.Random(41)
     val plants = (1 to 3).flatMap(i => Seq.fill(500)(s"plant$i"))
     val junk = (1 to 8500).map(_ => s"j${rnd.nextInt(5000)}")
@@ -108,13 +110,13 @@ class HeavyHittersSpec extends SparkSpec {
       .sortBy { case (item, n) => (-n, item) }.take(3)
     val ds = data.toDF("item").repartition(4).select($"item").as[String]
     val (df, strategy) =
-      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 2)
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 16, maxAttempts = 2)
     assert(strategy == "jump", s"expected the resized-sketch path, got $strategy")
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == want)
 
     // exhausted attempts surface the guard instead of looping forever
     val e = intercept[Exception] {
-      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 4, maxAttempts = 1)
+      HeavyHitters.topKAdaptiveImpl(ds, k = 3, m0 = 16, maxAttempts = 1)
     }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
@@ -202,6 +204,25 @@ class HeavyHittersSpec extends SparkSpec {
       .orderBy($"cnt".desc, $"item").limit(20)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
+  test("full-scan exact top-k ≡ groupBy twin on ties, nulls, and k > distinct") {
+    // the sort-RLE plan must be bit-identical to GROUP BY / ORDER BY /
+    // LIMIT in every ordering corner: count ties break by item asc with
+    // null first (Spark's asc default), and k larger than the vocabulary
+    // returns every group exactly once
+    val data: Seq[String] =
+      Seq("b", "a", "b", "a", "c", null, null, "d", "a", null)
+    val ds = data.toDF("item").select($"item").as[String]
+    for (k <- Seq(2, 3, 5, 10)) {
+      val want = ds.toDF("item").groupBy($"item")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"item").limit(k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val got = HeavyHitters.exactTopKFullScan(ds, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == want, s"k=$k: $got != $want")
+    }
   }
 
   test("ties rank deterministically by item") {
