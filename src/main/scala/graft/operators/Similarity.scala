@@ -387,8 +387,20 @@ object Similarity {
         struct(col("d2"), col("cid"))).as("m"))
       .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
         col("m.qv").as("qv"))
+    // inertia must not ride a LONG sum: per-vector d2 reaches ~3e14 on
+    // jittered stress embeddings, and members/centroid grows with SF —
+    // the raw sum overflows 2^63 near the 1000× decade (found by the
+    // 1000× verify sweep). Sum exactly in decimal(38,0) (DuckDB's
+    // sum(BIGINT) is HUGEINT — same 128-bit exactness) and emit the
+    // PER-MEMBER average via integral divide: positive decimal `div`
+    // truncates identically to HUGEINT `//`, and the average is
+    // long-sized at any SF, so the output stays scale-invariant and
+    // cross-engine bit-identical.
     val members = assigned.groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("d2").cast("decimal(38,0)")).as("inertia_raw"))
+      .select(col("cid"), col("n_members"),
+        expr("CAST(inertia_raw div n_members AS BIGINT)").as("inertia_avg"))
     val sums = assigned
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy(col("cid"), col("pos")).agg(sum(col("x")).as("s"))
@@ -400,7 +412,7 @@ object Similarity {
       .agg(sum(col("c")).as("csum"), min(col("c")).as("cmin"),
         max(col("c")).as("cmax"))
     members.join(chk, "cid")
-      .select(col("cid"), col("n_members"), col("inertia"),
+      .select(col("cid"), col("n_members"), col("inertia_avg"),
         col("csum"), col("cmin"), col("cmax"))
       .orderBy(col("cid"))
   }

@@ -667,8 +667,11 @@ object AnalyticsOracles {
          |    FROM dist) x
          |  WHERE rn = 1),
          |members AS (
+         |  -- sum(BIGINT) is HUGEINT (128-bit exact, same as the Spark
+         |  -- side's decimal(38,0) sum); the per-member integral-divide
+         |  -- average is long-sized at any SF where the raw sum is not
          |  SELECT cid, count(*) AS n_members,
-         |    CAST(sum(d2) AS BIGINT) AS inertia
+         |    CAST(sum(d2) // count(*) AS BIGINT) AS inertia_avg
          |  FROM asg GROUP BY cid),
          |sums AS (
          |  SELECT a.cid, el.pos, CAST(sum(el.v) AS BIGINT) AS s
@@ -682,7 +685,7 @@ object AnalyticsOracles {
          |  SELECT cid, CAST(sum(c) AS BIGINT) AS csum,
          |    min(c) AS cmin, max(c) AS cmax
          |  FROM newc GROUP BY cid)
-         |SELECT m.cid, m.n_members, m.inertia, chk.csum, chk.cmin, chk.cmax
+         |SELECT m.cid, m.n_members, m.inertia_avg, chk.csum, chk.cmin, chk.cmax
          |FROM members m JOIN chk ON chk.cid = m.cid
          |ORDER BY m.cid""".stripMargin,
 
