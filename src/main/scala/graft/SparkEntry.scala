@@ -98,7 +98,10 @@ object SparkEntry {
     "q77_corr_suite"          -> (Relational.q77CorrSuite _),
     "q78_exact_distinct_pct"  -> (Analytics.q78ExactDistinctPct _),
     "q79_kmeans_step"         -> (Analytics.q79KmeansStep _),
-    "q80_heavy_fallback"      -> (Analytics.q80HeavyFallback _)
+    "q80_heavy_fallback"      -> (Analytics.q80HeavyFallback _),
+    "q81_bm25"                -> (Analytics.q81Bm25 _),
+    "q82_source_quota"        -> (Analytics.q82SourceQuota _),
+    "q83_repetition_filter"   -> (Analytics.q83RepetitionFilter _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

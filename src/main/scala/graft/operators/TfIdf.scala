@@ -39,4 +39,47 @@ object TfIdf {
       .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
         round(col("tfidf"), 4).as("tfidf"))
   }
+
+  /** BM25 top-k terms per doc (Robertson/Sparck Jones; the retrieval-grade
+    * upgrade of [[topTerms]]): idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    *
+    * Same three partial-aggregatable passes as tf-idf plus a per-doc length
+    * join — dl comes from the (doc, term) tf relation (one row per pair, so
+    * sum(tf) = token count) rather than a second tokenize scan, and the
+    * corpus scalars (N, total tokens) broadcast. Float portability: every
+    * input to the score is an exact integer; avgdl enters as the exact
+    * integer ratio dl·N/Σdl computed in one double division, so both
+    * engines evaluate the identical IEEE expression tree (same class as
+    * [[topTerms]]' ln — hash-matched since round 4).
+    */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(sum(col("dl")).as("tot_tok"), count(lit(1)).as("n_docs"))
+    // dl·N stays integral (exact at any SF: ≤ 2^63 up to ~10^15 doc·tokens)
+    // and the length norm is a single double division of exact longs
+    val lenNorm = (col("dl") * col("n_docs")) / col("tot_tok")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val score = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("term"), col("tf"), col("df"), col("dl"),
+        score.as("bm25"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("bm25").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("dl"), round(col("bm25"), 4).as("bm25"))
+  }
 }

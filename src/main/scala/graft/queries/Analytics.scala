@@ -720,4 +720,44 @@ object Analytics {
     Multimodal.columnFeatures(
       Multimodal.fromDocuments(t(s, dir)("documents")))
       .orderBy(col("media_id"))
+
+  // BM25 top-3 terms per doc — the retrieval-grade ranking the corpus-side
+  // of a training-data search index needs (tf-idf q35 plus per-doc length
+  // normalization; same partial-agg scale shape, one more small join).
+  def q81Bm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.bm25TopTerms(
+      t(s, dir)("documents"), "doc_id", "text", 3)
+      .orderBy(col("id"), col("rank"))
+
+  // Per-source quota sampling (domain balancing): cap every source at 10
+  // docs picked by portable-md5 rank. Routed through the k-bounded typed
+  // aggregator, NOT a window — the shuffle carries quota·partitions rows
+  // per source at any corpus size (see QuotaSampler's scale note). Output
+  // is O(sources · quota) — constant as the corpus grows.
+  def q82SourceQuota(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QuotaSampler.sample(
+      t(s, dir)("documents"), "source", "doc_id", "text", quota = 10)
+      .select(col("grp").as("source"), col("rank"),
+        col("id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+
+  // Intra-document repetition filter (the Gopher/C4-style quality gate):
+  // distinct-token ratio per doc, kept iff ≥ 0.55. ZERO shuffles — the
+  // ratio is a per-row array expression (size/array_distinct over the
+  // token split), so the whole filter is one codegen'd map over the corpus
+  // scan; the oracle's explode + groupBy shape is the same math. The kept
+  // flag compares the UNROUNDED single-division double, identical IEEE in
+  // both engines.
+  def q83RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val ratio = col("n_uniq").cast("double") / col("n_tok")
+    t(s, dir)("documents")
+      .select(col("doc_id"),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_uniq"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        round(ratio, 4).as("uniq_ratio"),
+        (ratio >= lit(0.55)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -710,6 +710,63 @@ object AnalyticsOracles {
         |  FROM d)
         |SELECT gram, count(*) AS n_docs
         |FROM g GROUP BY gram
-        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin
+        |ORDER BY n_docs DESC, gram LIMIT 20""".stripMargin,
+
+    // BM25: same association order as the DataFrame expression tree —
+    // (idf * (tf*2.2)) / (tf + 1.2*(0.25 + 0.75*lennorm)), lennorm the
+    // single double division of exact longs dl*N/tot_tok
+    "q81_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dl AS (SELECT id, sum(tf) AS dl FROM tf GROUP BY id),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT sum(dl) AS tot_tok, count(*) AS n_docs FROM dl),
+        |scored AS (
+        |  SELECT id, tf.term, tf, df, dl,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |      * (tf * 2.2)
+        |      / (tf + 1.2 * (0.25 + 0.75 * ((dl * n_docs) / tot_tok)))
+        |      AS bm25
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term
+        |          JOIN dl USING (id) CROSS JOIN stats),
+        |ranked AS (
+        |  SELECT id, term, tf, df, dl, bm25,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |                            ORDER BY bm25 DESC, term) AS INTEGER)
+        |      AS rank
+        |  FROM scored)
+        |SELECT id, rank, term, tf, df, CAST(dl AS BIGINT) AS dl,
+        |  round(bm25, 4) AS bm25
+        |FROM ranked WHERE rank <= 3 ORDER BY id, rank""".stripMargin,
+
+    // quota sampling: fixed-width lowercase-hex prefix order ≡ the engine's
+    // 48-bit numeric order (QuotaSampler ranks on the parsed value)
+    "q82_source_quota" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5(text), 1, 12), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, CAST(rk AS INTEGER) AS rank, doc_id
+        |FROM ranked WHERE rk <= 10
+        |ORDER BY source, rank""".stripMargin,
+
+    // repetition filter: the engine computes the ratio as a per-row array
+    // expression; the twin's explode+groupBy is the same math (split of ''
+    // yields the one-element [''] list in both engines, so no doc drops out)
+    "q83_repetition_filter" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_uniq
+        |  FROM toks GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok,
+        |  CAST(n_uniq AS INTEGER) AS n_uniq,
+        |  round(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS uniq_ratio,
+        |  (CAST(n_uniq AS DOUBLE) / n_tok >= 0.55) AS kept
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }
