@@ -103,6 +103,7 @@ class PlanSpec extends SparkSpec {
     val bnljAllowed = Set(
       "q24_knn_brute", // broadcast query side vs corpus — by design
       "q35_tfidf", // broadcast single-row corpus-size scalar
+      "q81_bm25", // broadcast single-row corpus-stats scalar (tot_tok, n_docs)
       "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
       "q73_knn_ivf_refined", // broadcast-K centroid grid (K = nCentroids)
       "q79_kmeans_step", // broadcast-K centroid grid (K = nCentroids)
