@@ -101,7 +101,11 @@ object SparkEntry {
     "q80_heavy_fallback"      -> (Analytics.q80HeavyFallback _),
     "q81_bm25"                -> (Analytics.q81Bm25 _),
     "q82_source_quota"        -> (Analytics.q82SourceQuota _),
-    "q83_repetition_filter"   -> (Analytics.q83RepetitionFilter _)
+    "q83_repetition_filter"   -> (Analytics.q83RepetitionFilter _),
+    "q84_pii_redact"          -> (Analytics.q84PiiRedact _),
+    "q85_chunk_dedup"         -> (Analytics.q85ChunkDedup _),
+    "q86_length_buckets"      -> (Analytics.q86LengthBuckets _),
+    "q87_shard_assign"        -> (Analytics.q87ShardAssign _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

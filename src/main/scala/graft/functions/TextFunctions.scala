@@ -59,6 +59,24 @@ object TextFunctions {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
+  /** PII patterns, Java∩RE2 dialect (no backreferences, no lookaround —
+    * q60's portability convention, so the DuckDB oracle runs them
+    * verbatim). */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipv4Re = """([0-9]{1,3}\.){3}[0-9]{1,3}"""
+  val phoneRe = """555-[0-9]{4}"""
+
+  /** PII scrub: emails → [EMAIL], then IPv4 → [IP], then phone runs →
+    * [PHONE]. Email first — its domain part may contain dots that the
+    * narrower patterns must never see half-redacted. Pure regexp_replace
+    * chain, fully codegen'd, zero shuffles. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailRe), lit("[EMAIL]")),
+        lit(ipv4Re), lit("[IP]")),
+      lit(phoneRe), lit("[PHONE]"))
+
   /** Marker-token language-ID heuristic (deterministic, SQL-expressible).
     * Scores a few marker words per language and takes a fixed-priority
     * argmax; `und` when nothing matches. All six marker counts come from

@@ -760,4 +760,138 @@ object Analytics {
         (ratio >= lit(0.55)).as("kept"))
       .orderBy(col("doc_id"))
   }
+
+  // PII redaction (the compliance scrub every web-scale corpus needs):
+  // regex counts + in-place replacement of emails, IPv4 addresses, and
+  // phone-shaped digit runs. The corpus text is synthetic words, so each
+  // row APPENDS a deterministically-constructed contact line (q72's
+  // per-row-document pattern) — the regexes then fire for real and the
+  // md5 of the redacted string catches any cross-engine regex divergence.
+  // Patterns stay in the Java∩RE2 dialect (q60's convention: no
+  // backreferences, no lookaround). ZERO shuffles — one codegen'd map.
+  def q84PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat_ws(" ",
+      lit("contact"),
+      concat(lit("user"), col("doc_id").cast("string"),
+        lit("@mail-"), col("source"), lit(".example")),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit("call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit("nocall")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("host 10."), (col("doc_id") % 200).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 250).cast("string"), lit(".9")))
+        .otherwise(lit("nohost")))
+    val raw = concat(col("text"), lit(" "), contact)
+    t(s, dir)("documents")
+      .select(col("doc_id"), raw.as("s"))
+      .select(col("doc_id"),
+        regexp_count(col("s"), lit(TextFunctions.emailRe)).as("n_email"),
+        regexp_count(col("s"), lit(TextFunctions.phoneRe)).as("n_phone"),
+        regexp_count(col("s"), lit(TextFunctions.ipv4Re)).as("n_ip"),
+        TextFunctions.redactPii(col("s")).as("r"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        md5(col("r")).as("redacted_md5"),
+        length(col("r")).as("redacted_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Sub-document exact dedup (chunk granularity — the "repeated boilerplate
+  // paragraph" regime doc-level q20 can't see): consecutive 8-token chunks,
+  // corpus-wide keep-first by (doc_id, pos). One shuffle on the chunk text
+  // (hash agg with map-side combine); per-doc kept counts come back from
+  // the OWNER side (chunk-level min key → owner doc → count), so the join
+  // closing the loop is doc-cardinality × doc-cardinality — the corpus
+  // text itself is never joined back. The (doc_id, pos) composite rides a
+  // single BIGINT (pos < 2^20 ≡ docs under ~8M tokens), so the keep-first
+  // argmin is one min() partial agg, not a struct ordering.
+  def q85ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val C = 8
+    val enc = 1L << 20
+    val base = t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+      .withColumn("n_chunks", floor(size(col("a")) / lit(C)).cast("int"))
+      .where(col("n_chunks") >= 1)
+    val occ = base.select(col("doc_id"), col("n_chunks"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("a"), i * C + 1, lit(C))))))
+      .toDF("doc_id", "n_chunks", "pos", "chunk")
+    val owners = occ
+      .groupBy(col("chunk"))
+      .agg(min(col("doc_id") * enc + col("pos")).as("k0"))
+      .select(expr(s"CAST(k0 div $enc AS BIGINT)").as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("kept"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(owners, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("kept"), lit(0L)).cast("int").as("n_kept"))
+      .withColumn("dup_ppm",
+        expr("CAST(((n_chunks - n_kept) * 1000000L) div n_chunks AS INT)"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Length-bucket batching stats (the padding-efficiency ledger a training
+  // dataloader is sized from): docs grouped into power-of-two context
+  // buckets (16..2048, docs past the context count as truncated), per
+  // bucket the padded-token bill and the waste ppm. The bucket ladder is
+  // an explicit CASE — integer-exact in both engines, where a float
+  // pow/log2 round-trip can flip the boundary buckets. All-integer
+  // arithmetic end to end; one map-side-combining hash agg over 8 groups.
+  def q86LengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val n = TextFunctions.tokenCount(col("text"))
+    val bucket = when(n <= 16, 16).when(n <= 32, 32).when(n <= 64, 64)
+      .when(n <= 128, 128).when(n <= 256, 256).when(n <= 512, 512)
+      .when(n <= 1024, 1024).otherwise(2048)
+    t(s, dir)("documents")
+      .select(bucket.cast("int").as("bucket"),
+        least(n, lit(2048)).cast("long").as("n_tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"))
+      .withColumn("padded", col("n_docs") * col("bucket"))
+      .withColumn("waste_ppm",
+        expr("CAST(((padded - sum_tok) * 1000000L) div padded AS INT)"))
+      .orderBy(col("bucket"))
+  }
+
+  // Deterministic training-order shuffle + sharding: every doc gets a
+  // portable-md5 shuffle key, a shard (key mod 8), and its exact 1-based
+  // position in the shard's key order. The position is computed the
+  // sequencePack way — NOT one window per shard (8 sort tasks each owning
+  // 1/8th of a 100 TB corpus): the 60-bit key's high bits give 128
+  // deterministic monotone sub-buckets per shard, the within-bucket
+  // row_number runs partitioned by (shard, bkt), and the per-bucket
+  // offsets are an O(shards × buckets) driver scan over aggregated counts
+  // broadcast back. Same answer as the per-shard window, 1024-way
+  // parallel sort instead of 8.
+  def q87ShardAssign(s: SparkSession, dir: String): DataFrame =
+    shardAssign(t(s, dir)("documents"), nShards = 8)
+
+  private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hi = 1L << 53 // 60-bit key → 128 buckets
+    val keyed = docs.select(col("doc_id"),
+        graft.functions.PortableHash.md5Head60(
+          concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("shard", (col("k") % nShards).cast("int"))
+      .withColumn("bkt", expr(s"CAST(k div $hi AS INT)"))
+    val counts = keyed.groupBy(col("shard"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("shard"), col("bkt"))
+      .collect() // ≤ nShards × 128 aggregated rows — NOT a data collect
+    var prevShard = Int.MinValue
+    var acc = 0L
+    val offsetRows = counts.map { r =>
+      val sh = r.getInt(0)
+      if (sh != prevShard) { prevShard = sh; acc = 0L }
+      val off = acc; acc += r.getLong(2); (sh, r.getInt(1), off)
+    }.toSeq
+    import docs.sparkSession.implicits._
+    val offsets = offsetRows.toDF("shard", "bkt", "off")
+    val w = Window.partitionBy(col("shard"), col("bkt"))
+      .orderBy(col("k"), col("doc_id"))
+    keyed.join(broadcast(offsets), Seq("shard", "bkt"))
+      .withColumn("pos", (col("off") + row_number().over(w)).cast("int"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
 }

@@ -767,6 +767,99 @@ object AnalyticsOracles {
         |  CAST(n_uniq AS INTEGER) AS n_uniq,
         |  round(CAST(n_uniq AS DOUBLE) / n_tok, 4) AS uniq_ratio,
         |  (CAST(n_uniq AS DOUBLE) / n_tok >= 0.55) AS kept
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // PII scrub: identical per-row contact-line construction, then the same
+    // Java∩RE2 patterns — DuckDB needs the 'g' flag Spark implies, and
+    // counts come from regexp_extract_all (both engines scan
+    // non-overlapping left to right)
+    "q84_pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' ' || concat_ws(' ', 'contact',
+        |    'user' || CAST(doc_id AS VARCHAR) || '@mail-' || source
+        |      || '.example',
+        |    CASE WHEN doc_id % 3 <> 0
+        |      THEN 'call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      ELSE 'nocall' END,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+        |        || CAST((doc_id * 7) % 250 AS VARCHAR) || '.9'
+        |      ELSE 'nohost' END) AS s
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |    len(regexp_extract_all(s, '555-[0-9]{4}')) AS n_phone,
+        |    len(regexp_extract_all(s,
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS n_ip,
+        |    regexp_replace(regexp_replace(regexp_replace(s,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
+        |      '555-[0-9]{4}', '[PHONE]', 'g') AS r
+        |  FROM raw)
+        |SELECT doc_id, CAST(n_email AS INTEGER) AS n_email,
+        |  CAST(n_phone AS INTEGER) AS n_phone, CAST(n_ip AS INTEGER) AS n_ip,
+        |  md5(r) AS redacted_md5, CAST(length(r) AS INTEGER) AS redacted_len
+        |FROM red ORDER BY doc_id""".stripMargin,
+
+    // chunk dedup: same 8-token windows (list slice ≡ Spark slice, both
+    // 1-based inclusive), same BIGINT (doc_id, pos) encoding, keep-first
+    // by min key
+    "q85_chunk_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a,
+        |    CAST(len(string_split(text, ' ')) // 8 AS INTEGER) AS n_chunks
+        |  FROM documents),
+        |b AS (SELECT * FROM d WHERE n_chunks >= 1),
+        |occ AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(n_chunks),
+        |      i -> struct_pack(pos := i,
+        |        chunk := array_to_string(a[8*i+1:8*i+8], ' ')))) AS o
+        |  FROM b),
+        |k AS (
+        |  SELECT o.chunk AS chunk, min(doc_id * 1048576 + o.pos) AS k0
+        |  FROM occ GROUP BY 1),
+        |own AS (
+        |  SELECT CAST(k0 // 1048576 AS BIGINT) AS doc_id, count(*) AS kept
+        |  FROM k GROUP BY 1)
+        |SELECT b.doc_id, n_chunks,
+        |  CAST(coalesce(kept, 0) AS INTEGER) AS n_kept,
+        |  CAST((n_chunks - coalesce(kept, 0)) * 1000000 // n_chunks
+        |    AS INTEGER) AS dup_ppm
+        |FROM b LEFT JOIN own USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // length buckets: the same explicit CASE ladder (integer-exact; no
+    // float pow/log2 anywhere near the boundaries)
+    "q86_length_buckets" ->
+      """WITH n AS (
+        |  SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+        |    WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128
+        |    WHEN nt <= 256 THEN 256 WHEN nt <= 512 THEN 512
+        |    WHEN nt <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+        |    least(nt, 2048) AS nt
+        |  FROM (SELECT len(string_split(text, ' ')) AS nt FROM documents))
+        |SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tok,
+        |  CAST(count(*) * bucket AS BIGINT) AS padded,
+        |  CAST((count(*) * bucket - sum(nt)) * 1000000
+        |    // (count(*) * bucket) AS INTEGER) AS waste_ppm
+        |FROM n GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // shard assignment: the engine's bucketed two-phase rank equals one
+    // row_number per shard over the full key order
+    "q87_shard_assign" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS key
+        |  FROM documents)
+        |SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY key % 8
+        |    ORDER BY key, doc_id) AS INTEGER) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{PortableHash, TextFunctions}
+import graft.queries.Analytics
+
+/** Round-9 curation operators: PII redaction ordering, chunk-level
+  * keep-first dedup, length-bucket boundaries, sharded training order. */
+class CurationOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  test("redactPii scrubs every pattern and applies email before IP") {
+    val rows = Seq(
+      "write to alice.smith+x@corp.example thanks",
+      "server at 10.23.161.9 answered",
+      "call 555-0042 or 555-9999 now",
+      // the load-bearing ordering case: the email's domain IS an IPv4-
+      // looking dotted run — redacting IP first would leave a half-eaten
+      // 'bob@[IP].net' that the email pattern can no longer match
+      "bob@10.0.0.1.net pinged",
+      "no pii here at all").toDF("s")
+    val out = rows.select(TextFunctions.redactPii($"s").as("r"))
+      .as[String].collect()
+    assert(out(0) == "write to [EMAIL] thanks")
+    assert(out(1) == "server at [IP] answered")
+    assert(out(2) == "call [PHONE] or [PHONE] now")
+    assert(out(3) == "[EMAIL] pinged")
+    assert(out(4) == "no pii here at all")
+    // nothing PII-shaped survives any redacted string
+    val residue = rows.select(TextFunctions.redactPii($"s").as("r"))
+      .where(regexp_count($"r", lit(TextFunctions.emailRe)) > 0 ||
+        regexp_count($"r", lit(TextFunctions.ipv4Re)) > 0 ||
+        regexp_count($"r", lit(TextFunctions.phoneRe)) > 0)
+    assert(residue.count() == 0)
+  }
+
+  test("chunk dedup keeps first occurrence by (doc_id, pos), once per owner") {
+    val w = (0 until 8).map(i => s"w$i").mkString(" ") // one 8-token chunk
+    val x = (0 until 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$w $x"),     // owns both chunks
+      (11L, s"$x $w"),     // both are dups of doc 10
+      (12L, s"$w $w"),     // intra-doc repeat of a foreign chunk: 2 dups
+      (13L, "short text")) // < 8 tokens — no chunks, dropped
+      .toDF("doc_id", "text")
+    val dir = tmpDir("chunkdedup")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Analytics.q85ChunkDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (10L, 2, 2, 0),        // owner of w and x
+      (11L, 2, 0, 1000000),  // all dups
+      (12L, 2, 0, 1000000))) // both occurrences of w are dups
+  }
+
+  test("length buckets sit on exact power-of-two boundaries") {
+    def doc(n: Int) = (n.toLong, (1 to n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(doc(16), doc(17), doc(32), doc(33), doc(64))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lenbuckets")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = Analytics.q86LengthBuckets(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    // 16 → bucket 16 (zero waste); 17 and 32 → bucket 32; 33 and 64 → 64
+    assert(out.toSeq == Seq(
+      (16, 1L, 16L, 16L, 0),
+      (32, 2L, 49L, 64L, (15L * 1000000L / 64L).toInt),
+      (64, 2L, 97L, 128L, (31L * 1000000L / 128L).toInt)))
+  }
+
+  test("shardAssign ≡ one row_number window per shard, any bucket layout") {
+    val docs = (0L until 300L).map(i => (i, s"body $i"))
+      .toDF("doc_id", "text")
+    val twin = docs
+      .select($"doc_id", PortableHash.md5Head60(
+        concat(lit("shuf:"), $"doc_id".cast("string"))).as("k"))
+      .withColumn("shard", ($"k" % 8).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"k", $"doc_id")).cast("int"))
+      .select($"doc_id", $"shard", $"pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val out = Analytics.shardAssign(docs, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    assert(out.toSeq == twin.toSeq)
+    // positions are a dense 1..n permutation inside every shard
+    val byShard = out.groupBy(_._2)
+    assert(byShard.values.forall(s =>
+      s.map(_._3).sorted.toSeq == (1 to s.length).toSeq))
+  }
+}
