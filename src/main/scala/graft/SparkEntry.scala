@@ -105,7 +105,8 @@ object SparkEntry {
     "q84_pii_redact"          -> (Analytics.q84PiiRedact _),
     "q85_chunk_dedup"         -> (Analytics.q85ChunkDedup _),
     "q86_length_buckets"      -> (Analytics.q86LengthBuckets _),
-    "q87_shard_assign"        -> (Analytics.q87ShardAssign _)
+    "q87_shard_assign"        -> (Analytics.q87ShardAssign _),
+    "q88_pq_adc"              -> (Analytics.q88PqAdc _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -417,6 +417,89 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Product-quantization ADC search in exact fixed-point arithmetic —
+    * the memory side of the 100 TB ANN design (IVF narrows WHERE to look,
+    * PQ shrinks WHAT is stored: m sub-codes per vector instead of the
+    * vector, dim/m × compression before int8 even starts).
+    *
+    * Everything is integer: vectors land in fixed-point longs (scale
+    * 1e6), codebooks are md5-seeded sub-vectors of real corpus rows, the
+    * encode argmin and the asymmetric-distance sums are pure long
+    * arithmetic — so ranks are cross-engine bit-reproducible and the
+    * DuckDB oracle hash-gates the whole path (q73's float refinement
+    * stays rows-only by physics; this is its PQ counterpart to q79's
+    * k-means anchor).
+    *
+    * Scale shape: codebooks ride broadcasts (m × kCodes rows); encoding
+    * is one equi-join on the subspace index + a min_by partial agg; the
+    * ADC join probes the broadcast (qid, s, code) distance table and
+    * map-side-combines to (qid, id) before the only corpus-sized
+    * shuffle; the final ranking k-bounds that shuffle via the partial
+    * WindowGroupLimit like every other kNN path here. Codes carry the
+    * seed row's id (a long); production would remap the kCodes seed ids
+    * to a byte — the join shape is identical.
+    */
+  def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                m: Int, kCodes: Int, scale: Long,
+                queryPred: Column, rerank: Int, k: Int): DataFrame = {
+    val q = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    val seeds = q
+      .withColumn("h",
+        graft.functions.PortableHash.md5Head60(col("id").cast("string")))
+      .orderBy(col("h"), col("id"))
+      .limit(kCodes)
+      .select(col("id").as("cid"), col("qv").as("cv"))
+    def subspaces(df: DataFrame, vec: String, out: String) =
+      df.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
+        .drop(vec)
+    val subC = subspaces(seeds, "cv", "csub")
+    val d2 = aggregate(
+      zip_with(col("sub"), col("csub"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    // encode: per (id, subspace) argmin over the broadcast codebook
+    val codes = subspaces(q, "qv", "sub")
+      .join(broadcast(subC), "s")
+      .select(col("id"), col("s"), col("cid"), d2.as("d2"))
+      .groupBy(col("id"), col("s"))
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+    // ADC tables: query sub-vector → every codebook entry, bounded at
+    // nQueries × m × kCodes rows
+    val table = subspaces(q.where(queryPred).withColumnRenamed("id", "qid"),
+        "qv", "sub")
+      .join(broadcast(subC), "s")
+      .select(col("qid"), col("s"), col("cid").as("code"), d2.as("td2"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    val shortlist = codes.join(broadcast(table), Seq("s", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("td2")).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select(col("qid"), col("id"), col("adc"))
+    // exact rerank: the broadcast nQueries × rerank shortlist prunes the
+    // corpus scan to the shortlisted rows; true integer distances break
+    // ADC's quantization ties, so the emitted ranking is the exact-on-
+    // shortlist order (still all-long arithmetic — still hash-matchable)
+    val qvecs = q.where(queryPred)
+      .select(col("id").as("qid"), col("qv").as("quv"))
+    val exactD2 = aggregate(
+      zip_with(col("qv"), col("quv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    q.join(broadcast(shortlist), "id")
+      .join(broadcast(qvecs), "qid")
+      .select(col("qid"), col("id"), col("adc"), exactD2.as("d2"))
+      .withColumn("rank", row_number().over(wEx))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
+  }
+
   /** The all-pairs reference implementation — spec-only, kept as ground
     * truth for the recall pin on [[cosineNearDupPairs]] (its `id1 < id2`
     * self-join is the BNLJ anti-pattern the LSH composition removed). */

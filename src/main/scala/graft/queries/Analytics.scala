@@ -866,6 +866,20 @@ object Analytics {
   def q87ShardAssign(s: SparkSession, dir: String): DataFrame =
     shardAssign(t(s, dir)("documents"), nShards = 8)
 
+  // PQ-ADC search, integer-exact end to end (see Similarity.pqAdcTopK):
+  // 16 subspaces × 16-entry md5-seeded codebooks over the fixed-point
+  // embeddings (16 bytes per vector in production — 16× compression),
+  // asymmetric-distance shortlist of 50, exact integer rerank to top-5
+  // for 8 query vectors. Every distance is a long, so unlike the float
+  // kNN paths the FULL ranking hash-matches a DuckDB twin — the driver
+  // gate covers the PQ encode, the codebook choice, the ADC join shape,
+  // and the rerank all at once. Recall vs exact L2 is pinned in PQSpec.
+  def q88PqAdc(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqAdcTopK(t(s, dir)("embeddings"), "vec_id", "embedding",
+      m = 16, kCodes = 16, scale = 1000000L,
+      queryPred = col("id") < 8, rerank = 50, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
   private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hi = 1L << 53 // 60-bit key → 128 buckets

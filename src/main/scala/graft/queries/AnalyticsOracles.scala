@@ -860,6 +860,75 @@ object AnalyticsOracles {
         |SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
         |  CAST(row_number() OVER (PARTITION BY key % 8
         |    ORDER BY key, doc_id) AS INTEGER) AS pos
-        |FROM k ORDER BY shard, pos""".stripMargin
+        |FROM k ORDER BY shard, pos""".stripMargin,
+
+    // PQ-ADC: same fixed-point scaling, md5-seeded codebooks, per-subspace
+    // argmin encode, integer asymmetric-distance sums, and exact rerank as
+    // Similarity.pqAdcTopK — `dist` covers every (vector, centroid,
+    // subspace) triple, so the query-side ADC tables are its id < 8 slice
+    "q88_pq_adc" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |seeds AS (
+         |  SELECT id AS cid, qv AS cv FROM q
+         |  ORDER BY ${md5Head60("CAST(id AS VARCHAR)")}, id
+         |  LIMIT 16),
+         |sub_q AS (
+         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
+         |  FROM q CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |sub_c AS (
+         |  SELECT cid, s, cv[s*4+1 : s*4+4] AS csub
+         |  FROM seeds CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |els AS (
+         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
+         |    unnest(sub) AS v
+         |  FROM sub_q),
+         |cels AS (
+         |  SELECT cid, s, CAST(unnest(range(len(csub))) AS INTEGER) AS pos,
+         |    unnest(csub) AS v
+         |  FROM sub_c),
+         |dist AS (
+         |  SELECT els.id, cels.cid, els.s,
+         |    CAST(sum((els.v - cels.v) * (els.v - cels.v)) AS BIGINT) AS d2
+         |  FROM els JOIN cels ON els.pos = cels.pos AND els.s = cels.s
+         |  GROUP BY els.id, cels.cid, els.s),
+         |codes AS (
+         |  SELECT id, s, cid AS code FROM (
+         |    SELECT id, s, cid,
+         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, cid) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1),
+         |adc AS (
+         |  SELECT t.id AS qid, c.id, CAST(sum(t.d2) AS BIGINT) AS adc
+         |  FROM codes c JOIN dist t ON t.s = c.s AND t.cid = c.code
+         |  WHERE t.id < 8
+         |  GROUP BY t.id, c.id),
+         |shortlist AS (
+         |  SELECT qid, id, adc FROM (
+         |    SELECT qid, id, adc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS arank
+         |    FROM adc) x
+         |  WHERE arank <= 50),
+         |elf AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM q),
+         |ex AS (
+         |  SELECT sl.qid, sl.id, sl.adc,
+         |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+         |  FROM shortlist sl
+         |  JOIN elf a ON a.id = sl.qid
+         |  JOIN elf b ON b.id = sl.id AND b.pos = a.pos
+         |  GROUP BY sl.qid, sl.id, sl.adc),
+         |rr AS (
+         |  SELECT qid, id, adc, d2,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, id) AS INTEGER) AS rank
+         |  FROM ex)
+         |SELECT qid, rank, id, adc, d2 FROM rr
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

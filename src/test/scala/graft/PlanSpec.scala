@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
     // Spark upgrade or plan change that loses the property fails loudly.
     for (q <- Seq(graft.queries.Analytics.q24KnnBruteForce _,
                   graft.queries.Analytics.q25KnnLsh _,
-                  graft.queries.Analytics.q39KnnIvf _)) {
+                  graft.queries.Analytics.q39KnnIvf _,
+                  graft.queries.Analytics.q88PqAdc _)) {
       val p = plan(q(spark, dir))
       assert(p.linesIterator.exists(l =>
         l.contains("WindowGroupLimit") && l.contains("Partial")),
