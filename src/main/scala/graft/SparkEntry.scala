@@ -106,7 +106,11 @@ object SparkEntry {
     "q85_chunk_dedup"         -> (Analytics.q85ChunkDedup _),
     "q86_length_buckets"      -> (Analytics.q86LengthBuckets _),
     "q87_shard_assign"        -> (Analytics.q87ShardAssign _),
-    "q88_pq_adc"              -> (Analytics.q88PqAdc _)
+    "q88_pq_adc"              -> (Analytics.q88PqAdc _),
+    "q89_quality_audit"       -> (Analytics.q89QualityAudit _),
+    "q90_bloom_prune"         -> (Analytics.q90BloomPrune _),
+    "q91_bigram_rarity"       -> (Analytics.q91BigramRarity _),
+    "q92_mixture_plan"        -> (Analytics.q92MixturePlan _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -880,6 +880,141 @@ object Analytics {
       queryPred = col("id") < 8, rerank = 50, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  // Data-quality audit (the Deequ-style validation gate a corpus passes
+  // before training sees it): completeness, domain and range violations,
+  // key uniqueness, and referential orphans as one (metric, value) ledger.
+  // Shape: every constant-state metric (counts, conditional counts,
+  // min/max) rides ONE map-side-combining pass over the fact — a single
+  // aggregated row, unpivoted by stack(); the two exact distinct counts
+  // shuffle only deduplicated keys (the q78 lesson: never a multi-
+  // countDistinct Expand over the corpus); the orphan check dedups the
+  // fact keys BEFORE the anti join so the join moves key cardinality, not
+  // row cardinality. Branches meet in a union of one-row frames.
+  def q89QualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+    val viol = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    val onePass = li.agg(
+        count(lit(1)).as("row_count"),
+        viol(col("l_shipdate").isNull).as("null_shipdate"),
+        viol(col("l_returnflag").isNull).as("null_returnflag"),
+        viol(!col("l_returnflag").isin("A", "N", "R")).as("flag_domain_viol"),
+        viol(col("l_quantity") < 1 || col("l_quantity") > 50)
+          .as("qty_range_viol"),
+        viol(col("l_quantity") > 45).as("qty_over_45"),
+        viol(col("l_discount") > 0.08).as("discount_over_8pct"),
+        min(col("l_quantity")).cast("long").as("min_quantity"),
+        max(col("l_quantity")).cast("long").as("max_quantity"))
+      .selectExpr("""stack(9,
+        'row_count', row_count,
+        'null_shipdate', null_shipdate,
+        'null_returnflag', null_returnflag,
+        'flag_domain_viol', flag_domain_viol,
+        'qty_range_viol', qty_range_viol,
+        'qty_over_45', qty_over_45,
+        'discount_over_8pct', discount_over_8pct,
+        'min_quantity', min_quantity,
+        'max_quantity', max_quantity) AS (metric, value)""")
+    val distinctOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("value"))
+      .select(lit("distinct_orderkey").as("metric"), col("value"))
+    val distinctPairs = li.select(col("l_orderkey"), col("l_linenumber"))
+      .distinct().agg(count(lit(1)).as("value"))
+      .select(lit("distinct_line_pairs").as("metric"), col("value"))
+    val orphans = li.select(col("l_orderkey")).distinct()
+      .join(t(s, dir)("orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("value"))
+      .select(lit("orphan_orderkeys").as("metric"), col("value"))
+    onePass.unionByName(distinctOrders).unionByName(distinctPairs)
+      .unionByName(orphans)
+      .orderBy(col("metric"))
+  }
+
+  // Bloom-pruned semi join: membership in the hot-order key set is tested
+  // with a 16 KB plan-literal Bloom mask IN THE SCAN STAGE, so only
+  // survivors (true matches + the tiny false-positive mass) reach the
+  // exchange; the exact semi join that follows makes the result
+  // bit-identical to the unpruned plan — which is exactly what the DuckDB
+  // twin computes, so the hash gate covers the whole pattern. See
+  // BloomPrune's scaladoc for why this exists alongside Spark's own
+  // InjectRuntimeFilter (PlanSpec pins that one separately).
+  def q90BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val hot = t(s, dir)("orders")
+      .where(col("o_totalprice") > 480000)
+      .select(col("o_orderkey"))
+    val mask = graft.operators.BloomPrune.buildSized(hot, "o_orderkey")
+    t(s, dir)("lineitem")
+      .where(mask.mightContain(col("l_orderkey")))
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(cents(col("l_extendedprice"))).as("revenue_c"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Bigram-rarity quality score (the KenLM-proxy filter, integer-exact):
+  // pass 1 builds the corpus model — top-256 token bigrams by frequency,
+  // ranks assigned on the driver from the ≤V aggregated rows the partial
+  // top-k ships (a window over the full vocab would be an unpartitioned
+  // sort; the vocab TABLE is the bounded thing, so rank there) — pass 2
+  // broadcast-joins the model onto the exploded bigrams and re-aggregates
+  // per doc. Out-of-vocabulary bigrams pay rank 512; the kept gate is an
+  // integer centirank threshold, so the whole score hash-matches DuckDB.
+  def q91BigramRarity(s: SparkSession, dir: String): DataFrame = {
+    val V = 256
+    val docs = t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+      .where(size(col("a")) >= 2)
+    val bigrams = docs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), size(col("a")) - 2),
+        i => concat_ws(" ", element_at(col("a"), i + 1),
+          element_at(col("a"), i + 2)))).as("bg"))
+    val top = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg")).limit(V)
+      .collect() // bounded: ≤ V aggregated vocab rows — NOT a data collect
+    import s.implicits._
+    val vocab = top.iterator.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }.toSeq
+      .toDF("bg", "rank")
+    bigrams.join(broadcast(vocab), Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("rank").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("rank"), lit(2 * V)).cast("long")).as("sum_rank"))
+      .withColumn("avg_rank_c",
+        expr("CAST(sum_rank * 100 div n_bigrams AS INT)"))
+      .withColumn("kept", col("avg_rank_c") <= 12000)
+      .orderBy(col("doc_id"))
+  }
+
+  // Token-budget mixture planning (the dataset-mixing recipe step): given
+  // per-language token inventories and a training budget of half the
+  // corpus split uniformly across languages, compute each language's
+  // corpus share, sampling rate, and expected token yield — low-resource
+  // languages cap at 1.0 (take everything) and surface their shortfall.
+  // All-integer ppm arithmetic; one 5-group aggregate plus a single-row
+  // totals broadcast (the q35/q81 scalar-crossJoin pattern).
+  def q92MixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perLang = t(s, dir)("documents")
+      .select(col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("tok"))
+    val totals = perLang.agg(sum(col("tok")).as("tot_tok"),
+      count(lit(1)).as("n_langs"))
+    perLang.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("CAST(tok * 1000000 div tot_tok AS INT)"))
+      .withColumn("target_tok", expr("tot_tok div (2 * n_langs)"))
+      .withColumn("sample_ppm",
+        expr("CAST(least(1000000, target_tok * 1000000 div tok) AS INT)"))
+      .withColumn("expect_tok", expr("tok * sample_ppm div 1000000"))
+      .select(col("lang"), col("n_docs"), col("tok"), col("share_ppm"),
+        col("target_tok"), col("sample_ppm"), col("expect_tok"))
+      .orderBy(col("lang"))
+  }
+
   private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hi = 1L << 53 // 60-bit key → 128 buckets

@@ -929,6 +929,110 @@ object AnalyticsOracles {
          |      ORDER BY d2, id) AS INTEGER) AS rank
          |  FROM ex)
          |SELECT qid, rank, id, adc, d2 FROM rr
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // quality audit: same metric names, same thresholds; every value BIGINT
+    "q89_quality_audit" ->
+      """WITH one AS (
+        |  SELECT count(*) AS row_count,
+        |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS null_shipdate,
+        |    sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |      AS null_returnflag,
+        |    sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1
+        |      ELSE 0 END) AS flag_domain_viol,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1
+        |      ELSE 0 END) AS qty_range_viol,
+        |    sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS qty_over_45,
+        |    sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END)
+        |      AS discount_over_8pct,
+        |    min(l_quantity) AS min_quantity,
+        |    max(l_quantity) AS max_quantity
+        |  FROM lineitem)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'row_count' AS metric, row_count AS value FROM one
+        |  UNION ALL SELECT 'null_shipdate', null_shipdate FROM one
+        |  UNION ALL SELECT 'null_returnflag', null_returnflag FROM one
+        |  UNION ALL SELECT 'flag_domain_viol', flag_domain_viol FROM one
+        |  UNION ALL SELECT 'qty_range_viol', qty_range_viol FROM one
+        |  UNION ALL SELECT 'qty_over_45', qty_over_45 FROM one
+        |  UNION ALL SELECT 'discount_over_8pct', discount_over_8pct FROM one
+        |  UNION ALL SELECT 'min_quantity', min_quantity FROM one
+        |  UNION ALL SELECT 'max_quantity', max_quantity FROM one
+        |  UNION ALL SELECT 'distinct_orderkey', count(DISTINCT l_orderkey)
+        |    FROM lineitem
+        |  UNION ALL SELECT 'distinct_line_pairs', count(*) FROM
+        |    (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+        |  UNION ALL SELECT 'orphan_orderkeys', count(*) FROM
+        |    (SELECT DISTINCT l_orderkey FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)))
+        |ORDER BY metric""".stripMargin,
+
+    // bloom prune: the mask is invisible in the result (prune + exact
+    // rejoin ≡ the plain semi join), so the twin is the plain semi join
+    "q90_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // bigram rarity: same top-256 model (count desc, bigram asc — fully
+    // deterministic), same OOV rank 512, same integer centirank gate
+    "q91_bigram_rarity" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+        |b AS (SELECT doc_id, a FROM d WHERE len(a) >= 2),
+        |bgs AS (
+        |  SELECT doc_id, unnest(list_transform(range(len(a) - 1),
+        |    i -> a[i+1] || ' ' || a[i+2])) AS bg
+        |  FROM b),
+        |c AS (SELECT bg, count(*) AS c FROM bgs GROUP BY 1),
+        |v AS (
+        |  SELECT bg, rank FROM (
+        |    SELECT bg, CAST(row_number() OVER (ORDER BY c DESC, bg)
+        |      AS INTEGER) AS rank
+        |    FROM c) x
+        |  WHERE rank <= 256),
+        |sc AS (
+        |  SELECT t.doc_id, count(*) AS n_bigrams,
+        |    sum(CASE WHEN v.rank IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        |    sum(coalesce(v.rank, 512)) AS sum_rank
+        |  FROM bgs t LEFT JOIN v USING (bg)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(sum_rank AS BIGINT) AS sum_rank,
+        |  CAST(sum_rank * 100 // n_bigrams AS INTEGER) AS avg_rank_c,
+        |  (sum_rank * 100 // n_bigrams <= 12000) AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // mixture plan: same half-corpus uniform budget, same integer ppm
+    // ladder (every division a BIGINT floor div, so no float drift)
+    "q92_mixture_plan" ->
+      """WITH pl AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(tok) AS BIGINT) AS tot_tok,
+        |    count(*) AS n_langs
+        |  FROM pl),
+        |x AS (
+        |  SELECT lang, n_docs, tok,
+        |    CAST(tok * 1000000 // tot_tok AS INTEGER) AS share_ppm,
+        |    CAST(tot_tok // (2 * n_langs) AS BIGINT) AS target_tok
+        |  FROM pl, tot),
+        |y AS (
+        |  SELECT lang, n_docs, tok, share_ppm, target_tok,
+        |    CAST(least(1000000, target_tok * 1000000 // tok) AS INTEGER)
+        |      AS sample_ppm
+        |  FROM x)
+        |SELECT lang, n_docs, tok, share_ppm, target_tok, sample_ppm,
+        |  CAST(tok * sample_ppm // 1000000 AS BIGINT) AS expect_tok
+        |FROM y ORDER BY lang""".stripMargin
   )
 }

@@ -108,7 +108,8 @@ class PlanSpec extends SparkSpec {
       "q39_knn_ivf", // broadcast-K centroid grid (K = nCentroids)
       "q73_knn_ivf_refined", // broadcast-K centroid grid (K = nCentroids)
       "q79_kmeans_step", // broadcast-K centroid grid (K = nCentroids)
-      "q51_gapfill" // broadcast calendar grid (users × bounded date range)
+      "q51_gapfill", // broadcast calendar grid (users × bounded date range)
+      "q92_mixture_plan" // broadcast single-row totals scalar (tot_tok, n_langs)
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString
