@@ -110,7 +110,9 @@ object SparkEntry {
     "q89_quality_audit"       -> (Analytics.q89QualityAudit _),
     "q90_bloom_prune"         -> (Analytics.q90BloomPrune _),
     "q91_bigram_rarity"       -> (Analytics.q91BigramRarity _),
-    "q92_mixture_plan"        -> (Analytics.q92MixturePlan _)
+    "q92_mixture_plan"        -> (Analytics.q92MixturePlan _),
+    "q93_boilerplate"         -> (Analytics.q93Boilerplate _),
+    "q94_containment"         -> (Analytics.q94Containment _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

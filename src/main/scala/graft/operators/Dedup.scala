@@ -75,6 +75,34 @@ object Dedup {
       .select(col("id1"), col("id2"), (j * 1e6).cast("int").as("jaccard_ppm"))
   }
 
+  /** Shingle-set CONTAINMENT (Broder's asymmetric resemblance,
+    * |A ∩ B| / |A|) — what catches a short document swallowed whole by a
+    * longer one, where symmetric Jaccard stays low because the union is
+    * dominated by the long side. Emits ORDERED pairs: (id1, id2) means
+    * id1's shingles are ≥ threshold contained in id2. Same inverted-index
+    * shape as [[ngramJaccardPairs]] (equi-join on the shingle, quadratic
+    * only within a posting list, ratio compared raw and emitted as
+    * truncated ppm); the only differences are the `=!=` pair condition
+    * (both directions are meaningful) and the divisor (|A| alone). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       pred: Column = lit(true)): DataFrame = {
+    val sh = df.where(pred)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") =!= col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    val c = col("inter").cast("double") / col("s1")
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("s1")), "id1")
+      .where(c >= threshold)
+      .select(col("id1"), col("id2"), col("inter"),
+        (c * 1e6).cast("int").as("containment_ppm"))
+  }
+
   /** MinHash + banded LSH candidate generation, then exact Jaccard
     * verification of candidates only. The scale path for near-dup detection:
     * candidate cost is Σ(bucket²) per band instead of n², and verification

@@ -1015,6 +1015,63 @@ object Analytics {
       .orderBy(col("lang"))
   }
 
+  // Boilerplate removal (the CCNet-style line-frequency scrub): a chunk
+  // appearing in ≥ 3 DISTINCT docs is boilerplate; docs are rebuilt
+  // without those chunks. The corpus is synthetic prose, so boilerplate
+  // is PLANTED the q84 way — a deterministic 8-token banner prepended
+  // (prepended, not appended: chunk windows are 8-aligned from the
+  // front, so only a prefix plant lands on identical chunk boundaries in
+  // every doc) to every 4th doc and a footer line to every 10th.
+  // Shape: chunk occurrences carry a portable-md5 60-bit chunk key, so
+  // the frequency count and the membership anti-join move 8 bytes per
+  // chunk, not the text; the boilerplate set (small by construction —
+  // it's the FREQUENT chunks) broadcasts into the anti join; the one
+  // corpus-text shuffle is the per-doc reconstruction groupBy, which any
+  // rebuild needs. md5 of the rebuilt text pins cross-engine equality of
+  // the whole pipeline including chunk order restoration.
+  def q93Boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val C = 8
+    val banner = "subscribe to our newsletter for daily updates now"
+    val footer = "all rights reserved by the site owner today"
+    val planted = when(col("doc_id") % 4 === 0,
+        concat(lit(banner + " "), col("text")))
+      .when(col("doc_id") % 10 === 0, concat(lit(footer + " "), col("text")))
+      .otherwise(col("text"))
+    val base = t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(planted).as("a"))
+      .withColumn("n_chunks", floor(size(col("a")) / lit(C)).cast("int"))
+      .where(col("n_chunks") >= 1)
+    val occ = base.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => concat_ws(" ", slice(col("a"), i * C + 1, lit(C))))))
+      .toDF("doc_id", "pos", "chunk")
+      .withColumn("h", graft.functions.PortableHash.md5Head60(col("chunk")))
+    val boiler = occ.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 3).select(col("h"))
+    val rebuilt = occ.join(broadcast(boiler), Seq("h"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("cleaned"))
+    base.select(col("doc_id"), col("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Shingle containment (asymmetric near-dup): |A ∩ B| / |A| ≥ 0.5 over
+  // 3-gram shingle sets — the "short doc swallowed by a long one" regime
+  // symmetric Jaccard (q21/q22) can't see. Ordered pairs, bounded id
+  // universe like q21; see Dedup.containmentPairs for the index shape.
+  def q94Containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir)("documents"), "doc_id", "text",
+      n = 3, threshold = 0.5, pred = col("doc_id") < 200)
+      .orderBy(col("id1"), col("id2"))
+
   private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hi = 1L << 53 // 60-bit key → 128 buckets

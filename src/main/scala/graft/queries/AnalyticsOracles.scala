@@ -1033,6 +1033,75 @@ object AnalyticsOracles {
         |  FROM x)
         |SELECT lang, n_docs, tok, share_ppm, target_tok, sample_ppm,
         |  CAST(tok * sample_ppm // 1000000 AS BIGINT) AS expect_tok
-        |FROM y ORDER BY lang""".stripMargin
+        |FROM y ORDER BY lang""".stripMargin,
+
+    // boilerplate removal: same planted banner/footer, same 8-token
+    // chunking as q85, same 60-bit portable chunk key, ≥3-distinct-doc
+    // frequency rule, and ORDER BY pos reconstruction
+    "q93_boilerplate" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 4 = 0 THEN
+         |      'subscribe to our newsletter for daily updates now ' || text
+         |    WHEN doc_id % 10 = 0 THEN
+         |      'all rights reserved by the site owner today ' || text
+         |    ELSE text END AS text
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS a,
+         |    CAST(len(string_split(text, ' ')) // 8 AS INTEGER) AS n_chunks
+         |  FROM planted),
+         |b AS (SELECT * FROM d WHERE n_chunks >= 1),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(n_chunks),
+         |      i -> struct_pack(pos := i,
+         |        chunk := array_to_string(a[8*i+1:8*i+8], ' ')))) AS o
+         |  FROM b),
+         |oc AS (
+         |  SELECT doc_id, CAST(o.pos AS INTEGER) AS pos, o.chunk AS chunk,
+         |    ${md5Head60("o.chunk")} AS h
+         |  FROM occ),
+         |boiler AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS nd FROM oc GROUP BY h) x
+         |  WHERE nd >= 3),
+         |kept AS (
+         |  SELECT * FROM oc WHERE h NOT IN (SELECT h FROM boiler)),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(chunk, ' ' ORDER BY pos) AS cleaned
+         |  FROM kept GROUP BY doc_id)
+         |SELECT b.doc_id, n_chunks,
+         |  CAST(coalesce(n_kept, 0) AS INTEGER) AS n_kept,
+         |  md5(coalesce(cleaned, '')) AS cleaned_md5
+         |FROM b LEFT JOIN reb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // containment: q21's shingle CTEs with ordered pairs (<>) and the
+    // |A|-only divisor; ratio compared raw, emitted as truncated ppm
+    "q94_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER) AS pos,
+        |    unnest(string_split(text,' ')) AS w
+        |  FROM documents WHERE doc_id < 200),
+        |tri AS (
+        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS sh
+        |  FROM tok a
+        |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS i
+        |  FROM tri x JOIN tri y ON x.sh = y.sh AND x.doc_id <> y.doc_id
+        |  GROUP BY x.doc_id, y.doc_id)
+        |SELECT id1, id2, CAST(i AS BIGINT) AS inter,
+        |  CAST(trunc((i * 1.0 / s1.sz) * 1000000.0) AS INTEGER)
+        |    AS containment_ppm
+        |FROM inter
+        |JOIN sizes s1 ON s1.doc_id = id1
+        |WHERE (i * 1.0 / s1.sz) >= 0.5
+        |ORDER BY id1, id2""".stripMargin
   )
 }

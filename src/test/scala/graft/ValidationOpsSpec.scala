@@ -119,6 +119,42 @@ class ValidationOpsSpec extends SparkSpec {
     assert(got.map(t => (t._1, t._2, t._3, t._4)).toSet == twin)
   }
 
+  test("q93 removes >=3-doc chunks, keeps rarer ones, rebuilds in order") {
+    def chunk(p: String) = (1 to 8).map(i => s"$p$i").mkString(" ")
+    val (x, y) = (chunk("x"), chunk("y"))
+    // ids chosen to dodge the %4/%10 banner plant — the fixture plants its
+    // own boilerplate (x appears in 4 distinct docs; y in only 2)
+    val docs = Seq(
+      (1L, s"$x $y ${chunk("a")}"),
+      (2L, s"$y $x ${chunk("b")}"),
+      (3L, s"$x ${chunk("c")}"),
+      (5L, x)) // all-boilerplate doc: rebuilt empty
+      .toDF("doc_id", "text")
+    val dir = tmpDir("boiler")
+    docs.write.parquet(s"$dir/documents.parquet")
+    val got = Analytics.q93Boilerplate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    def m(t: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(t)
+    assert(got.toSeq == Seq(
+      (1L, 3, 2, m(s"$y ${chunk("a")}")), // x cut, order y-then-a preserved
+      (2L, 3, 2, m(s"$y ${chunk("b")}")), // middle chunk cut, ends rejoin
+      (3L, 2, 1, m(chunk("c"))),
+      (5L, 1, 0, m(""))))
+  }
+
+  test("q94 containment is asymmetric: short-in-long fires one direction") {
+    val short = (1 to 10).map(i => s"x$i").mkString(" ")
+    val long = short + " " + (1 to 40).map(i => s"y$i").mkString(" ")
+    val dir = tmpDir("contain")
+    Seq((1L, short), (2L, long), (3L, "unrelated words entirely here now"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = Analytics.q94Containment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // doc 1 has 8 trigram shingles, all in doc 2 → C(1,2) = 1.0;
+    // doc 2 has 48, only 8 shared → C(2,1) = 1/6 < 0.5 — not emitted
+    assert(got.toSeq == Seq((1L, 2L, 8L, 1000000)))
+  }
+
   test("q92 mixture plan caps low-resource languages at 1.0 and bills exactly") {
     val tok10 = (1 to 10).map(i => s"w$i").mkString(" ")
     val dir = tmpDir("mixture")
