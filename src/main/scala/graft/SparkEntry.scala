@@ -112,7 +112,8 @@ object SparkEntry {
     "q91_bigram_rarity"       -> (Analytics.q91BigramRarity _),
     "q92_mixture_plan"        -> (Analytics.q92MixturePlan _),
     "q93_boilerplate"         -> (Analytics.q93Boilerplate _),
-    "q94_containment"         -> (Analytics.q94Containment _)
+    "q94_containment"         -> (Analytics.q94Containment _),
+    "q95_semantic_dedup"      -> (Analytics.q95SemanticDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

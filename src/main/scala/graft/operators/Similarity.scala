@@ -514,4 +514,79 @@ object Similarity {
       .select(col("x.id").as("id1"), col("y.id").as("id2"), sim.as("sim"))
       .where(col("sim") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup, integer-exact end to end: partition
+    * the embedding space into K cells (md5-picked seed vectors, nearest
+    * cell by integer L2 — one k-means assignment step), then test
+    * cosine ≥ τ only WITHIN a cell and drop every doc that matches a
+    * lower-id cell-mate. Emitted per doc: its cell, how many lower-id
+    * near-dups it has, and the keep decision.
+    *
+    * Why this shape survives 100 TB where q31's corpus-wide LSH and the
+    * brute all-pairs don't: K is ADAPTIVE — `max(minK, ceil(N /
+    * targetCell))` — so the expected cell stays ~targetCell rows at any
+    * corpus size and the intra-cell self-join moves O(N · targetCell)
+    * pairs, not O(N²). The two real bills, priced: (1) assignment is the
+    * standard k-means O(N·K·d) scan (broadcast seed grid, one argmin
+    * partial agg — no shuffle); production pushes K into the thousands
+    * and batches this on accelerators or splits it IVF-style two-level,
+    * but the plan shape here is already the right one; (2) the cell
+    * self-join hash-partitions on cid, so a pathologically hot cell is
+    * one skewed task — targetCell bounds the EXPECTED size, AQE skew
+    * split handles the tail.
+    *
+    * Everything is long/decimal arithmetic: vectors land in fixed-point
+    * longs (scale 1e6), the argmin orders by (d², cid), and the cosine
+    * test cross-multiplies — `dot > 0 ∧ dot²·10⁴ ≥ τpct²·|a|²·|b|²` in
+    * decimal(38,0) (DuckDB HUGEINT) — so no sqrt, no float, and the
+    * whole decision procedure hash-matches the DuckDB twin. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    scale: Long, targetCell: Int, minK: Int,
+                    thresholdPct: Int): DataFrame = {
+    val q = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+    // plan-time scalar (one count job) — the same sizing pattern as
+    // BloomPrune.buildSized; the oracle recomputes it in SQL
+    val n = q.count()
+    val k = math.max(minK, ((n + targetCell - 1) / targetCell).toInt)
+    val seeds = q
+      .withColumn("h", graft.functions.PortableHash.md5Head60(
+        concat(lit("sem:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .select(col("id").as("cid"), col("qv").as("cv"))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+    val assigned = q.crossJoin(broadcast(seeds))
+      .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
+      .groupBy(col("id"))
+      .agg(min_by(struct(col("cid"), col("qv")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col("id"), col("m.cid").as("cid"), col("m.qv").as("qv"))
+      .withColumn("n2", aggregate(
+        transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
+    val dot = aggregate(
+      zip_with(col("x.qv"), col("y.qv"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+    val t2 = thresholdPct.toLong * thresholdPct
+    val near = dot > 0 &&
+      (dot.cast("decimal(38,0)") * dot.cast("decimal(38,0)") * lit(10000L)
+        >= col("x.n2").cast("decimal(38,0)") *
+           col("y.n2").cast("decimal(38,0)") * lit(t2))
+    val dupsBelow = assigned.as("y")
+      .join(assigned.as("x"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .where(near)
+      .groupBy(col("y.id").as("id"))
+      .agg(count(lit(1)).as("n_dups_lower"))
+    assigned.select(col("id"), col("cid"))
+      .join(dupsBelow, Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("n_dups_lower"), lit(0L)).as("n_dups_lower"))
+      .withColumn("kept", col("n_dups_lower") === 0)
+      .orderBy(col("id"))
+  }
 }

@@ -1072,6 +1072,16 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // SemDeDup-style semantic dedup: embedding-space cells (adaptive K, so
+  // the intra-cell pair count is O(N · targetCell) at any corpus size),
+  // integer cosine ≥ 0.45 within a cell, keep-lowest-id. The embedding
+  // counterpart of q20/q22: catches paraphrase-level duplicates exact and
+  // shingle dedup can't see. Integer-exact → full hash gate (unlike
+  // q31's float LSH); see Similarity.semanticDedup for the scale bills.
+  def q95SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(t(s, dir)("embeddings"), "vec_id", "embedding",
+      scale = 1000000L, targetCell = 64, minK = 8, thresholdPct = 45)
+
   private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hi = 1L << 53 // 60-bit key → 128 buckets

@@ -1102,6 +1102,68 @@ object AnalyticsOracles {
         |FROM inter
         |JOIN sizes s1 ON s1.doc_id = id1
         |WHERE (i * 1.0 / s1.sz) >= 0.5
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // SemDeDup replayed: same 1e6 fixed-point quantization, adaptive
+    // K = max(8, ceil(N/64)), md5-picked seeds ("sem:" prefix), integer
+    // L2 argmin (ties to smallest cid), and the cross-multiplied cosine
+    // test dot²·10⁴ ≥ 45²·|a|²·|b|² in HUGEINT (Spark: decimal(38,0))
+    "q95_semantic_dedup" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |kk AS (
+         |  SELECT GREATEST(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+         |  FROM q),
+         |seeds AS (
+         |  SELECT id AS cid, qv AS cv FROM (
+         |    SELECT id, qv, row_number() OVER (ORDER BY
+         |      ${md5Head60("'sem:' || CAST(id AS VARCHAR)")}, id) AS rn
+         |    FROM q) s
+         |  WHERE rn <= (SELECT k FROM kk)),
+         |el AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM q),
+         |cel AS (
+         |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
+         |    unnest(cv) AS v
+         |  FROM seeds),
+         |dist AS (
+         |  SELECT el.id, cel.cid,
+         |    CAST(sum((el.v - cel.v) * (el.v - cel.v)) AS BIGINT) AS d2
+         |  FROM el JOIN cel ON el.pos = cel.pos
+         |  GROUP BY el.id, cel.cid),
+         |asg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1),
+         |n2 AS (
+         |  SELECT id, CAST(sum(v * v) AS BIGINT) AS n2
+         |  FROM el GROUP BY id),
+         |dots AS (
+         |  SELECT ax.id AS id1, ay.id AS id2,
+         |    CAST(sum(ex.v * ey.v) AS BIGINT) AS dot
+         |  FROM asg ax JOIN asg ay ON ax.cid = ay.cid AND ax.id < ay.id
+         |  JOIN el ex ON ex.id = ax.id
+         |  JOIN el ey ON ey.id = ay.id AND ey.pos = ex.pos
+         |  GROUP BY ax.id, ay.id),
+         |near AS (
+         |  SELECT d.id1, d.id2 FROM dots d
+         |  JOIN n2 a ON a.id = d.id1 JOIN n2 b ON b.id = d.id2
+         |  WHERE d.dot > 0 AND
+         |    CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 10000
+         |      >= CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) * 2025),
+         |dups AS (
+         |  SELECT id2 AS id, count(*) AS n_dups_lower FROM near GROUP BY id2)
+         |SELECT a.id, a.cid,
+         |  coalesce(d.n_dups_lower, 0) AS n_dups_lower,
+         |  coalesce(d.n_dups_lower, 0) = 0 AS kept
+         |FROM asg a LEFT JOIN dups d ON d.id = a.id
+         |ORDER BY a.id""".stripMargin
   )
 }

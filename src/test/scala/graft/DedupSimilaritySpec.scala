@@ -222,4 +222,44 @@ class DedupSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((0L, 1L)))
   }
+
+  test("semantic dedup: drops higher-id near-dups within a cell only") {
+    // 1 and 5 duplicate 0 (same direction, scaled / near-exact); md5
+    // seed order for ids 0..5 is 5,3,1,0,4,2 → K=2 seeds are {5, 3}, so
+    // cell 5 = {0,1,4,5} and cell 3 = {2,3} (mutually non-dup there)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.02f, 0.0f)),
+      (1L, Seq(0.98f, 0.02f, 0.0f)),  // near-dup of 0
+      (2L, Seq(-1.0f, 0.0f, 0.9f)),   // opposite half-space
+      (3L, Seq(0.0f, -1.0f, 0.2f)),   // seed of 2's cell, orthogonal to 2
+      (4L, Seq(0.0f, 1.0f, 0.0f)),    // orthogonal to 0 — same cell, kept
+      (5L, Seq(0.5f, 0.011f, 0.0f))   // scaled copy of 0 → cos ≈ 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        scale = 1000000L, targetCell = 3, minK = 2, thresholdPct = 90)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(0L) == (0L, true))       // lowest id of its dup set
+    assert(got(1L)._2 == false)         // dup of 0 in the same cell
+    assert(got(5L)._2 == false)         // scale-invariant: cosine, not L2
+    assert(got(5L)._1 == 2L)            // both 0 and 1 sit below it
+    assert(got(2L)._2 && got(3L)._2)    // cellmates but orthogonal
+    assert(got(4L)._2)                  // cellmate of 0 but orthogonal
+    // exactly the two planted dups drop
+    assert(got.values.count(!_._2) == 2)
+  }
+
+  test("semantic dedup: adaptive K keeps the expected cell bounded") {
+    // 600 vectors, targetCell 64 → K = ceil(600/64) = 10 cells; every
+    // vector is assigned and no cell exceeds a loose multiple of target
+    val emb = (0 until 600).map { i =>
+      val a = i * 0.7071; (i.toLong, Seq(math.cos(a).toFloat,
+        math.sin(a).toFloat, math.cos(2 * a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      scale = 1000000L, targetCell = 64, minK = 8, thresholdPct = 99)
+    assert(got.count() == 600)
+    val cells = got.groupBy("cid").count().collect()
+    assert(cells.length == 10)
+  }
 }
