@@ -113,7 +113,8 @@ object SparkEntry {
     "q92_mixture_plan"        -> (Analytics.q92MixturePlan _),
     "q93_boilerplate"         -> (Analytics.q93Boilerplate _),
     "q94_containment"         -> (Analytics.q94Containment _),
-    "q95_semantic_dedup"      -> (Analytics.q95SemanticDedup _)
+    "q95_semantic_dedup"      -> (Analytics.q95SemanticDedup _),
+    "q96_rolling_anomaly"     -> (Analytics.q96RollingAnomaly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1072,6 +1072,38 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Rolling z-score anomaly detection over the event stream (the metric-
+  // monitoring op a pipeline runs over its own telemetry): per user, a
+  // trailing window of the 8 preceding values; an event is anomalous when
+  // its deviation from the window mean exceeds 3 sigma. The z-test is
+  // cross-multiplied into pure integer arithmetic — (n·v − S)² > 9·(n·Q −
+  // S²) over value-cents — so no sqrt, no float variance, and the flag
+  // hash-matches DuckDB bit for bit. Scale shape: ONE window partitioned
+  // by user_id (millions of parallel partitions on a real corpus, no
+  // global sort), trailing-rows frame evaluated incrementally by Spark's
+  // sliding-frame aggregator — O(1) per row, O(N) total.
+  def q96RollingAnomaly(s: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(t(s, dir)("events")).orderBy(col("event_id"))
+
+  private[graft] def rollingAnomaly(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-8, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        cents(col("value")).as("c"))
+      .select(col("event_id"), col("c"),
+        count(lit(1)).over(w).as("n_prev"),
+        coalesce(sum(col("c")).over(w), lit(0L)).as("s_prev"),
+        coalesce(sum(col("c") * col("c")).over(w), lit(0L)).as("q_prev"))
+      .withColumn("dev", col("n_prev") * col("c") - col("s_prev"))
+      .withColumn("anomaly",
+        col("n_prev") >= 4 &&
+          col("dev") * col("dev") >
+            lit(9L) * (col("n_prev") * col("q_prev") -
+              col("s_prev") * col("s_prev")))
+      .select(col("event_id"), col("n_prev"), col("s_prev"), col("anomaly"))
+  }
+
   // SemDeDup-style semantic dedup: embedding-space cells (adaptive K, so
   // the intra-cell pair count is O(N · targetCell) at any corpus size),
   // integer cosine ≥ 0.45 within a cell, keep-lowest-id. The embedding

@@ -1104,6 +1104,29 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // rolling z-test replayed: identical trailing-rows window (ties broken
+    // by event_id in both engines), value-cents integers, and the same
+    // cross-multiplied 3-sigma test; sum() OVER returns HUGEINT in DuckDB
+    // — cast back to BIGINT to match Spark's long window sums
+    "q96_rolling_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, c,
+        |    count(*) OVER win AS n_prev,
+        |    CAST(coalesce(sum(c) OVER win, 0) AS BIGINT) AS s_prev,
+        |    CAST(coalesce(sum(c * c) OVER win, 0) AS BIGINT) AS q_prev
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, n_prev, s_prev,
+        |  (n_prev >= 4 AND
+        |   (n_prev * c - s_prev) * (n_prev * c - s_prev)
+        |     > 9 * (n_prev * q_prev - s_prev * s_prev)) AS anomaly
+        |FROM w ORDER BY event_id""".stripMargin,
+
     // SemDeDup replayed: same 1e6 fixed-point quantization, adaptive
     // K = max(8, ceil(N/64)), md5-picked seeds ("sem:" prefix), integer
     // L2 argmin (ties to smallest cid), and the cross-multiplied cosine

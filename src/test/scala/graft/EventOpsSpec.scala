@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.Analytics
+
+/** Event-telemetry operators: the rolling integer z-test (q96) on crafted
+  * series with hand-computed windows. */
+class EventOpsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def ts(sec: Int) = new Timestamp(sec * 1000L)
+
+  test("rolling anomaly: spike flags, steady series and warmup don't") {
+    // user 1: eight 10.00 readings then a 100.00 spike, then back to 10.00
+    val rows = (1 to 8).map(i => (i.toLong, ts(i), 1L, 10.0)) ++
+      Seq((9L, ts(9), 1L, 100.0), (10L, ts(10), 1L, 10.0)) ++
+      // user 2: only 3 preceding rows at the 4th event — below min window
+      (11 to 14).map(i => (i.toLong, ts(i), 2L, if (i == 14) 900.0 else 5.0))
+    val got = Analytics.rollingAnomaly(
+        rows.toDF("event_id", "ts", "user_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // warmup: events 1-4 have fewer than 4 preceding rows
+    (1L to 4L).foreach(id => assert(!got(id)._3, s"event $id"))
+    // steady state: window all-10.00, value 10.00 → dev = 0, not anomalous
+    (5L to 8L).foreach(id => assert(!got(id)._3, s"event $id"))
+    assert(got(8L)._1 == 7L && got(8L)._2 == 7000L)
+    // the spike against a zero-variance window: dev² > 0 = 9·var → flagged
+    // (a zero-variance history makes ANY deviation infinite-z by design)
+    assert(got(9L)._3)
+    // recovery reading: window now contains the spike → variance huge
+    assert(!got(10L)._3)
+    // user 2's spike has only 3 preceding rows → below the n ≥ 4 floor
+    assert(!got(14L)._3 && got(14L)._1 == 3L)
+  }
+
+  test("rolling anomaly: trailing frame excludes the current row") {
+    // if the frame included the current row, dev = n·v − S would shrink
+    // by exactly v and event 5's flag would flip on this series
+    val rows = (1 to 4).map(i => (i.toLong, ts(i), 1L, 20.0)) :+
+      (5L, ts(5), 1L, 20.6)
+    val got = Analytics.rollingAnomaly(
+        rows.toDF("event_id", "ts", "user_id", "value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3)))
+      .toMap
+    assert(got(5L)._1 == 4L) // 4 preceding rows, not 5
+    assert(got(5L)._2)       // 60-cent dev off a zero-variance window
+  }
+}
