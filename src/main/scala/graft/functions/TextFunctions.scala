@@ -86,6 +86,24 @@ object TextFunctions {
         lit(ipv4Re), lit("[IP]")),
       lit(phoneRe), lit("[PHONE]"))
 
+  /** URL canonicalization (the crawl-side dedup key): strip scheme and
+    * `www.`, drop tracking query params (`utm_*`, `ref`), tidy dangling
+    * `?`/`&`, and strip the trailing slash — in that order, so a
+    * slash-before-query folds the same way as a bare trailing slash.
+    * Java∩RE2 dialect, no backreferences (the `/?` → `?` fold is a
+    * literal `replace`) — the DuckDB oracle runs the identical chain.
+    * Pure codegen'd expression chain, zero shuffles. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noScheme = regexp_replace(url, lit("^https?://"), lit(""))
+    val noWww = regexp_replace(noScheme, lit("^www\\."), lit(""))
+    val noTrack =
+      regexp_replace(noWww, lit("(utm_[a-z]+|ref)=[^&]*&?"), lit(""))
+    val noDangle = regexp_replace(noTrack, lit("[?&]+$"), lit(""))
+    val foldSlash =
+      org.apache.spark.sql.functions.replace(noDangle, lit("/?"), lit("?"))
+    regexp_replace(foldSlash, lit("/$"), lit(""))
+  }
+
   /** Marker-token language-ID heuristic (deterministic, SQL-expressible).
     * Scores a few marker words per language and takes a fixed-priority
     * argmax; `und` when nothing matches. All six marker counts come from

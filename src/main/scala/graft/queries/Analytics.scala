@@ -1072,6 +1072,32 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // URL canonicalization + dedup (the crawl frontier's first filter):
+  // scheme/www/tracking-param/trailing-slash variants of the same page
+  // collapse to one canonical key; per key, the copy count and the
+  // keep-lowest doc. URLs are synthesized per doc the q84 way (the corpus
+  // has no url column), with every variant axis driven off doc_id so the
+  // canonicalizer's branches all fire. One hash agg on the canonical
+  // string — the same scale shape as exact dedup q20.
+  def q97UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("site-"), col("source"), lit(".example/p/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 2 === 0, lit("?utm_source=feed&ref=a"))
+        .otherwise(when(col("doc_id") % 5 === 0,
+          concat(lit("?id="), (col("doc_id") % 7).cast("string")))
+          .otherwise(lit(""))))
+    t(s, dir)("documents")
+      .select(col("doc_id"),
+        TextFunctions.canonicalizeUrl(url).as("canonical"))
+      .groupBy(col("canonical"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("canonical"))
+  }
+
   // Rolling z-score anomaly detection over the event stream (the metric-
   // monitoring op a pipeline runs over its own telemetry): per user, a
   // trailing window of the 8 preceding values; an event is anomalous when

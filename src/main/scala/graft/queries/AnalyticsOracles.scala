@@ -1104,6 +1104,39 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // URL synth + the exact canonicalization chain (scheme → www →
+    // tracking params → dangling separators → /?-fold → trailing slash);
+    // regexp_replace needs the 'g' flag to match Spark's replace-all
+    "q97_url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || 'site-' || source || '.example/p/'
+        |    || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=a'
+        |             WHEN doc_id % 5 = 0 THEN '?id=' ||
+        |               CAST(doc_id % 7 AS VARCHAR)
+        |             ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(url, '^https?://', ''),
+        |              '^www\.', ''),
+        |            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+        |          '[?&]+$', ''),
+        |        '/?', '?'),
+        |      '/$', '') AS canonical
+        |  FROM u)
+        |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keeper
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
     // rolling z-test replayed: identical trailing-rows window (ties broken
     // by event_id in both engines), value-cents integers, and the same
     // cross-multiplied 3-sigma test; sum() OVER returns HUGEINT in DuckDB

@@ -11,6 +11,23 @@ import graft.queries.Analytics
 class CurationOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("canonicalizeUrl folds every variant axis to one key") {
+    val urls = Seq(
+      "https://www.site.example/p/3",      // scheme + www
+      "http://site.example/p/3/",          // trailing slash
+      "https://site.example/p/3?utm_source=feed&ref=a", // tracking only
+      "http://www.site.example/p/3/?utm_campaign=x",    // slash-before-?
+      "https://site.example/p/3?id=7",     // real param survives
+      "https://site.example/p/3?utm_x=1&id=7", // tracking before real
+      "https://site.example/p/3/?id=7"     // slash folds into real query
+    ).zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = urls
+      .select($"id", TextFunctions.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).map(got).toSet == Set("site.example/p/3"))
+    assert(Seq(4L, 5L, 6L).map(got).toSet == Set("site.example/p/3?id=7"))
+  }
+
   test("redactPii scrubs every pattern and applies email before IP") {
     val rows = Seq(
       "write to alice.smith+x@corp.example thanks",
