@@ -103,6 +103,28 @@ object Dedup {
         (c * 1e6).cast("int").as("containment_ppm"))
   }
 
+  /** Blocked fuzzy record linkage: candidate pairs share a cheap blocking
+    * key (the classic entity-resolution move — sort-neighborhood /
+    * standard blocking), then an exact Levenshtein verify keeps pairs
+    * within `maxDist` edits. The quadratic bill is Σ(block²), never N² —
+    * the block key is the only corpus shuffle, and at 100 TB the lever is
+    * the key's selectivity (append a length band or phonetic code to
+    * split hot blocks; a pathological block is one AQE-skew-split task).
+    * Levenshtein runs classic insert/delete/substitute in both engines,
+    * so the surviving pair set hash-matches the SQL twin verbatim. */
+  def blockedFuzzyPairs(df: DataFrame, idCol: String, blockCol: Column,
+                        nameCol: Column, maxDist: Int,
+                        pred: Column = lit(true)): DataFrame = {
+    val side = df.where(pred)
+      .select(col(idCol).as("id"), blockCol.as("blk"), nameCol.as("nm"))
+    side.as("x")
+      .join(side.as("y"),
+        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        levenshtein(col("x.nm"), col("y.nm")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   /** MinHash + banded LSH candidate generation, then exact Jaccard
     * verification of candidates only. The scale path for near-dup detection:
     * candidate cost is Σ(bucket²) per band instead of n², and verification

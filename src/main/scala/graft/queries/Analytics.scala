@@ -1072,6 +1072,20 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Blocked fuzzy record linkage: dirty-title pairs within an edit
+  // distance of 2, candidates blocked on the first token so the
+  // quadratic bill is per block, never corpus-wide. The edit-distance
+  // regime q21/q94's shingle-set ops can't see: one typo in a short
+  // title barely moves Levenshtein but destroys every 3-gram it touches.
+  def q98FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    Dedup.blockedFuzzyPairs(t(s, dir)("documents"), "doc_id",
+        blockCol = element_at(toks, 1),
+        nameCol = concat_ws(" ", slice(toks, 1, 3)),
+        maxDist = 2, pred = col("doc_id") < 1000)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   // URL canonicalization + dedup (the crawl frontier's first filter):
   // scheme/www/tracking-param/trailing-slash variants of the same page
   // collapse to one canonical key; per key, the copy count and the

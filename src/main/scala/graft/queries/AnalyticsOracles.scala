@@ -1104,6 +1104,19 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // blocked levenshtein linkage: same first-token blocks, 3-token
+    // names, classic insert/delete/substitute distance in both engines
+    "q98_fuzzy_join" ->
+      """WITH s AS (
+        |  SELECT doc_id AS id, string_split(text,' ')[1] AS blk,
+        |    array_to_string(string_split(text,' ')[1:3], ' ') AS nm
+        |  FROM documents WHERE doc_id < 1000)
+        |SELECT x.id AS id1, y.id AS id2,
+        |  CAST(levenshtein(x.nm, y.nm) AS INTEGER) AS dist
+        |FROM s x JOIN s y ON x.blk = y.blk AND x.id < y.id
+        |WHERE levenshtein(x.nm, y.nm) <= 2
+        |ORDER BY id1, id2""".stripMargin,
+
     // URL synth + the exact canonicalization chain (scheme → www →
     // tracking params → dangling separators → /?-fold → trailing slash);
     // regexp_replace needs the 'g' flag to match Spark's replace-all

@@ -223,6 +223,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((0L, 1L)))
   }
 
+  test("blocked fuzzy pairs: edit-distance verify inside blocks only") {
+    val recs = Seq(
+      (0L, "acme corp ltd"),
+      (1L, "acme corpp ltd"),   // 1 insertion from 0
+      (2L, "acme co ltd"),      // 2 edits from 0 ("rp" dropped)
+      (3L, "acme totally different name"),
+      (4L, "acne corp ltd")     // 1 sub from 0 — but block "acne" ≠ "acme"
+    ).toDF("doc_id", "text")
+    val toks = split($"text", " ")
+    val got = graft.operators.Dedup.blockedFuzzyPairs(recs, "doc_id",
+        blockCol = element_at(toks, 1),
+        nameCol = concat_ws(" ", slice(toks, 1, 3)), maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    // 0-1 at dist 1, 0-2 at dist 2, 1-2 at dist 2 (corpp→co: 3 edits? no:
+    // corpp→co = 3 deletions → dist 3, filtered); 4 is unreachable across
+    // the block boundary even though its true distance to 0 is 1 — the
+    // recall loss blocking trades for Σ(block²) cost, pinned here
+    assert(got.toSeq == Seq((0L, 1L, 1), (0L, 2L, 2)))
+  }
+
   test("semantic dedup: drops higher-id near-dups within a cell only") {
     // 1 and 5 duplicate 0 (same direction, scaled / near-exact); md5
     // seed order for ids 0..5 is 5,3,1,0,4,2 → K=2 seeds are {5, 3}, so
