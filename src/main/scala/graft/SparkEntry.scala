@@ -116,7 +116,8 @@ object SparkEntry {
     "q95_semantic_dedup"      -> (Analytics.q95SemanticDedup _),
     "q96_rolling_anomaly"     -> (Analytics.q96RollingAnomaly _),
     "q97_url_canonical"       -> (Analytics.q97UrlCanonical _),
-    "q98_fuzzy_join"          -> (Analytics.q98FuzzyJoin _)
+    "q98_fuzzy_join"          -> (Analytics.q98FuzzyJoin _),
+    "q99_inverted_index"      -> (Analytics.q99InvertedIndex _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1072,6 +1072,37 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Inverted-index build (the retrieval side of a corpus search stack):
+  // per term its document frequency, collection frequency, and the top-3
+  // postings by in-doc tf (ties to lowest doc), serialized "doc:tf". Two
+  // map-side-combining aggs over the exploded (term, doc) stream; the
+  // top-3 rides the partial WindowGroupLimit (k-bounded shuffle per
+  // term, same as every kNN ranking here); stats and postings meet in a
+  // vocab-sized join — the corpus text never shuffles twice.
+  def q99InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir)("documents")
+      .select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("tf").desc, col("doc_id"))
+    val posts = tf
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .groupBy(col("term"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("doc_id"),
+          col("tf")))),
+        x => concat(x.getField("doc_id").cast("string"), lit(":"),
+          x.getField("tf").cast("string"))), ",").as("top_postings"))
+    stats.join(posts, Seq("term"))
+      .where(col("df") >= 5)
+      .orderBy(col("term"))
+  }
+
   // Blocked fuzzy record linkage: dirty-title pairs within an edit
   // distance of 2, candidates blocked on the first token so the
   // quadratic bill is per block, never corpus-wide. The edit-distance

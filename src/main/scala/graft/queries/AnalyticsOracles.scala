@@ -1104,6 +1104,36 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // inverted index: same (term, doc) tf stream, same (tf DESC, doc)
+    // posting order — string_agg's ORDER BY mirrors the struct sort
+    "q99_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |tfc AS (
+        |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY term, doc_id),
+        |stats AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tfc GROUP BY term),
+        |top3 AS (
+        |  SELECT term, doc_id, tf FROM (
+        |    SELECT term, doc_id, tf,
+        |      row_number() OVER (PARTITION BY term
+        |                         ORDER BY tf DESC, doc_id) AS rn
+        |    FROM tfc) x
+        |  WHERE rn <= 3),
+        |posts AS (
+        |  SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |               CAST(tf AS VARCHAR), ','
+        |               ORDER BY tf DESC, doc_id) AS top_postings
+        |  FROM top3 GROUP BY term)
+        |SELECT s.term, s.df, s.cf, p.top_postings
+        |FROM stats s JOIN posts p ON p.term = s.term
+        |WHERE s.df >= 5
+        |ORDER BY s.term""".stripMargin,
+
     // blocked levenshtein linkage: same first-token blocks, 3-token
     // names, classic insert/delete/substitute distance in both engines
     "q98_fuzzy_join" ->

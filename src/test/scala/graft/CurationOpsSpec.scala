@@ -11,6 +11,25 @@ import graft.queries.Analytics
 class CurationOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("inverted index: df/cf exact, postings tf-desc with doc tiebreak") {
+    val spark0 = spark
+    val docs = Seq(
+      (1L, "x x x y"),        // tf(x)=3
+      (2L, "x y y"),          // tf(x)=1, tf(y)=2
+      (3L, "x x z"),          // tf(x)=2
+      (4L, "x q"), (5L, "x q"), (6L, "x q") // tf(x)=1 ties → doc order
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.q99InvertedIndex(spark0, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // only x reaches df >= 5; postings: doc1 tf3, doc3 tf2, then the
+    // tf-1 tie resolves to the lowest doc (2)
+    assert(got.keySet == Set("x"))
+    assert(got("x") == (6L, 9L, "1:3,3:2,2:1"))
+  }
+
   test("canonicalizeUrl folds every variant axis to one key") {
     val urls = Seq(
       "https://www.site.example/p/3",      // scheme + www
