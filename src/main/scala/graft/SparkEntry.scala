@@ -117,7 +117,8 @@ object SparkEntry {
     "q96_rolling_anomaly"     -> (Analytics.q96RollingAnomaly _),
     "q97_url_canonical"       -> (Analytics.q97UrlCanonical _),
     "q98_fuzzy_join"          -> (Analytics.q98FuzzyJoin _),
-    "q99_inverted_index"      -> (Analytics.q99InvertedIndex _)
+    "q99_inverted_index"      -> (Analytics.q99InvertedIndex _),
+    "q100_retention_cohorts"  -> (Analytics.q100RetentionCohorts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

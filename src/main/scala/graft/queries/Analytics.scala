@@ -1072,6 +1072,33 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Retention cohort triangle (the product-analytics staple): users
+  // grouped by first-seen week, per (cohort_week, weeks_since) the count
+  // of distinct users still active. Week indices are integer day-diffs
+  // from an anchored Monday — cross-engine date_trunc('week') semantics
+  // never enter the query. Shape: per-user min (map-side combine), a
+  // user-keyed join carrying the cohort back onto activity (co-hashed on
+  // user), distinct (user, offset) then a tiny cell count — every
+  // shuffle is user-cardinality or smaller, none is event-cardinality.
+  def q100RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val anchor = lit(java.sql.Date.valueOf("2024-01-01"))
+    val ev = t(s, dir)("events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+      .withColumn("cohort_week",
+        floor(datediff(col("cohort_day"), anchor) / 7).cast("int"))
+    ev.distinct()
+      .join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_week"),
+        floor(datediff(col("day"), col("cohort_day")) / 7)
+          .cast("int").as("weeks_since"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
   // Inverted-index build (the retrieval side of a corpus search stack):
   // per term its document frequency, collection frequency, and the top-3
   // postings by in-doc tf (ties to lowest doc), serialized "doc:tf". Two

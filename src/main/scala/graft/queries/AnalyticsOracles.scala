@@ -1104,6 +1104,24 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // retention triangle: same anchored-Monday integer week indexing
+    // (floor of day-diff / 7 — no date_trunc('week') dialect risk)
+    "q100_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |first AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |cells AS (
+        |  SELECT DISTINCT ev.user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', cohort_day)
+        |      / 7.0) AS INTEGER) AS cohort_week,
+        |    CAST(floor(date_diff('day', cohort_day, day) / 7.0)
+        |      AS INTEGER) AS weeks_since
+        |  FROM ev JOIN first ON first.user_id = ev.user_id)
+        |SELECT cohort_week, weeks_since,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // inverted index: same (term, doc) tf stream, same (tf DESC, doc)
     // posting order — string_agg's ORDER BY mirrors the struct sort
     "q99_inverted_index" ->

@@ -35,6 +35,30 @@ class EventOpsSpec extends SparkSpec {
     assert(!got(14L)._3 && got(14L)._1 == 3L)
   }
 
+  test("retention cohorts: triangle cells count distinct users once") {
+    def t(day: Int, hour: Int = 0) =
+      new Timestamp(java.sql.Timestamp.valueOf(
+        f"2024-01-${day}%02d ${hour}%02d:00:00").getTime)
+    // user 1: cohort week 0, active weeks 0 and 2 (twice in one day —
+    // must count once); user 2: cohort week 0, week 0 only;
+    // user 3: cohort week 1, active weeks 0 and 1 relative to ITS start
+    val rows = Seq(
+      (1L, 1L, t(1)), (2L, 1L, t(1, 5)), (3L, 1L, t(15)), (4L, 1L, t(15, 9)),
+      (5L, 2L, t(3)),
+      (6L, 3L, t(8)), (7L, 3L, t(16))
+    ).map { case (e, u, ts) => (e, ts, u, "view", 1.0, "{}") }
+    val dir = java.nio.file.Files.createTempDirectory("reten").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q100RetentionCohorts(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (0, 0) -> 2L,  // users 1 and 2 in their first week
+      (0, 2) -> 1L,  // user 1 returns two weeks later
+      (1, 0) -> 1L,  // user 3 starts in calendar week 1
+      (1, 1) -> 1L)) // and returns the next week
+  }
+
   test("rolling anomaly: trailing frame excludes the current row") {
     // if the frame included the current row, dev = n·v − S would shrink
     // by exactly v and event 5's flag would flip on this series
