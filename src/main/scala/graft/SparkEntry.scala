@@ -118,7 +118,8 @@ object SparkEntry {
     "q97_url_canonical"       -> (Analytics.q97UrlCanonical _),
     "q98_fuzzy_join"          -> (Analytics.q98FuzzyJoin _),
     "q99_inverted_index"      -> (Analytics.q99InvertedIndex _),
-    "q100_retention_cohorts"  -> (Analytics.q100RetentionCohorts _)
+    "q100_retention_cohorts"  -> (Analytics.q100RetentionCohorts _),
+    "q101_cdc_merge"          -> (Analytics.q101CdcMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

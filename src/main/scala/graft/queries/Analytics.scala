@@ -1072,6 +1072,32 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // CDC merge (the change-feed apply every lakehouse table lives by):
+  // a deterministic feed derived from orders — price updates at seq 1,
+  // deletes at seq 2, re-inserts of half the deleted keys at seq 3 —
+  // rolled into the snapshot by CdcMerge's single keyed max_by agg.
+  // Output folds the merged snapshot to per-status counts and exact
+  // cent sums, so the hash gate pins update/delete/reinsert semantics.
+  def q101CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val key = col("o_orderkey")
+    val base = t(s, dir)("orders")
+      .select(key, col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_c"))
+    def op(pred: org.apache.spark.sql.Column, seq: Long, o: String,
+           price: org.apache.spark.sql.Column) =
+      t(s, dir)("orders").where(pred)
+        .select(key, col("o_orderstatus"), price.as("price_c"),
+          lit(seq).as("seq"), lit(o).as("op"))
+    val feed = op(key % 5 === 0, 1L, "U", cents(col("o_totalprice")) + 100000L)
+      .unionByName(op(key % 7 === 0, 2L, "D", lit(0L)))
+      .unionByName(op(key % 14 === 0, 3L, "I", lit(9999L)))
+    graft.operators.CdcMerge.merge(base, feed,
+        "o_orderkey", "seq", "op")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_c"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   // Retention cohort triangle (the product-analytics staple): users
   // grouped by first-seen week, per (cohort_week, weeks_since) the count
   // of distinct users still active. Week indices are integer day-diffs

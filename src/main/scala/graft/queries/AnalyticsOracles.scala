@@ -1104,6 +1104,38 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // CDC apply replayed as row_number over (seq DESC, op DESC) — the
+    // same (seq, op) lexicographic race CdcMerge's max_by runs
+    "q101_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(0 AS BIGINT) AS seq, 'I' AS op
+        |  FROM orders),
+        |feed AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 100000 AS price_c,
+        |    CAST(1 AS BIGINT) AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, CAST(0 AS BIGINT),
+        |    CAST(2 AS BIGINT), 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, CAST(9999 AS BIGINT),
+        |    CAST(3 AS BIGINT), 'I'
+        |  FROM orders WHERE o_orderkey % 14 = 0),
+        |allr AS (SELECT * FROM base UNION ALL SELECT * FROM feed),
+        |won AS (
+        |  SELECT o_orderstatus, price_c FROM (
+        |    SELECT o_orderstatus, price_c, op, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) AS rn
+        |    FROM allr) x
+        |  WHERE rn = 1 AND op <> 'D')
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_c
+        |FROM won GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // retention triangle: same anchored-Monday integer week indexing
     // (floor of day-diff / 7 — no date_trunc('week') dialect risk)
     "q100_retention_cohorts" ->
