@@ -119,7 +119,8 @@ object SparkEntry {
     "q98_fuzzy_join"          -> (Analytics.q98FuzzyJoin _),
     "q99_inverted_index"      -> (Analytics.q99InvertedIndex _),
     "q100_retention_cohorts"  -> (Analytics.q100RetentionCohorts _),
-    "q101_cdc_merge"          -> (Analytics.q101CdcMerge _)
+    "q101_cdc_merge"          -> (Analytics.q101CdcMerge _),
+    "q102_robust_scale"       -> (Analytics.q102RobustScale _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1072,6 +1072,35 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Per-dimension robust-scaling stats (the feature-normalization prep
+  // step): min/max plus nearest-rank p25/p50/p75 and IQR per embedding
+  // dimension, all over 1e3 fixed-point "millibins". The quantization IS
+  // the scale design: raw floats are near-unique (exact percentile state
+  // would be O(rows) per dim — the q78 anti-shape), millibins bound the
+  // histogram at O(dims × bins) at any corpus size, and the declared
+  // precision makes the result deterministic and hash-matchable instead
+  // of sketch-approximate. Nearest-rank (k = ⌈n·q/100⌉) keeps rank
+  // selection pure-integer — no interpolation arithmetic to diverge.
+  def q102RobustScale(s: SparkSession, dir: String): DataFrame = {
+    val el = t(s, dir)("embeddings").where(col("embedding").isNotNull)
+      .select(posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")))
+        .as(Seq("pos", "mb")))
+    val hist = el.groupBy(col("pos"), col("mb")).agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("pos").orderBy("mb")
+    val wAll = Window.partitionBy("pos")
+    val ranked = hist
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+    def k(q: Int) = expr(s"(n * $q + 99) div 100")
+    def vAt(q: Int) = min(when(col("cum") >= k(q), col("mb")))
+    ranked.groupBy(col("pos"), col("n"))
+      .agg(min(col("mb")).as("min_mb"), max(col("mb")).as("max_mb"),
+        vAt(25).as("p25_mb"), vAt(50).as("p50_mb"), vAt(75).as("p75_mb"))
+      .withColumn("iqr_mb", col("p75_mb") - col("p25_mb"))
+      .orderBy(col("pos"))
+  }
+
   // CDC merge (the change-feed apply every lakehouse table lives by):
   // a deterministic feed derived from orders — price updates at seq 1,
   // deletes at seq 2, re-inserts of half the deleted keys at seq 3 —

@@ -1104,6 +1104,34 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // robust-scale stats replayed: same millibin quantization, same
+    // nearest-rank k = ceil(n*q/100) picked off the windowed cumsum
+    "q102_robust_scale" ->
+      """WITH el AS (
+        |  SELECT pos, mb FROM (
+        |    SELECT CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+        |      unnest(list_transform(embedding,
+        |        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))
+        |        AS mb
+        |    FROM embeddings WHERE embedding IS NOT NULL) t),
+        |hist AS (
+        |  SELECT pos, mb, count(*) AS c FROM el GROUP BY pos, mb),
+        |ranked AS (
+        |  SELECT pos, mb, c,
+        |    CAST(sum(c) OVER (PARTITION BY pos) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY pos ORDER BY mb) AS BIGINT)
+        |      AS cum
+        |  FROM hist),
+        |agg AS (
+        |  SELECT pos, n, min(mb) AS min_mb, max(mb) AS max_mb,
+        |    min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN mb END) AS p25_mb,
+        |    min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN mb END) AS p50_mb,
+        |    min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN mb END) AS p75_mb
+        |  FROM ranked GROUP BY pos, n)
+        |SELECT pos, n, min_mb, max_mb, p25_mb, p50_mb, p75_mb,
+        |  p75_mb - p25_mb AS iqr_mb
+        |FROM agg ORDER BY pos""".stripMargin,
+
     // CDC apply replayed as row_number over (seq DESC, op DESC) — the
     // same (seq, op) lexicographic race CdcMerge's max_by runs
     "q101_cdc_merge" ->

@@ -11,6 +11,23 @@ import graft.queries.Analytics
 class CurationOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("robust scale: nearest-rank percentiles off the millibin histogram") {
+    // dim 0: 1..4 (n=4 → k25=1, k50=2, k75=3 → 0.001, 0.002, 0.003);
+    // dim 1: all-equal values collapse into ONE bin yet keep rank mass
+    val emb = Seq(
+      (0L, Seq(0.001f, 0.5f)), (1L, Seq(0.002f, 0.5f)),
+      (2L, Seq(0.003f, 0.5f)), (3L, Seq(0.004f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("robust").toString
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Analytics.q102RobustScale(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(got(0) == (1L, 4L, 1L, 2L, 3L, 2L))
+    assert(got(1) == (500L, 500L, 500L, 500L, 500L, 0L))
+  }
+
   test("inverted index: df/cf exact, postings tf-desc with doc tiebreak") {
     val spark0 = spark
     val docs = Seq(
