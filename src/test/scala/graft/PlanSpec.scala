@@ -109,7 +109,8 @@ class PlanSpec extends SparkSpec {
       "q73_knn_ivf_refined", // broadcast-K centroid grid (K = nCentroids)
       "q79_kmeans_step", // broadcast-K centroid grid (K = nCentroids)
       "q51_gapfill", // broadcast calendar grid (users × bounded date range)
-      "q92_mixture_plan" // broadcast single-row totals scalar (tot_tok, n_langs)
+      "q92_mixture_plan", // broadcast single-row totals scalar (tot_tok, n_langs)
+      "q95_semantic_dedup" // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString
