@@ -543,6 +543,7 @@ object Similarity {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     scale: Long, targetCell: Int, minK: Int,
                     thresholdPct: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         transform(col(vecCol),
@@ -557,20 +558,19 @@ object Similarity {
       .orderBy(col("h"), col("id"))
       .limit(k)
       .select(col("id").as("cid"), col("qv").as("cv"))
-    val d2 = aggregate(
-      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd long kernels — exact long sums commute, so the kernel is
+    // bit-identical to the aggregate(zip_with) composition it replaces
+    // (parity pinned in VectorExpressionsSpec); the interpreted lambdas
+    // were q95's dominant cost (2.74 s at sf0.1, ~4× the kernel)
+    val d2 = call_function("long_sq_dist", col("qv"), col("cv"))
     val assigned = q.crossJoin(broadcast(seeds))
       .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
       .groupBy(col("id"))
       .agg(min_by(struct(col("cid"), col("qv")),
         struct(col("d2"), col("cid"))).as("m"))
       .select(col("id"), col("m.cid").as("cid"), col("m.qv").as("qv"))
-      .withColumn("n2", aggregate(
-        transform(col("qv"), x => x * x), lit(0L), (acc, v) => acc + v))
-    val dot = aggregate(
-      zip_with(col("x.qv"), col("y.qv"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v)
+      .withColumn("n2", call_function("long_dot", col("qv"), col("qv")))
+    val dot = call_function("long_dot", col("x.qv"), col("y.qv"))
     val t2 = thresholdPct.toLong * thresholdPct
     val near = dot > 0 &&
       (dot.cast("decimal(38,0)") * dot.cast("decimal(38,0)") * lit(10000L)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the dense-vector hot loop.
   *
@@ -107,6 +107,98 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorF
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
          |if ($denom == 0.0) { ${ev.isNull} = true; }
          |else { ${ev.value} = $dot / $denom; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Long-typed folds for the fixed-point (integer-exact) vector paths —
+  * [[graft.operators.Similarity.semanticDedup]]'s cell assignment and
+  * intra-cell cosine test run per candidate pair, and the interpreted
+  * `aggregate(zip_with(...))` lambdas measured ~4× the kernel cost there.
+  * Long addition is associative and exact, so swapping the composition
+  * for the kernel cannot move a single bit of any result. */
+abstract class LongVectorFold extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+}
+
+/** Σ aᵢ·bᵢ over the common prefix, exact long arithmetic. */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends LongVectorFold {
+  override def prettyName: String = "long_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    dot
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}_acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = ${ev.value}_acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Σ (aᵢ−bᵢ)² over the common prefix, exact long arithmetic. */
+case class LongSquaredDistance(left: Expression, right: Expression)
+    extends LongVectorFold {
+  override def prettyName: String = "long_sq_dist"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long ${ev.value}_acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  ${ev.value}_acc += $d * $d;
+         |}
+         |${ev.value} = ${ev.value}_acc;
        """.stripMargin
     })
 
@@ -240,7 +332,13 @@ object VectorExpressions {
       (args: Seq[Expression]) => DotProduct(args(0), args(1))),
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))),
+    (new FunctionIdentifier("long_dot"),
+      new ExpressionInfo(classOf[LongDotProduct].getName, "long_dot"),
+      (args: Seq[Expression]) => LongDotProduct(args(0), args(1))),
+    (new FunctionIdentifier("long_sq_dist"),
+      new ExpressionInfo(classOf[LongSquaredDistance].getName, "long_sq_dist"),
+      (args: Seq[Expression]) => LongSquaredDistance(args(0), args(1))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -87,6 +87,31 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(nullVec.isNullAt(0))
   }
 
+  test("long_dot / long_sq_dist match the lambda composition exactly") {
+    VectorExpressions.register(spark)
+    val df = (0 until 50).map { i =>
+      (i.toLong, Seq.tabulate(16)(j => (i * 37L + j * j - 8)),
+        Seq.tabulate(16)(j => (i * 13L - j * 5)))
+    }.toDF("id", "a", "b")
+    val got = df.select(
+      call_function("long_dot", $"a", $"b").as("dfast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("dref"),
+      call_function("long_sq_dist", $"a", $"b").as("sfast"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v).as("sref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1))
+      assert(r.getLong(2) == r.getLong(3))
+    }
+    // common-prefix semantics on length mismatch, like the double kernels
+    val mix = Seq((Seq(2L, 3L, 100L), Seq(4L, 5L))).toDF("a", "b")
+    val m = mix.select(call_function("long_dot", $"a", $"b"),
+      call_function("long_sq_dist", $"a", $"b")).collect().head
+    assert(m.getLong(0) == 23L && m.getLong(1) == 8L)
+  }
+
   test("kernel participates in whole-stage codegen") {
     VectorExpressions.register(spark)
     // a range source so ConvertToLocalRelation can't pre-evaluate the project
