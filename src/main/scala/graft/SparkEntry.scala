@@ -120,7 +120,10 @@ object SparkEntry {
     "q99_inverted_index"      -> (Analytics.q99InvertedIndex _),
     "q100_retention_cohorts"  -> (Analytics.q100RetentionCohorts _),
     "q101_cdc_merge"          -> (Analytics.q101CdcMerge _),
-    "q102_robust_scale"       -> (Analytics.q102RobustScale _)
+    "q102_robust_scale"       -> (Analytics.q102RobustScale _),
+    "q103_pagerank"           -> (Analytics.q103PageRank _),
+    "q104_abtest"             -> (Analytics.q104AbTest _),
+    "q105_cooccur_pmi"        -> (Analytics.q105CooccurPmi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank — the link-graph centrality pass a crawl corpus is
+  * prioritized by, in pure integer arithmetic so every iteration is
+  * cross-engine bit-reproducible (the same design move as the q79 k-means
+  * anchor: floats make iterated means engine-specific; scaled longs with
+  * floor division don't).
+  *
+  * Recurrence (scale 1e6, damping d%):
+  *   r₀(v)    = scale
+  *   r₊(v)    = (100−d)·scale/100 + (d · Σ_{u→v} ⌊r(u)/out(u)⌋) / 100
+  * with both divisions integral (floor) — deterministic in Spark (`div`)
+  * and DuckDB (`//`) alike.
+  *
+  * Scale shape per iteration: one equi-join of the rank vector onto the
+  * edge list (both hash-partitioned on src — co-partitioned across
+  * iterations since the key never changes), one map-side-combining sum to
+  * dst, one left join back onto the node set for dangling-in-degree nodes.
+  * All state is node- or edge-cardinality; iterations compose the plan —
+  * no driver-side collects. Production runs tens of iterations with the
+  * rank vector checkpointed every few rounds (the q46 connected-components
+  * lineage lesson); the catalog entry runs 3 to keep the oracle's chained
+  * CTEs honest. */
+object PageRank {
+
+  /** `edges`: (src, dst) long pairs, self-loops allowed (they just feed
+    * rank back); `nodes`: one `id` column holding every vertex. */
+  def iterate(edges: DataFrame, nodes: DataFrame, iters: Int,
+              dampingPct: Int, scale: Long): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100L - dampingPct) * scale / 100L
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ranked0 = nodes.select(col("id"), lit(scale).as("r"))
+    (1 to iters).foldLeft(ranked0) { (ranks, _) =>
+      val contrib = edges
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      nodes.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"$dampingPct * coalesce(s, 0L) div 100").cast("long"))
+            .as("r"))
+    }
+  }
+}

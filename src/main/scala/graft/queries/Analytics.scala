@@ -1072,6 +1072,95 @@ object Analytics {
       n = 3, threshold = 0.5, pred = col("doc_id") < 200)
       .orderBy(col("id1"), col("id2"))
 
+  // Co-occurrence PMI top-k (the collocation/phrase-mining pass): token
+  // pairs within a +1/+2 text window, scored by the PMI-monotone integer
+  // ratio trunc(c_xy·T·10⁶ / (c_x·c_y)) — log never enters, so ordering
+  // and values are cross-engine exact (decimal/HUGEINT integral divide).
+  // Shape: the pair stream is 2 rows per token (bounded window, not a
+  // per-doc cross join); counts map-side-combine; the vocab-sized
+  // unigram table broadcast-joins twice; final global top-50 is a
+  // bounded TakeOrdered.
+  def q105CooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+    // size guard: sequence(0, n-2) DESCENDS when n < 2 — never feed it
+    val pairs = toks.where(size(col("a")) >= 2).select(explode(flatten(
+        transform(sequence(lit(0), size(col("a")) - 2), i => array(
+          struct(element_at(col("a"), i + 1).as("w1"),
+            element_at(col("a"), i + 2).as("w2")),
+          struct(element_at(col("a"), i + 1).as("w1"),
+            element_at(col("a"), i + 3).as("w2")))))).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .where(col("w2").isNotNull) // +2 window walks off the array tail
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    val uni = toks
+      .select(explode(col("a")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).as("t"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))),
+        Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))),
+        Seq("w2"))
+      .crossJoin(broadcast(total))
+      .where(col("c_xy") >= 5)
+      .withColumn("pmi_ppm",
+        expr("CAST((CAST(c_xy AS DECIMAL(38,0)) * t * 1000000)" +
+          " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  // A/B significance readout (the experimentation query every event
+  // pipeline serves): deterministic arm assignment (user_id parity), per
+  // event_type the two-proportion pooled z-test on a conversion proxy
+  // (value > 250), cross-multiplied into exact integer arithmetic —
+  //   z² > 3.8416  ⟺  10⁴·(c_a·n_b − c_b·n_a)²·n > 38416·n_a·n_b·c·(n−c)
+  // in decimal(38,0)/HUGEINT, so the flag hash-matches bit for bit (the
+  // q96 no-sqrt move applied to hypothesis testing). ONE map-side-
+  // combining pass over events — the arms fold as conditional sums, no
+  // join, no pivot shuffle.
+  def q104AbTest(s: SparkSession, dir: String): DataFrame = {
+    val conv = col("value") > 250.0
+    val armA = col("user_id") % 2 === 0
+    def cnt(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
+    val base = t(s, dir)("events")
+      .groupBy(col("event_type"))
+      .agg(cnt(armA).as("n_a"), cnt(armA && conv).as("c_a"),
+        cnt(!armA).as("n_b"), cnt(!armA && conv).as("c_b"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val diff = d(col("c_a")) * d(col("n_b")) - d(col("c_b")) * d(col("n_a"))
+    val n = d(col("n_a")) + d(col("n_b"))
+    val c = d(col("c_a")) + d(col("c_b"))
+    base
+      .withColumn("significant",
+        lit(10000L) * diff * diff * n >
+          lit(38416L) * d(col("n_a")) * d(col("n_b")) * c * (n - c))
+      .orderBy(col("event_type"))
+  }
+
+  // Fixed-point PageRank over a synthesized deterministic link graph
+  // (3 modular out-links per doc — the corpus has no real link column;
+  // the derivation rides a single-row max broadcast, the q92 scalar
+  // pattern). 3 iterations of the integer recurrence — every division
+  // integral, so the full rank vector hash-matches the chained-CTE twin.
+  // See PageRank.iterate for the per-iteration scale shape.
+  def q103PageRank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val m = docs.agg((max(col("id")) + 1).as("m"))
+    val edges = docs.crossJoin(broadcast(m))
+      .select(col("id").as("src"), explode(array(
+        (col("id") * 7 + 3) % col("m"),
+        (col("id") * 13 + 5) % col("m"),
+        (col("id") + 1) % col("m"))).as("dst"))
+    graft.operators.PageRank.iterate(edges, docs, iters = 3,
+        dampingPct = 85, scale = 1000000L)
+      .orderBy(col("id"))
+  }
+
   // Per-dimension robust-scaling stats (the feature-normalization prep
   // step): min/max plus nearest-rank p25/p50/p75 and IQR per embedding
   // dimension, all over 1e3 fixed-point "millibins". The quantization IS

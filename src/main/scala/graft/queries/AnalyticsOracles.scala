@@ -1104,6 +1104,98 @@ object AnalyticsOracles {
         |WHERE (i * 1.0 / s1.sz) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // co-occurrence PMI replayed: position self-join for the +1/+2
+    // window, HUGEINT integral divide for the PMI-monotone ppm ratio
+    "q105_cooccur_pmi" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER)
+        |      AS pos,
+        |    unnest(string_split(text,' ')) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id
+        |    AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+        |cxy AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM pairs GROUP BY w1, w2),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+        |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni)
+        |SELECT w1, w2, c_xy,
+        |  CAST((CAST(c_xy AS HUGEINT) * tt.t * 1000000)
+        |    // (CAST(cx.c AS HUGEINT) * cy.c) AS BIGINT) AS pmi_ppm
+        |FROM cxy
+        |CROSS JOIN tt
+        |JOIN uni cx ON cx.w = cxy.w1
+        |JOIN uni cy ON cy.w = cxy.w2
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // pooled two-proportion z replayed in HUGEINT — same cross-
+    // multiplied inequality, same conditional-count single pass
+    "q104_abtest" ->
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(count(*) FILTER (user_id % 2 = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (user_id % 2 = 0 AND value > 250)
+        |      AS BIGINT) AS c_a,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0) AS BIGINT) AS n_b,
+        |    CAST(count(*) FILTER (user_id % 2 <> 0 AND value > 250)
+        |      AS BIGINT) AS c_b
+        |  FROM events GROUP BY event_type),
+        |h AS (
+        |  SELECT event_type, n_a, c_a, n_b, c_b,
+        |    CAST(c_a AS HUGEINT) * n_b - CAST(c_b AS HUGEINT) * n_a
+        |      AS diff,
+        |    CAST(n_a AS HUGEINT) + n_b AS n,
+        |    CAST(c_a AS HUGEINT) + c_b AS c
+        |  FROM base)
+        |SELECT event_type, n_a, c_a, n_b, c_b,
+        |  10000 * diff * diff * n >
+        |    38416 * CAST(n_a AS HUGEINT) * n_b * c * (n - c)
+        |    AS significant
+        |FROM h ORDER BY event_type""".stripMargin,
+
+    // fixed-point PageRank unrolled as 3 chained CTEs: same integral
+    // divisions (// ≡ Spark div on non-negative longs), same damping
+    // arithmetic, contributions to id-gaps dropped identically
+    "q103_pagerank" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+        |edges AS (
+        |  SELECT id AS src, unnest([
+        |    (id * 7 + 3) % mm.m, (id * 13 + 5) % mm.m, (id + 1) % mm.m])
+        |    AS dst
+        |  FROM nodes, mm),
+        |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (
+        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
+        |  FROM edges JOIN r0 ON r0.id = edges.src
+        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
+        |r1 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 ON c1.dst = n.id),
+        |c2 AS (
+        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
+        |  FROM edges JOIN r1 ON r1.id = edges.src
+        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
+        |r2 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 ON c2.dst = n.id),
+        |c3 AS (
+        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
+        |  FROM edges JOIN r2 ON r2.id = edges.src
+        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
+        |r3 AS (
+        |  SELECT n.id,
+        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 ON c3.dst = n.id)
+        |SELECT id, r FROM r3 ORDER BY id""".stripMargin,
+
     // robust-scale stats replayed: same millibin quantization, same
     // nearest-rank k = ceil(n*q/100) picked off the windowed cumsum
     "q102_robust_scale" ->

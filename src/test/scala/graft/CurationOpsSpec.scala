@@ -11,6 +11,22 @@ import graft.queries.Analytics
 class CurationOpsSpec extends SparkSpec {
   import sqlImplicits._
 
+  test("co-occurrence pmi: +1/+2 window pairs, exact ppm ratio, tie order") {
+    // five identical docs: every windowed pair fires 5× with flat unigrams
+    // → pmi_ppm = trunc(5·20·10⁶ / (5·5)) = 4,000,000 for all five pairs
+    val docs = (0 until 5).map(i => (i.toLong, "alpha beta x y"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pmi").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.q105CooccurPmi(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("alpha", "beta", 5L, 4000000L), ("alpha", "x", 5L, 4000000L),
+      ("beta", "x", 5L, 4000000L), ("beta", "y", 5L, 4000000L),
+      ("x", "y", 5L, 4000000L)))
+  }
+
   test("robust scale: nearest-rank percentiles off the millibin histogram") {
     // dim 0: 1..4 (n=4 → k25=1, k50=2, k75=3 → 0.001, 0.002, 0.003);
     // dim 1: all-equal values collapse into ONE bin yet keep rank mass

@@ -59,6 +59,30 @@ class EventOpsSpec extends SparkSpec {
       (1, 1) -> 1L)) // and returns the next week
   }
 
+  test("ab test: planted arm separation flags, balanced arms don't") {
+    // "lift": arm A (even users) converts 18/20, arm B 2/20 → z² ≈ 25.6
+    // → significant; "flat": both arms 10/20 → z = 0 → not significant
+    val rows =
+      (0 until 40).map { i =>
+        val conv = if (i % 2 == 0) i < 36 else i >= 36  // A: 18/20, B: 2/20
+        (i.toLong, ts(i + 1), i.toLong, "lift",
+          if (conv) 300.0 else 100.0, "{}")
+      } ++
+      (0 until 40).map { i =>
+        (100L + i, ts(i + 1), i.toLong, "flat",
+          if ((i / 2) % 2 == 0) 300.0 else 100.0, "{}")  // 10/20 each arm
+      }
+    val dir = java.nio.file.Files.createTempDirectory("abtest").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q104AbTest(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(got("lift") == (20L, 18L, 20L, 2L, true))
+    assert(got("flat") == (20L, 10L, 20L, 10L, false))
+  }
+
   test("rolling anomaly: trailing frame excludes the current row") {
     // if the frame included the current row, dev = n·v − S would shrink
     // by exactly v and event 5's flag would flip on this series
