@@ -1089,7 +1089,10 @@ object Analytics {
           struct(element_at(col("a"), i + 1).as("w1"),
             element_at(col("a"), i + 2).as("w2")),
           struct(element_at(col("a"), i + 1).as("w1"),
-            element_at(col("a"), i + 3).as("w2")))))).as("p"))
+            // +2 skip-gram: the last window position has no i+3 element —
+            // ANSI element_at THROWS past the tail, so probe with
+            // try_element_at and drop the null below
+            try_element_at(col("a"), i + 3).as("w2")))))).as("p"))
       .select(col("p.w1"), col("p.w2"))
       .where(col("w2").isNotNull) // +2 window walks off the array tail
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))

@@ -110,7 +110,9 @@ class PlanSpec extends SparkSpec {
       "q79_kmeans_step", // broadcast-K centroid grid (K = nCentroids)
       "q51_gapfill", // broadcast calendar grid (users × bounded date range)
       "q92_mixture_plan", // broadcast single-row totals scalar (tot_tok, n_langs)
-      "q95_semantic_dedup" // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
+      "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
+      "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
+      "q105_cooccur_pmi" // broadcast single-row token-total scalar
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString
