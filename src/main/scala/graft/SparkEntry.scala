@@ -123,7 +123,13 @@ object SparkEntry {
     "q102_robust_scale"       -> (Analytics.q102RobustScale _),
     "q103_pagerank"           -> (Analytics.q103PageRank _),
     "q104_abtest"             -> (Analytics.q104AbTest _),
-    "q105_cooccur_pmi"        -> (Analytics.q105CooccurPmi _)
+    "q105_cooccur_pmi"        -> (Analytics.q105CooccurPmi _),
+    "q106_covariance"         -> (Analytics.q106Covariance _),
+    "q107_feature_hash"       -> (Analytics.q107FeatureHash _),
+    "q108_incr_agg"           -> (Analytics.q108IncrAgg _),
+    "q109_triangles"          -> (Analytics.q109Triangles _),
+    "q110_bpe_pairs"          -> (Analytics.q110BpePairs _),
+    "q111_normalize"          -> (Analytics.q111Normalize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

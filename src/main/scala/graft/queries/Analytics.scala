@@ -1359,6 +1359,139 @@ object Analytics {
     Similarity.semanticDedup(t(s, dir)("embeddings"), "vec_id", "embedding",
       scale = 1000000L, targetCell = 64, minK = 8, thresholdPct = 45)
 
+  // Fixed-point covariance matrix over the first 16 embedding dimensions
+  // (the PCA/whitening prep pass before any projection-based index): the
+  // upper triangle of n·Σxy − Σx·Σy in exact millibin integers. Scale
+  // shape: each row's 136 pair products stream THROUGH a map-side-
+  // combining hash agg — post-shuffle state is O(d²) at any corpus size,
+  // the classic "Gram matrix is tiny even when the matrix isn't" move —
+  // and the 16-row per-dim sum table broadcasts onto the pair frame
+  // twice. Bounds: |mb| ≤ ~2e3, so n·Σxy at the 1000× decade is ~2.5e17
+  // — inside long; the decimal(38,0) cross-multiply never rounds.
+  def q106Covariance(s: SparkSession, dir: String): DataFrame = {
+    val d = 16
+    val rows = t(s, dir)("embeddings").where(col("embedding").isNotNull)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("v"))
+    val pairs = rows.select(explode(flatten(
+        transform(sequence(lit(0), lit(d - 1)), i =>
+          transform(sequence(i, lit(d - 1)), j => struct(
+            i.cast("int").as("i"), j.cast("int").as("j"),
+            (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+              .as("p")))))).as("e"))
+      .select(col("e.i"), col("e.j"), col("e.p"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).as("sxy"))
+    val dims = rows.select(posexplode(slice(col("v"), 1, d))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos")).agg(sum(col("x")).as("sx"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(broadcast(dims.select(col("pos").as("i"), col("sx").as("sx_i"))),
+        Seq("i"))
+      .join(broadcast(dims.select(col("pos").as("j"), col("sx").as("sx_j"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        (dec(col("n")) * dec(col("sxy")) - dec(col("sx_i")) * dec(col("sx_j")))
+          .cast("long").as("cov_num"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  // Hashing-trick featurization (the fixed-width bag-of-words projection
+  // linear probes train on): token -> portable-md5 bucket mod 256. The
+  // catalog readout is the corpus-level bucket census — occurrences plus
+  // exact distinct-doc counts — so the driver gate pins the hash, the
+  // bucketing, and the dedup shape at once. Occurrence counts map-side-
+  // combine to 256 rows; the distinct-doc count dedups (bucket, doc)
+  // pairs BEFORE counting (the q78/q89 lesson: never countDistinct-Expand
+  // over the corpus).
+  def q107FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir)("documents")
+      .select(col("doc_id"), explode(TextFunctions.tokens(col("text")))
+        .as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("doc_id"),
+        (graft.functions.PortableHash.md5Head60(concat(lit("fh:"), col("w")))
+          % 256).cast("int").as("bucket"))
+    val occ = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
+    val docs = tok.select(col("bucket"), col("doc_id")).distinct()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    occ.join(docs, Seq("bucket")).orderBy(col("bucket"))
+  }
+
+  // Incremental rollup maintenance (see operators/IncrAgg): the orders
+  // fact split at a cutover date into a "base" slice (the pre-aggregated
+  // state a production table would already hold) and a "delta" slice (the
+  // new day's partition); the readout merges the two partial states and
+  // derives avg from them. The oracle recomputes the rollup from the full
+  // fact — hash equality IS the proof that state-merge refresh ≡ full
+  // rescan. Money through exact cents; avg as integral div.
+  def q108IncrAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IncrAgg
+    val o = t(s, dir)("orders").select(col("o_orderpriority"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("int").as("ym"),
+      cents(col("o_totalprice")).as("price_c"),
+      col("o_orderdate"))
+    val keys = Seq("o_orderpriority", "ym")
+    val sums = Map("st_price_c" -> col("price_c"))
+    val base = IncrAgg.state(
+      o.where(col("o_orderdate") < lit("1997-06-01")), keys, sums)
+    val delta = IncrAgg.state(
+      o.where(col("o_orderdate") >= lit("1997-06-01")), keys, sums)
+    IncrAgg.merge(Seq(base, delta), keys)
+      .select(col("o_orderpriority"), col("ym"),
+        col("st_cnt").as("n_orders"), col("st_price_c").as("total_c"),
+        expr("st_price_c div st_cnt").as("avg_c"))
+      .orderBy(col("o_orderpriority"), col("ym"))
+  }
+
+  // Triangle census over the q103 synthesized link graph (see
+  // operators/Graphs): oriented wedge join + closing-edge mark, one row
+  // out. The integer counts hash-match the DuckDB twin exactly.
+  def q109Triangles(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val m = docs.agg((max(col("id")) + 1).as("m"))
+    val edges = docs.crossJoin(broadcast(m))
+      .select(col("id").as("src"), explode(array(
+        (col("id") * 7 + 3) % col("m"),
+        (col("id") * 13 + 5) % col("m"),
+        (col("id") + 1) % col("m"))).as("dst"))
+    graft.operators.Graphs.triangleStats(edges)
+  }
+
+  // BPE-style merge-candidate counting (the inner loop of tokenizer
+  // training): within-word adjacent character pairs over every token
+  // occurrence, global top-30 by count. Pair extraction is a per-row
+  // array expression (zero pre-shuffle blowup reaches the exchange — the
+  // pairs stream into the partial agg); the top-30 is a bounded
+  // TakeOrdered. One merge iteration's candidate table; production loops
+  // this against a vocabulary table, same shape each round.
+  def q110BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir)("documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .where(length(col("w")) >= 2)
+    toks.select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(30)
+  }
+
+  // Canonical text normalization (the pre-dedup scrub every pipeline
+  // runs): lowercase, non-alphanumerics to spaces, whitespace collapse,
+  // trim — fingerprinted with md5 so the driver gate pins every rule.
+  // Pure per-row map: zero shuffles besides the output sort.
+  def q111Normalize(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    t(s, dir)("documents")
+      .select(col("doc_id"), md5(norm).as("fp"),
+        (length(col("text")) - length(norm)).cast("int").as("delta"))
+      .orderBy(col("doc_id"))
+  }
+
   private[graft] def shardAssign(docs: DataFrame, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hi = 1L << 53 // 60-bit key → 128 buckets

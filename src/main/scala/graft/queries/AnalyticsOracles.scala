@@ -1433,6 +1433,109 @@ object AnalyticsOracles {
          |  coalesce(d.n_dups_lower, 0) AS n_dups_lower,
          |  coalesce(d.n_dups_lower, 0) = 0 AS kept
          |FROM asg a LEFT JOIN dups d ON d.id = a.id
-         |ORDER BY a.id""".stripMargin
+         |ORDER BY a.id""".stripMargin,
+
+    // covariance replayed: same millibin quantization, same upper-triangle
+    // pairs, n·Σxy − Σx·Σy in HUGEINT (≡ Spark's decimal(38,0))
+    "q106_covariance" ->
+      """WITH el AS (
+        |  SELECT rid, i, x FROM (
+        |    SELECT vec_id AS rid,
+        |      CAST(unnest(range(16)) AS INTEGER) AS i,
+        |      unnest(list_transform(embedding[1:16],
+        |        v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS x
+        |    FROM embeddings WHERE embedding IS NOT NULL) t),
+        |ps AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS sxy
+        |  FROM el a JOIN el b ON b.rid = a.rid AND b.i >= a.i
+        |  GROUP BY a.i, b.i),
+        |ds AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM el GROUP BY i)
+        |SELECT ps.i, ps.j, ps.n,
+        |  CAST(ps.n * ps.sxy - dx.sx * dy.sx AS BIGINT) AS cov_num
+        |FROM ps JOIN ds dx ON dx.i = ps.i JOIN ds dy ON dy.i = ps.j
+        |ORDER BY ps.i, ps.j""".stripMargin,
+
+    // hashing trick replayed: same portable-md5 bucket, occurrences plus
+    // distinct-doc counts per bucket
+    "q107_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('fh:' || w), 1, 15))::BIGINT % 256
+        |      AS INTEGER) AS bucket
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) t
+        |  WHERE len(w) > 0)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tok GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // incremental-rollup oracle: the FULL recompute the state merge must
+    // equal — hash equality proves refresh ≡ rescan
+    "q108_incr_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER)
+        |    AS ym,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_c,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    // count(*) AS BIGINT) AS avg_c
+        |FROM orders
+        |GROUP BY o_orderpriority, ym
+        |ORDER BY o_orderpriority, ym""".stripMargin,
+
+    // triangle census replayed: same synthesized edges, same low->high
+    // orientation, wedge join + closing-edge mark
+    "q109_triangles" ->
+      """WITH nodes AS (SELECT doc_id AS id FROM documents),
+        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+        |dir_e AS (
+        |  SELECT id AS src, (id * 7 + 3) % mm.m AS dst FROM nodes, mm
+        |  UNION ALL
+        |  SELECT id, (id * 13 + 5) % mm.m FROM nodes, mm
+        |  UNION ALL
+        |  SELECT id, (id + 1) % mm.m FROM nodes, mm),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM dir_e WHERE src <> dst),
+        |wedges AS (
+        |  SELECT e1.a AS wa, e2.b AS wc
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b),
+        |marked AS (
+        |  SELECT w.wa, w.wc,
+        |    CASE WHEN e3.a IS NULL THEN 0 ELSE 1 END AS closed
+        |  FROM wedges w
+        |  LEFT JOIN und e3 ON e3.a = w.wa AND e3.b = w.wc)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        |  CAST(count(*) AS BIGINT) AS n_wedges,
+        |  CAST(sum(closed) AS BIGINT) AS n_triangles
+        |FROM marked""".stripMargin,
+
+    // BPE pair counting replayed: per-occurrence within-word adjacent
+    // character pairs, top-30 with (count desc, pair) order
+    "q110_bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |  WHERE len(w) >= 2),
+        |pairs AS (
+        |  SELECT substr(w, CAST(i AS INTEGER) + 1, 2) AS pair
+        |  FROM (SELECT w, unnest(range(len(w) - 1)) AS i FROM toks) t)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+
+    // normalization replayed: same rule chain (lower, non-alnum -> space,
+    // collapse, trim), md5 fingerprint; 'g' flags for replace-all parity
+    "q111_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id, md5(norm) AS fp,
+        |  CAST(len(text) - len(norm) AS INTEGER) AS delta
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }

@@ -112,7 +112,8 @@ class PlanSpec extends SparkSpec {
       "q92_mixture_plan", // broadcast single-row totals scalar (tot_tok, n_langs)
       "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
-      "q105_cooccur_pmi" // broadcast single-row token-total scalar
+      "q105_cooccur_pmi", // broadcast single-row token-total scalar
+      "q109_triangles" // broadcast single-row max-id + edge-count scalars
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString
