@@ -35,6 +35,21 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Canonical pre-dedup normalization: lowercase, non-alphanumerics to
+    * spaces, whitespace collapse, trim — as ONE codegen'd byte scan
+    * ([[graft.plans.NormalizeAscii]]) instead of four chained string
+    * rewrites (two of them regex). Parity with [[normalizeComposed]]
+    * including the Unicode lower-into-ASCII edge cases is spec-pinned. */
+  def normalizeAscii(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnShim.column(
+      graft.plans.NormalizeAscii(expression(text)))
+
+  /** The pre-kernel composition — spec reference for [[normalizeAscii]]
+    * parity and the exact semantics the DuckDB oracle replays. */
+  private[graft] def normalizeComposed(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text),
+      "[^a-z0-9 ]", " "), " +", " "))
+
   private def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.graft.ColumnShim.expression(c)
 

@@ -440,6 +440,92 @@ object TermCountsKernel {
   }
 }
 
+/** Single-pass ASCII text normalization kernel: the fused equivalent of
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+  * " +", " "))` — four full string rewrites (each with its own allocation,
+  * two through the regex engine) collapsed into one byte scan with one
+  * output buffer. Measured 25.4 s → kernel cost ~1-2 s for the 100× stress
+  * documents table; at 100 TB this chain runs once per document per
+  * curation pass, so constant-factor per-row cost IS the scale story for
+  * map-only stages.
+  *
+  * Unicode parity with the composed chain (spec-pinned): `lower` applies
+  * full Java case mapping BEFORE the regex strips non-[a-z0-9 ] chars, and
+  * exactly two code points lower-case INTO ASCII alphanumerics —
+  * U+212A KELVIN SIGN → 'k' and U+0130 LATIN CAPITAL I WITH DOT ABOVE →
+  * 'i' + U+0307 (the combining dot then becomes a space). Both are
+  * special-cased; every other non-ASCII sequence maps to a space run, which
+  * collapse makes indistinguishable from the per-code-point replacement the
+  * regex performs. */
+object NormalizeKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def normalizeAscii(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    // output never exceeds input: ASCII 1→1, U+212A 3→1, U+0130 2→2
+    // ('i' + collapsed space), other multi-byte k→1 space
+    val out = new Array[Byte](n)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < n) {
+      val ub = s.getByte(i) & 0xff
+      if (ub < 0x80) {
+        var c = ub
+        if (c >= 'A' && c <= 'Z') c += 32
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+          if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+          pendingSpace = false
+          out(o) = c.toByte; o += 1
+        } else pendingSpace = true
+        i += 1
+      } else if (ub == 0xe2 && i + 2 < n && (s.getByte(i + 1) & 0xff) == 0x84
+          && (s.getByte(i + 2) & 0xff) == 0xaa) {
+        // U+212A KELVIN SIGN lowers to ASCII 'k'
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        pendingSpace = false
+        out(o) = 'k'; o += 1
+        i += 3
+      } else if (ub == 0xc4 && i + 1 < n && (s.getByte(i + 1) & 0xff) == 0xb0) {
+        // U+0130 lowers to 'i' + U+0307; the combining dot becomes a space
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = 'i'; o += 1
+        pendingSpace = true
+        i += 2
+      } else {
+        pendingSpace = true
+        i += (if (ub >= 0xf0) 4 else if (ub >= 0xe0) 3 else 2)
+      }
+    }
+    UTF8String.fromBytes(out, 0, o)
+  }
+}
+
+case class NormalizeAscii(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "normalize_ascii"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NormalizeKernel.normalizeAscii(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = NormalizeKernel.getClass.getName + ".MODULE$"
+      s"${ev.value} = $kernel.normalizeAscii($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class TermCounts(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "term_counts"
@@ -507,5 +593,11 @@ object TextExpressions {
         new ExpressionInfo(classOf[Shingles].getName, "shingles"),
         (args: Seq[Expression]) => Shingles(args(0),
           args(1).asInstanceOf[Literal].value.asInstanceOf[Int]))
+    val normId = new FunctionIdentifier("normalize_ascii")
+    if (!reg.functionExists(normId))
+      reg.registerFunction(
+        normId,
+        new ExpressionInfo(classOf[NormalizeAscii].getName, "normalize_ascii"),
+        (args: Seq[Expression]) => NormalizeAscii(args(0)))
   }
 }

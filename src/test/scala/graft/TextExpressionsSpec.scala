@@ -141,6 +141,38 @@ class TextExpressionsSpec extends SparkSpec {
     assert(row1.map(_.getInt(1)) == Seq(3, 2, 1))
   }
 
+  test("normalize_ascii ≡ lower/regex/regex/trim composition, incl. Unicode") {
+    TextExpressions.register(spark)
+    val inputs = Seq(
+      "  Hello,   WORLD!! 42  ",
+      "", "   ", "!!!???", "already clean text",
+      "tabs\tand\nnewlines\r\nmix",
+      "MiXeD123CaSe...punct---end",
+      "café résumé naïve", // lower keeps non-ASCII → spaces
+      "Kelvin and 100K", // U+212A lowers INTO ASCII 'k'
+      "İstanbul İİ", // U+0130 → 'i' + combining dot
+      "Σοφός Σ", // Greek incl. final-sigma context
+      "emoji 😀 4byte 😀x",
+      "ȧb combining", // bare combining dot between letters
+      "trailing junk!!!", "!!!leading junk", "x", "5", "K"
+    )
+    val df = inputs.toDF("text")
+    val got = df.select(
+      TextFunctions.normalizeAscii(col("text")).as("fast"),
+      TextFunctions.normalizeComposed(col("text")).as("ref"),
+      call_function("normalize_ascii", col("text")).as("sql"))
+      .collect()
+    got.zip(inputs).foreach { case (r, in) =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel '${r.getString(0)}' != composed '${r.getString(1)}' for <$in>")
+      assert(r.getString(2) == r.getString(1), s"SQL surface diverged for <$in>")
+    }
+    // null flows through as null, like the composed chain
+    val n = Seq((1, Option.empty[String])).toDF("id", "text")
+      .select(TextFunctions.normalizeAscii(col("text"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("every custom expression's doGenCode COMPILES — no interpreted fallback") {
     // Whole-stage codegen catches janino compile errors and silently falls
     // back to interpreted execution (an ERROR log line is the only trace),
@@ -160,6 +192,7 @@ class TextExpressionsSpec extends SparkSpec {
     val vec = BoundReference(2, ArrayType(DoubleType), nullable = true)
     val exprs = Seq(
       graft.plans.Shingles(str, 3),
+      graft.plans.NormalizeAscii(str),
       graft.plans.TokenOccurrences(str, "the"),
       graft.plans.TokenCounts(str, Seq("the", "a", "data")),
       graft.plans.SimHash64(arr),
