@@ -129,7 +129,13 @@ object SparkEntry {
     "q108_incr_agg"           -> (Analytics.q108IncrAgg _),
     "q109_triangles"          -> (Analytics.q109Triangles _),
     "q110_bpe_pairs"          -> (Analytics.q110BpePairs _),
-    "q111_normalize"          -> (Analytics.q111Normalize _)
+    "q111_normalize"          -> (Analytics.q111Normalize _),
+    "q112_window_dup"         -> (Analytics.q112WindowDup _),
+    "q113_systematic_sample"  -> (Analytics.q113SystematicSample _),
+    "q114_ols"                -> (Analytics.q114Ols _),
+    "q115_tv_drift"           -> (Analytics.q115TvDrift _),
+    "q116_profile"            -> (Analytics.q116Profile _),
+    "q117_pctl_state_merge"   -> (Analytics.q117PctlStateMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1523,4 +1523,211 @@ object Analytics {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("shard"), col("pos"))
   }
+
+  // Exact substring-window duplication census (the char-level flavor of
+  // training-data dedup: repeated 40-char passages, not whole-doc or
+  // token-chunk copies — complements q85's token chunks): 40-char windows
+  // at stride 20 over the normalized text; a window is "duplicated" when
+  // it occurs in ≥2 DISTINCT docs. One text scan; windows shuffle as md5
+  // digests (16 B), never as raw text; distinct-doc counts come from the
+  // already-deduped (window, doc) occurrence frame — no countDistinct
+  // Expand over the corpus (the q78 lesson).
+  def q112WindowDup(s: SparkSession, dir: String): DataFrame = {
+    val W = 40; val S = 20
+    val occ = t(s, dir)("documents")
+      .select(col("doc_id"),
+        TextFunctions.normalizeAscii(col("text")).as("nt"))
+      .where(length(col("nt")) >= W)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), floor((length(col("nt")) - W) / S).cast("int")),
+        i => md5(col("nt").substr(i * S + 1, lit(W))))).as("wh"))
+    // per-(window, doc) occurrence counts: the ONLY pass over text
+    val perDoc = occ.groupBy(col("wh"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val winDocs = perDoc.groupBy(col("wh"))
+      .agg(count(lit(1)).as("nd"))
+    perDoc.join(winDocs, Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("int").as("n_windows"),
+        sum(when(col("nd") >= 2, col("c")).otherwise(lit(0L)))
+          .cast("int").as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Deterministic weighted systematic sampling (the mixture-executor: a
+  // target number of docs drawn proportionally to token weight, stable
+  // across runs and engines): docs laid out on a md5-shuffled line, one
+  // pick per `step` weight units. The global cumulative weight uses q56's
+  // scale pattern — 256 hash-prefix buckets, per-bucket totals cumulated
+  // on the DRIVER (O(256) rows, not a data collect), WITHIN-bucket window
+  // only; no unpartitioned window ever sees a data row.
+  def q113SystematicSample(s: SparkSession, dir: String): DataFrame = {
+    val target = 100L
+    val keyed = t(s, dir)("documents")
+      .select(col("doc_id"),
+        md5(concat(lit("sys:"), col("doc_id").cast("string"))).as("h"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("w"))
+      .withColumn("pid", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    val bucketSums = keyed.groupBy(col("pid")).agg(sum(col("w")).as("ps"))
+      .orderBy(col("pid"))
+      .collect() // ≤ 256 aggregated rows — NOT a data collect
+    var acc = 0L
+    val offsetRows = bucketSums.map { r =>
+      val off = acc; acc += r.getLong(1); (r.getInt(0), off)
+    }.toSeq
+    val step = math.max(acc / target, 1L)
+    import s.implicits._
+    val offsets = offsetRows.toDF("pid", "poff")
+    val wLoc = Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cb", col("poff") + coalesce(sum(col("w")).over(wLoc), lit(0L)))
+      .where(expr(s"(cb + w) div $step > cb div $step"))
+      .select(col("doc_id"), col("w").cast("int").as("n_tok"),
+        expr(s"CAST((cb + w) div $step AS INT)").as("tick"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Grouped OLS (y = extendedprice cents on x = quantity) from EXACT
+  // integer moment sums: every Σ is a decimal(38,0) over integer inputs
+  // (order-independent, overflow-checked to ~1e38 — headroom past the
+  // 10000× decade), and only the FINAL slope/intercept/r² arithmetic runs
+  // in doubles, where both engines execute the identical IEEE op sequence
+  // on identical correctly-rounded inputs — so micro-unit outputs
+  // hash-match. One map-side-combining pass, 3 rows out.
+  def q114Ols(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val li = t(s, dir)("lineitem").select(col("l_returnflag"),
+      col("l_quantity").cast("long").as("x"),
+      cents(col("l_extendedprice")).as("y"))
+    val sums = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val d = (name: String) => col(name).cast("double")
+    sums.select(col("l_returnflag"), col("n"),
+        (d("n") * d("sxy") - d("sx") * d("sy")).as("num"),
+        (d("n") * d("sxx") - d("sx") * d("sx")).as("den"),
+        (d("n") * d("syy") - d("sy") * d("sy")).as("deny"),
+        d("n").as("nd"), d("sx").as("sxd"), d("sy").as("syd"))
+      .select(col("l_returnflag"), col("n"),
+        when(col("den") =!= 0.0,
+          round(col("num") / col("den") * 1e6, 0).cast("long"))
+          .as("slope_micro"),
+        when(col("den") =!= 0.0,
+          round((col("syd") * col("den") - col("num") * col("sxd"))
+            / (col("nd") * col("den")) * 1e6, 0).cast("long"))
+          .as("icept_micro"),
+        when(col("den") * col("deny") =!= 0.0,
+          round(col("num") * col("num") / (col("den") * col("deny")) * 1e6, 0)
+            .cast("long"))
+          .as("r2_ppm"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Corpus drift monitor: total-variation distance between the unigram
+  // distributions of two corpus snapshots (even/odd doc_id halves stand in
+  // for yesterday/today). Per-token drift numerator |c0·N1 − c1·N0| is
+  // INTEGER-exact (decimal against the 10000× decade); the readout is the
+  // top-25 drifting tokens plus the corpus-level TVD in ppb — one
+  // conditional-agg pass over tokens (absent-in-one-half tokens fall out
+  // of the same groupBy with c=0, no outer join), one single-row totals
+  // broadcast (PlanSpec-allowlisted).
+  def q115TvDrift(s: SparkSession, dir: String): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val tok = t(s, dir)("documents")
+      .select((col("doc_id") % 2 === 0).as("h0"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    val counts = tok.groupBy(col("w")).agg(
+      sum(when(col("h0"), 1L).otherwise(0L)).as("c0"),
+      sum(when(!col("h0"), 1L).otherwise(0L)).as("c1"))
+    val totals = counts.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val drift = counts.crossJoin(broadcast(totals))
+      .select(col("w"), col("c0"), col("c1"),
+        abs(dec(col("c0")) * dec(col("n1")) - dec(col("c1")) * dec(col("n0")))
+          .as("dnum"), col("n0"), col("n1"))
+    // corpus TVD in ppb: exact decimal numerator, then ONE double divide
+    // executed with the identical IEEE op order in the oracle
+    val tvd = drift.agg(
+        floor(sum(col("dnum")).cast("double") * lit(1e9)
+          / (lit(2.0) * max(col("n0")).cast("double")
+            * max(col("n1")).cast("double")))
+          .cast("long").as("tvd_ppb"))
+    drift
+      .orderBy(col("dnum").desc, col("w"))
+      .limit(25)
+      .crossJoin(broadcast(tvd))
+      .select(col("w"), col("c0"), col("c1"),
+        col("dnum").cast("long").as("drift_num"), col("tvd_ppb"))
+      .orderBy(col("drift_num").desc, col("w"))
+  }
+
+  // Schema-wide data profiler (the first thing a pipeline runs on a new
+  // drop): per-column row/null/distinct counts and min/max reprs for the
+  // documents table. Values travel as md5 digests for the distinct count
+  // (16 B on the wire regardless of column width) and the (col, digest)
+  // frame is deduped BEFORE counting; min/max reduce over the raw repr in
+  // a partial agg. One scan, two compact shuffles.
+  def q116Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val docs = t(s, dir)("documents")
+    val pairs = docs.select(explode(array(cols.map(c =>
+        struct(lit(c).as("name"), col(c).cast("string").as("v"))): _*))
+        .as("e"))
+      .select(col("e.name").as("name"), col("e.v").as("v"))
+    val basic = pairs.groupBy(col("name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    val distincts = pairs.where(col("v").isNotNull)
+      .select(col("name"), md5(col("v")).as("d")).distinct()
+      .groupBy(col("name")).agg(count(lit(1)).as("n_distinct"))
+    basic.join(distincts, Seq("name"), "left")
+      .select(col("name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_v"), col("max_v"))
+      .orderBy(col("name"))
+  }
+
+  // Mergeable exact-percentile state (q108's refresh guarantee extended to
+  // order statistics): per-slice (key, value, count) histogram states from
+  // a shipdate-split fact, merged by one keyed sum — hash equality against
+  // the full-rescan oracle IS the proof that percentile state-merge ≡
+  // rescan. Post-shuffle state is O(keys × distinct values), not O(rows),
+  // at any SF; interpolation follows q78's exact lo/hi rank reconstruction.
+  def q117PctlStateMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+      .select(col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+    def state(pred: org.apache.spark.sql.Column) =
+      li.where(pred).groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+    val merged = state(col("l_shipdate") < lit("1996-01-01"))
+      .unionByName(state(col("l_shipdate") >= lit("1996-01-01")))
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(sum(col("c")).as("c"))
+    val wOrd = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_quantity").asc_nulls_first)
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = merged
+      .withColumn("nn",
+        sum(when(col("l_quantity").isNotNull, col("c"))).over(wAll))
+      .withColumn("cum",
+        when(col("l_quantity").isNotNull,
+          sum(when(col("l_quantity").isNotNull, col("c"))).over(wOrd)))
+    def vAtRank(rank: org.apache.spark.sql.Column) =
+      min(when(col("cum") > rank, col("l_quantity")))
+    def pos(p: Double) = lit(p) * (col("nn") - 1)
+    def interp(p: Double) =
+      round(vAtRank(floor(pos(p))) + (pos(p) - floor(pos(p)))
+        * (vAtRank(ceil(pos(p))) - vAtRank(floor(pos(p)))), 2)
+    ranked.groupBy(col("l_returnflag"), col("nn"))
+      .agg(interp(0.25).as("p25"), interp(0.5).as("p50"),
+        interp(0.75).as("p75"), interp(0.95).as("p95"))
+      .select(col("l_returnflag"), col("nn").as("n"),
+        col("p25"), col("p50"), col("p75"), col("p95"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -1536,6 +1536,151 @@ object AnalyticsOracles {
         |  FROM documents)
         |SELECT doc_id, md5(norm) AS fp,
         |  CAST(len(text) - len(norm) AS INTEGER) AS delta
-        |FROM n ORDER BY doc_id""".stripMargin
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // substring-window duplication replayed: same normalization chain,
+    // 40-char windows at stride 20, md5 window keys, distinct-doc census
+    "q112_window_dup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, md5(substr(nt, CAST(i AS INTEGER) * 20 + 1, 40)) AS wh
+        |  FROM (SELECT doc_id, nt,
+        |          unnest(range(((len(nt) - 40) // 20) + 1)) AS i
+        |        FROM n WHERE len(nt) >= 40) t),
+        |pd AS (SELECT wh, doc_id, CAST(count(*) AS BIGINT) AS c
+        |       FROM occ GROUP BY wh, doc_id),
+        |wd AS (SELECT wh, count(*) AS nd FROM pd GROUP BY wh)
+        |SELECT pd.doc_id,
+        |  CAST(sum(pd.c) AS INTEGER) AS n_windows,
+        |  CAST(sum(CASE WHEN wd.nd >= 2 THEN pd.c ELSE 0 END) AS INTEGER)
+        |    AS n_dup_windows
+        |FROM pd JOIN wd ON wd.wh = pd.wh
+        |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    // systematic sampling replayed: same md5 shuffle order, token-count
+    // weights, greatest(total//100, 1) step, multiple-of-step pick rule
+    "q113_systematic_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, md5('sys:' || doc_id) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |tot AS (SELECT greatest(sum(w) // 100, 1) AS step FROM k),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    COALESCE(sum(w) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM k)
+        |SELECT doc_id, CAST(w AS INTEGER) AS n_tok,
+        |  CAST((cb + w) // step AS INTEGER) AS tick
+        |FROM c, tot
+        |WHERE (cb + w) // step > cb // step
+        |ORDER BY doc_id""".stripMargin,
+
+    // OLS replayed: exact HUGEINT moment sums, then the identical IEEE
+    // double op sequence (parenthesization mirrored term by term)
+    "q114_ols" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM li GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |    CAST(sy AS DOUBLE) AS syd
+        |  FROM s)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN den <> 0
+        |    THEN CAST(round(num / den * 1e6) AS BIGINT) END AS slope_micro,
+        |  CASE WHEN den <> 0
+        |    THEN CAST(round((syd * den - num * sxd) / (nd * den) * 1e6)
+        |      AS BIGINT) END AS icept_micro,
+        |  CASE WHEN den * deny <> 0
+        |    THEN CAST(round(num * num / (den * deny) * 1e6) AS BIGINT) END
+        |    AS r2_ppm
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // TV drift replayed: integer cross-multiplied numerators, one double
+    // divide for the ppb readout, top-25 by (dnum DESC, w)
+    "q115_tv_drift" ->
+      """WITH tok AS (
+        |  SELECT (doc_id % 2 = 0) AS h0, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  WHERE len(w) > 0),
+        |counts AS (
+        |  SELECT w,
+        |    CAST(sum(CASE WHEN h0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN NOT h0 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |               CAST(sum(c1) AS BIGINT) AS n1 FROM counts),
+        |drift AS (
+        |  SELECT w, c0, c1,
+        |    abs(CAST(c0 AS HUGEINT) * n1 - CAST(c1 AS HUGEINT) * n0) AS dnum,
+        |    n0, n1
+        |  FROM counts, tot),
+        |tvd AS (
+        |  SELECT CAST(floor(CAST(sum(dnum) AS DOUBLE) * 1e9
+        |    / (2.0 * CAST(max(n0) AS DOUBLE) * CAST(max(n1) AS DOUBLE)))
+        |    AS BIGINT) AS tvd_ppb
+        |  FROM drift)
+        |SELECT w, c0, c1, CAST(dnum AS BIGINT) AS drift_num, tvd_ppb
+        |FROM (SELECT * FROM drift ORDER BY dnum DESC, w LIMIT 25) d, tvd
+        |ORDER BY drift_num DESC, w""".stripMargin,
+
+    // profiler replayed: per-column rows/nulls/distincts (md5-keyed) and
+    // min/max string reprs
+    "q116_profile" ->
+      """WITH pairs AS (
+        |  SELECT 'doc_id' AS name, CAST(doc_id AS VARCHAR) AS v
+        |  FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |  FROM documents),
+        |basic AS (
+        |  SELECT name, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_null,
+        |    min(v) AS min_v, max(v) AS max_v
+        |  FROM pairs GROUP BY name),
+        |d AS (
+        |  SELECT name, CAST(count(*) AS BIGINT) AS n_distinct FROM (
+        |    SELECT DISTINCT name, md5(v) FROM pairs WHERE v IS NOT NULL) t
+        |  GROUP BY name)
+        |SELECT basic.name, n_rows, n_null,
+        |  COALESCE(n_distinct, 0) AS n_distinct, min_v, max_v
+        |FROM basic LEFT JOIN d ON d.name = basic.name
+        |ORDER BY basic.name""".stripMargin,
+
+    // percentile state-merge: the oracle is the FULL RESCAN — equality
+    // proves merge-refresh ≡ recompute for order statistics
+    "q117_pctl_state_merge" ->
+      """SELECT l_returnflag,
+        |  CAST(count(l_quantity) AS BIGINT) AS n,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 2) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 2) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

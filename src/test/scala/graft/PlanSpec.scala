@@ -113,7 +113,8 @@ class PlanSpec extends SparkSpec {
       "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
-      "q109_triangles" // broadcast single-row max-id + edge-count scalars
+      "q109_triangles", // broadcast single-row max-id + edge-count scalars
+      "q115_tv_drift" // broadcast single-row token-totals + tvd scalars
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString

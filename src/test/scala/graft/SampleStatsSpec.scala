@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Analytics
+
+/** Round-10 curation/statistics operators: substring-window duplication,
+  * weighted systematic sampling, exact-sum OLS, distribution drift,
+  * schema profiling, mergeable percentile state. */
+class SampleStatsSpec extends SparkSpec {
+  import sqlImplicits._
+
+  private def docsDir(prefix: String, rows: Seq[(Long, String)]): String = {
+    val dir = tmpDir(prefix)
+    rows.map { case (id, tx) => (id, tx, "en", "web", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("window dup: planted shared passage flags both owners, not the unique doc") {
+    // 60 normalized chars -> 2 windows each (stride 20, width 40)
+    val shared = "the quick brown fox jumps over a lazy dog again and again ok"
+      .take(60)
+    val unique = "zero one two three four five six seven eight nine ten elevens"
+      .take(60)
+    assert(shared.length == 60 && unique.length == 60)
+    val dir = docsDir("windup", Seq(
+      (0L, shared), (1L, shared), (2L, unique), (3L, "short text")))
+    val got = Analytics.q112WindowDup(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(got(0L) == ((2, 2)) && got(1L) == ((2, 2)))
+    assert(got(2L) == ((2, 0)))
+    assert(!got.contains(3L)) // sub-window doc contributes no windows
+  }
+
+  test("systematic sample: equals the brute-force line walk; one pick per step") {
+    // 300 docs, weights 1..3 -> total 600, step 6: most docs are skipped
+    // and no interval can contain two ticks (w < step)
+    val rows = (0L until 300L).map(i => (i, Seq.fill(((i % 3) + 1).toInt)("w")
+      .mkString(" ")))
+    val dir = docsDir("syssample", rows)
+    val got = Analytics.q113SystematicSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // brute-force replay: md5 order, cumulative weights, total/100 step
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.digest(s"sys:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val line = rows.map { case (id, tx) => (h(id), id, tx.split(" ").length.toLong) }
+      .sortBy(t => (t._1, t._2))
+    val total = line.map(_._3).sum
+    val step = math.max(total / 100L, 1L)
+    var cb = 0L
+    val want = line.flatMap { case (_, id, w) =>
+      val pick = (cb + w) / step > cb / step
+      val tick = ((cb + w) / step).toInt
+      cb += w
+      if (pick) Some((id, w.toInt, tick)) else None
+    }.sortBy(_._1)
+    assert(step == 6L)
+    assert(got.toSeq == want)
+    assert(got.length == (total / step).toInt) // every step claimed once
+    assert(got.length < rows.length) // and most docs skipped
+    assert(got.map(_._3).distinct.length == got.length)
+  }
+
+  test("ols: hand-computed slope/intercept/r2 on planted groups") {
+    val dir = tmpDir("ols")
+    val rows = Seq(
+      ("A", 1.0, 1.00), ("A", 2.0, 2.00), ("A", 3.0, 3.00), // y = 100x cents
+      ("B", 1.0, 1.00), ("B", 2.0, 4.00), ("B", 3.0, 5.00), ("B", 4.0, 8.00))
+    rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.q114Ols(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got("A") == ((3L, 100000000L, 0L, 1000000L)))
+    // B: num=4400, den=20 -> slope 220 c/unit; icept -100 c; r2 = 0.968
+    assert(got("B") == ((4L, 220000000L, -100000000L, 968000L)))
+  }
+
+  test("tv drift: exact cross-multiplied numerators and ppb total") {
+    val dir = docsDir("tvd", Seq((0L, "a a b"), (1L, "a b b c")))
+    val got = Analytics.q115TvDrift(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+    // N0=3 N1=4: a |2*4-1*3|=5, c |0*4-1*3|=3, b |1*4-2*3|=2; tvd=10/24
+    assert(got.map(t => (t._1, t._2._1, t._2._2, t._2._3)).toSeq ==
+      Seq(("a", 2L, 1L, 5L), ("c", 0L, 1L, 3L), ("b", 1L, 2L, 2L)))
+    assert(got.forall(_._2._4 == 416666666L))
+  }
+
+  test("profile: nulls, distincts, and min/max reprs per column") {
+    val dir = tmpDir("prof")
+    Seq((0L, "x", "en", Some("web"), 1L), (1L, "y", "en", None, 1L),
+      (2L, "x", "de", Some("arxiv"), 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Analytics.q116Profile(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("doc_id") == ((3L, 0L, 3L, "0", "2")))
+    assert(got("text") == ((3L, 0L, 2L, "x", "y")))
+    assert(got("lang") == ((3L, 0L, 2L, "de", "en")))
+    assert(got("source") == ((3L, 1L, 2L, "arxiv", "web")))
+    assert(got("n_chars") == ((3L, 0L, 1L, "1", "1")))
+  }
+
+  test("percentile state merge ≡ rescan on a split fact") {
+    val dir = tmpDir("pctl")
+    val rows = Seq(
+      ("A", 1.0, "1995-03-01"), ("A", 2.0, "1995-06-01"),
+      ("A", 3.0, "1996-02-01"), ("A", 4.0, "1996-03-01"),
+      ("A", 5.0, "1997-01-01"),
+      ("B", 10.0, "1995-01-01"), ("B", 20.0, "1997-01-01"))
+    rows.toDF("l_returnflag", "l_quantity", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.q117PctlStateMerge(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("A") == ((5L, 2.0, 3.0, 4.0, 4.8)))
+    assert(got("B") == ((2L, 12.5, 15.0, 17.5, 19.5)))
+  }
+}
