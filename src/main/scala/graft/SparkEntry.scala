@@ -135,7 +135,10 @@ object SparkEntry {
     "q114_ols"                -> (Analytics.q114Ols _),
     "q115_tv_drift"           -> (Analytics.q115TvDrift _),
     "q116_profile"            -> (Analytics.q116Profile _),
-    "q117_pctl_state_merge"   -> (Analytics.q117PctlStateMerge _)
+    "q117_pctl_state_merge"   -> (Analytics.q117PctlStateMerge _),
+    "q118_bpe_apply"          -> (Analytics.q118BpeApply _),
+    "q119_kcore"              -> (Analytics.q119Kcore _),
+    "q120_decay"              -> (Analytics.q120Decay _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

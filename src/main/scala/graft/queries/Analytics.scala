@@ -1730,4 +1730,99 @@ object Analytics {
         col("p25"), col("p50"), col("p75"), col("p95"))
       .orderBy(col("l_returnflag"))
   }
+
+  // Tokenizer-apply (one BPE inference pass over a fixed ordered merge
+  // table — the production shape loops this against a learned vocabulary,
+  // same rewrite each round): each normalized token becomes a char
+  // lattice with DOUBLE-space unit separators, so a left-to-right
+  // replace-all of rule ' a  b ' → ' ab ' consumes one boundary space
+  // from each side and leaves the neighbor's boundary intact — EVERY
+  // adjacent occurrence merges, not just alternate ones. Both engines'
+  // replace() are the same non-overlapping left-to-right scan, so the
+  // rewritten lattices are bit-identical. Readout: top-30 subword units.
+  def q118BpeApply(s: SparkSession, dir: String): DataFrame = {
+    val merges = Seq("t" -> "h", "i" -> "n", "e" -> "r", "a" -> "n",
+      "o" -> "n", "r" -> "e", "t" -> "i", "th" -> "e")
+    val toks = t(s, dir)("documents")
+      .select(explode(TextFunctions.tokens(
+        TextFunctions.normalizeAscii(col("text")))).as("w"))
+      .where(length(col("w")) > 0)
+    val lattice = regexp_replace(col("w"), "(.)", " $1 ")
+    val merged = merges.foldLeft(lattice) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    toks.select(explode(split(trim(merged), "  ")).as("unit"))
+      .groupBy(col("unit")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("unit"))
+      .limit(30)
+  }
+
+  // k-core peeling over the synthesized link graph (q103/q109's edges):
+  // four deterministic peel rounds at k=3 — degree census (both endpoints
+  // stream into one map-side-combining agg), drop nodes under k, keep
+  // edges whose BOTH endpoints survive (two left-semi hash joins on node
+  // id). Per-round survivor counts are single-row aggregates; the whole
+  // sweep shuffles node-id/degree pairs only, never adjacency lists.
+  // Each round's edge/alive frames are LOCALCHECKPOINTED (the Dedup.
+  // connectedComponents iteration pattern): round r's plan references
+  // round r-1 in FIVE places (two degree arms, one join input, alive on
+  // both semi sides), so an untruncated lineage is a ~5^rounds-node tree —
+  // the analyzer/AQE re-optimization walked it into a driver heap OOM at
+  // 8 GiB, data size irrelevant. Checkpointing caps every round's plan at
+  // a LogicalRDD leaf; the materialized frames are edge/node-id pairs,
+  // tiny relative to the corpus at any SF.
+  def q119Kcore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3; val rounds = 4
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val m = docs.agg((max(col("id")) + 1).as("m"))
+    val raw = docs.crossJoin(broadcast(m))
+      .select(col("id").as("src"), explode(array(
+        (col("id") * 7 + 3) % col("m"),
+        (col("id") * 13 + 5) % col("m"),
+        (col("id") + 1) % col("m"))).as("dst"))
+    var edges = raw.where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val stats = (1 to rounds).map { r =>
+      val deg = edges.select(col("a").as("n"))
+        .unionAll(edges.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val alive = deg.where(col("deg") >= k).select(col("n"))
+        .localCheckpoint()
+      edges = edges
+        .join(alive.withColumnRenamed("n", "a"), Seq("a"), "left_semi")
+        .join(alive.withColumnRenamed("n", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      alive.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+    }
+    stats.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  // Exponential time-decay rollup with a 7-day half-life in EXACT integer
+  // arithmetic (the recency weighting every freshness-aware mixture
+  // uses): weight 2^-⌊age/7⌋ applied as a right-shift — cents and
+  // milli-counts divide by a power of two BEFORE the sum, so the result
+  // is order-independent and hash-matchable, no float decay drift. One
+  // map-side-combining pass; the max-date anchor is a single-row
+  // broadcast (PlanSpec-allowlisted).
+  def q120Decay(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir)("events")
+    val mx = ev.agg(max(to_date(col("ts"))).as("d0"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("event_type"),
+        expr("datediff(d0, to_date(ts))").as("age"),
+        cents(col("value")).as("vc"))
+      .withColumn("k", least(expr("age div 7"), lit(62)).cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("vc div shiftleft(CAST(1 AS BIGINT), k)"))
+          .as("decayed_cents"),
+        sum(expr("1000 div shiftleft(CAST(1 AS BIGINT), k)"))
+          .as("decayed_n_milli"))
+      .orderBy(col("event_type"))
+  }
 }

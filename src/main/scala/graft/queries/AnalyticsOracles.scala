@@ -1671,6 +1671,88 @@ object AnalyticsOracles {
         |FROM basic LEFT JOIN d ON d.name = basic.name
         |ORDER BY basic.name""".stripMargin,
 
+    // BPE apply replayed: same char lattice (double-space separators),
+    // same ordered replace-all merge chain, top-30 by (cnt DESC, unit)
+    "q118_bpe_apply" ->
+      """WITH toks AS (
+        |  SELECT w FROM (
+        |    SELECT unnest(string_split(trim(regexp_replace(regexp_replace(
+        |      lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+        |      AS w
+        |    FROM documents) t
+        |  WHERE len(w) > 0),
+        |lat AS (
+        |  SELECT replace(replace(replace(replace(replace(replace(replace(
+        |    replace(
+        |      regexp_replace(w, '(.)', ' \1 ', 'g'),
+        |    ' t  h ', ' th '), ' i  n ', ' in '), ' e  r ', ' er '),
+        |    ' a  n ', ' an '), ' o  n ', ' on '), ' r  e ', ' re '),
+        |    ' t  i ', ' ti '), ' th  e ', ' the ') AS s
+        |  FROM toks)
+        |SELECT unit, CAST(count(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(trim(s), '  ')) AS unit FROM lat) u
+        |GROUP BY unit ORDER BY cnt DESC, unit LIMIT 30""".stripMargin,
+
+    // k-core peeling replayed: same synthesized edges, four chained
+    // degree/filter CTE rounds at k=3
+    "q119_kcore" ->
+      """WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |raw AS (
+        |  SELECT doc_id AS src, (doc_id * 7 + 3) % mx.m AS dst
+        |  FROM documents, mx
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id * 13 + 5) % mx.m FROM documents, mx
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 1) % mx.m FROM documents, mx),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM raw WHERE src <> dst),
+        |d1 AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) t GROUP BY n),
+        |a1 AS (SELECT n FROM d1 WHERE deg >= 3),
+        |e1 AS (SELECT e0.a, e0.b FROM e0
+        |  JOIN a1 x ON x.n = e0.a JOIN a1 y ON y.n = e0.b),
+        |d2 AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) t GROUP BY n),
+        |a2 AS (SELECT n FROM d2 WHERE deg >= 3),
+        |e2 AS (SELECT e1.a, e1.b FROM e1
+        |  JOIN a2 x ON x.n = e1.a JOIN a2 y ON y.n = e1.b),
+        |d3 AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) t GROUP BY n),
+        |a3 AS (SELECT n FROM d3 WHERE deg >= 3),
+        |e3 AS (SELECT e2.a, e2.b FROM e2
+        |  JOIN a3 x ON x.n = e2.a JOIN a3 y ON y.n = e2.b),
+        |d4 AS (SELECT n, count(*) AS deg FROM
+        |  (SELECT a AS n FROM e3 UNION ALL SELECT b FROM e3) t GROUP BY n),
+        |a4 AS (SELECT n FROM d4 WHERE deg >= 3),
+        |e4 AS (SELECT e3.a, e3.b FROM e3
+        |  JOIN a4 x ON x.n = e3.a JOIN a4 y ON y.n = e3.b)
+        |SELECT * FROM (
+        |  SELECT 1 AS round, (SELECT CAST(count(*) AS BIGINT) FROM a1)
+        |    AS n_nodes, (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges
+        |  UNION ALL SELECT 2, (SELECT count(*) FROM a2),
+        |    (SELECT count(*) FROM e2)
+        |  UNION ALL SELECT 3, (SELECT count(*) FROM a3),
+        |    (SELECT count(*) FROM e3)
+        |  UNION ALL SELECT 4, (SELECT count(*) FROM a4),
+        |    (SELECT count(*) FROM e4)) t
+        |ORDER BY round""".stripMargin,
+
+    // integer half-life decay replayed: same ⌊age/7⌋ right-shift weights
+    // (values are non-negative so // matches Spark's div truncation)
+    "q120_decay" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(vc // (CAST(1 AS BIGINT) << k)) AS BIGINT)
+        |    AS decayed_cents,
+        |  CAST(sum(1000 // (CAST(1 AS BIGINT) << k)) AS BIGINT)
+        |    AS decayed_n_milli
+        |FROM (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS vc,
+        |    least(date_diff('day', CAST(ts AS DATE), d0) // 7, 62) AS k
+        |  FROM events, mx) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // percentile state-merge: the oracle is the FULL RESCAN — equality
     // proves merge-refresh ≡ recompute for order statistics
     "q117_pctl_state_merge" ->

@@ -114,7 +114,9 @@ class PlanSpec extends SparkSpec {
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
-      "q115_tv_drift" // broadcast single-row token-totals + tvd scalars
+      "q115_tv_drift", // broadcast single-row token-totals + tvd scalars
+      "q119_kcore", // broadcast single-row max-id + per-round count scalars
+      "q120_decay" // broadcast single-row max-date anchor scalar
     )
     val offenders = catalogPlans.flatMap { case (name, plan) =>
       val p = plan.toString

@@ -106,6 +106,57 @@ class SampleStatsSpec extends SparkSpec {
     assert(got("n_chars") == ((3L, 0L, 1L, "1", "1")))
   }
 
+  test("bpe apply: ordered merges, second-order rule, adjacent repeats all merge") {
+    val dir = docsDir("bpe", Seq((0L, "the inner"), (1L, "thth")))
+    val got = Analytics.q118BpeApply(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // "the" -> t·h, then th·e (second-order); "inner" -> [in, n, er];
+    // "thth" -> BOTH adjacent t·h pairs merge (double-space invariant),
+    // th·th is not a rule -> [th, th]
+    assert(got == Map("the" -> 1L, "in" -> 1L, "n" -> 1L, "er" -> 1L,
+      "th" -> 2L))
+  }
+
+  test("kcore: peel rounds match a brute-force replay of the synthesized graph") {
+    val n = 24L
+    val dir = docsDir("kcore", (0L until n).map(i => (i, "x")))
+    val got = Analytics.q119Kcore(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // brute-force: same synthesis, same peel
+    val m = n
+    var edges = (0L until n).flatMap(i =>
+        Seq((i * 7 + 3) % m, (i * 13 + 5) % m, (i + 1) % m).map(d => (i, d)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val want = (1 to 4).map { r =>
+      val deg = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val alive = deg.filter(_._2 >= 3).keySet
+      edges = edges.filter(e => alive(e._1) && alive(e._2))
+      (r, alive.size.toLong, edges.size.toLong)
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("decay: right-shift half-life weights, exact integer sums") {
+    val dir = tmpDir("decay")
+    val ts = (d: String) => java.sql.Timestamp.valueOf(s"$d 12:00:00")
+    Seq(
+      (1L, ts("2024-01-31"), 1L, "buy", 10.00, "{}"),
+      (2L, ts("2024-01-24"), 1L, "buy", 10.00, "{}"), // age 7 -> /2
+      (3L, ts("2024-01-16"), 1L, "buy", 10.01, "{}"), // age 15 -> /4
+      (4L, ts("2024-01-31"), 1L, "view", 2.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q120Decay(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // buy: 1000 + 1000/2 + 1001/4 = 1000+500+250; counts 1000+500+250
+    assert(got("buy") == ((3L, 1750L, 1750L)))
+    assert(got("view") == ((1L, 200L, 1000L)))
+  }
+
   test("percentile state merge ≡ rescan on a split fact") {
     val dir = tmpDir("pctl")
     val rows = Seq(
