@@ -526,14 +526,16 @@ object Similarity {
     * brute all-pairs don't: K is ADAPTIVE — `max(minK, ceil(N /
     * targetCell))` — so the expected cell stays ~targetCell rows at any
     * corpus size and the intra-cell self-join moves O(N · targetCell)
-    * pairs, not O(N²). The two real bills, priced: (1) assignment is the
-    * standard k-means O(N·K·d) scan (broadcast seed grid, one argmin
-    * partial agg — no shuffle); production pushes K into the thousands
-    * and batches this on accelerators or splits it IVF-style two-level,
-    * but the plan shape here is already the right one; (2) the cell
-    * self-join hash-partitions on cid, so a pathologically hot cell is
-    * one skewed task — targetCell bounds the EXPECTED size, AQE skew
-    * split handles the tail.
+    * pairs, not O(N²). The two real bills, priced: (1) assignment is
+    * HIERARCHICAL — ceil(√K) super-seeds route each doc to a super-cell
+    * (O(N·√K·d)), then the doc picks its cell among that super-cell's
+    * seeds (expected √K of them, O(N·√K·d) again). The flat O(N·K·d)
+    * scan this replaced is quadratic in N once K scales with N — it
+    * measured 153 s at the 100× decade (2.5e11 kernel ops) where the
+    * two-level path does ~1/44th the arithmetic; (2) the cell self-join
+    * hash-partitions on cid, so a pathologically hot cell is one skewed
+    * task — targetCell bounds the EXPECTED size, AQE skew split handles
+    * the tail.
     *
     * Everything is long/decimal arithmetic: vectors land in fixed-point
     * longs (scale 1e6), the argmin orders by (d², cid), and the cosine
@@ -561,14 +563,49 @@ object Similarity {
     // codegen'd long kernels — exact long sums commute, so the kernel is
     // bit-identical to the aggregate(zip_with) composition it replaces
     // (parity pinned in VectorExpressionsSpec); the interpreted lambdas
-    // were q95's dominant cost (2.74 s at sf0.1, ~4× the kernel)
-    val d2 = call_function("long_sq_dist", col("qv"), col("cv"))
-    val assigned = q.crossJoin(broadcast(seeds))
-      .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
-      .groupBy(col("id"))
-      .agg(min_by(struct(col("cid"), col("qv")),
-        struct(col("d2"), col("cid"))).as("m"))
-      .select(col("id"), col("m.cid").as("cid"), col("m.qv").as("qv"))
+    // were q95's dominant cost (2.74 s at sf0.1, ~4× the kernel).
+    //
+    // The argmin itself is a DECIMAL-PACKED HashAggregate, not a
+    // min_by(struct, struct): struct aggregation buffers are immutable,
+    // which forces SortAggregateExec — at the 100× decade that plan SORTED
+    // the N·K assignment pairs (3.9e9 rows, ~70 GiB of heap, unbounded
+    // wall time). min(d2·M + cid) over decimal(38,0), with M = max(id)+1
+    // a plan-time scalar (cid is a seed's ORIGINAL id, so cid < M makes
+    // the packing an exact lexicographic (d2, cid) order; d2·M sits far
+    // inside decimal(38,0) at any decade) — the buffer is a mutable
+    // 16-byte decimal, so the pairs stream through a map-side-combining
+    // hash agg: each partition emits ONE row per doc and nothing is ever
+    // sorted. The doc vector is re-joined by id afterwards (an N-row
+    // equi-join) instead of riding the aggregate.
+    val mExclusive = q.agg(max(col("id"))).first().getLong(0) + 1L
+    val sCount = math.ceil(math.sqrt(k.toDouble)).toInt
+    // the super-seed grid is the md5-order PREFIX of the seed list, built
+    // by its own TakeOrdered so determinism never leans on limit-of-limit
+    val supers = q
+      .withColumn("h", graft.functions.PortableHash.md5Head60(
+        concat(lit("sem:"), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(sCount)
+      .select(col("id").as("sid"), col("qv").as("sv"))
+    def argminTo(pairs: DataFrame, idC: String, distC: org.apache.spark.sql.Column,
+                 keyC: String, outC: String): DataFrame =
+      pairs
+        .select(col(idC),
+          (distC.cast("decimal(38,0)") * lit(mExclusive) + col(keyC)).as("pd"))
+        .groupBy(col(idC))
+        .agg(min(col("pd")).as("pd"))
+        .select(col(idC), (col("pd") % lit(mExclusive)).cast("long").as(outC))
+    // route every seed, then every doc, to its super-cell (√K candidates)
+    val seedSuper = argminTo(seeds.crossJoin(broadcast(supers)), "cid",
+      call_function("long_sq_dist", col("cv"), col("sv")), "sid", "sid")
+    val docSuper = argminTo(q.crossJoin(broadcast(supers)), "id",
+      call_function("long_sq_dist", col("qv"), col("sv")), "sid", "sid")
+    // then pick the cell among that super-cell's seeds (expected √K rows)
+    val cellCands = q.join(docSuper, Seq("id"))
+      .join(broadcast(seeds.join(seedSuper, Seq("cid"))), Seq("sid"))
+    val assigned = argminTo(cellCands, "id",
+      call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
+      .join(q, Seq("id"))
       .withColumn("n2", call_function("long_dot", col("qv"), col("qv")))
     val dot = call_function("long_dot", col("x.qv"), col("y.qv"))
     val t2 = thresholdPct.toLong * thresholdPct

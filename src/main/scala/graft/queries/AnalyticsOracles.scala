@@ -1386,12 +1386,16 @@ object AnalyticsOracles {
          |kk AS (
          |  SELECT GREATEST(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
          |  FROM q),
+         |ranked AS (
+         |  SELECT id, qv, row_number() OVER (ORDER BY
+         |    ${md5Head60("'sem:' || CAST(id AS VARCHAR)")}, id) AS rn
+         |  FROM q),
          |seeds AS (
-         |  SELECT id AS cid, qv AS cv FROM (
-         |    SELECT id, qv, row_number() OVER (ORDER BY
-         |      ${md5Head60("'sem:' || CAST(id AS VARCHAR)")}, id) AS rn
-         |    FROM q) s
+         |  SELECT id AS cid, qv AS cv FROM ranked
          |  WHERE rn <= (SELECT k FROM kk)),
+         |supers AS (
+         |  SELECT id AS sid, qv AS sv FROM ranked
+         |  WHERE rn <= (SELECT CAST(ceil(sqrt(k)) AS BIGINT) FROM kk)),
          |el AS (
          |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
          |    unnest(qv) AS v
@@ -1400,10 +1404,32 @@ object AnalyticsOracles {
          |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
          |    unnest(cv) AS v
          |  FROM seeds),
+         |sel AS (
+         |  SELECT sid, CAST(unnest(range(len(sv))) AS INTEGER) AS pos,
+         |    unnest(sv) AS v
+         |  FROM supers),
+         |sasg AS (
+         |  SELECT cid, sid FROM (
+         |    SELECT cel.cid, sel.sid,
+         |      row_number() OVER (PARTITION BY cel.cid ORDER BY
+         |        sum((cel.v - sel.v) * (cel.v - sel.v)), sel.sid) AS rn
+         |    FROM cel JOIN sel ON sel.pos = cel.pos
+         |    GROUP BY cel.cid, sel.sid) x
+         |  WHERE rn = 1),
+         |qsasg AS (
+         |  SELECT id, sid FROM (
+         |    SELECT el.id, sel.sid,
+         |      row_number() OVER (PARTITION BY el.id ORDER BY
+         |        sum((el.v - sel.v) * (el.v - sel.v)), sel.sid) AS rn
+         |    FROM el JOIN sel ON sel.pos = el.pos
+         |    GROUP BY el.id, sel.sid) x
+         |  WHERE rn = 1),
          |dist AS (
          |  SELECT el.id, cel.cid,
          |    CAST(sum((el.v - cel.v) * (el.v - cel.v)) AS BIGINT) AS d2
-         |  FROM el JOIN cel ON el.pos = cel.pos
+         |  FROM el JOIN qsasg ON qsasg.id = el.id
+         |  JOIN sasg ON sasg.sid = qsasg.sid
+         |  JOIN cel ON cel.cid = sasg.cid AND cel.pos = el.pos
          |  GROUP BY el.id, cel.cid),
          |asg AS (
          |  SELECT id, cid FROM (
