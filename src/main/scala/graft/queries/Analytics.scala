@@ -1528,10 +1528,18 @@ object Analytics {
   // training-data dedup: repeated 40-char passages, not whole-doc or
   // token-chunk copies — complements q85's token chunks): 40-char windows
   // at stride 20 over the normalized text; a window is "duplicated" when
-  // it occurs in ≥2 DISTINCT docs. One text scan; windows shuffle as md5
-  // digests (16 B), never as raw text; distinct-doc counts come from the
+  // it occurs in ≥2 DISTINCT docs. One text scan; windows shuffle as
+  // 60-bit md5Head60 LONGS (8 B — the full-hex md5 string key measured
+  // 310 s at the 1000× dir, ~30× the 100× time, purely from pushing
+  // 105M × 50 B string keys through three exchanges; collision odds at
+  // 1e12 windows are ~4e-8 per window, and the oracle applies the same
+  // truncation so parity is exact). Distinct-doc counts come from the
   // already-deduped (window, doc) occurrence frame — no countDistinct
-  // Expand over the corpus (the q78 lesson).
+  // Expand over the corpus (the q78 lesson) — and the whole census runs
+  // on ONE exchange by wh: after the explicit repartition, the
+  // (wh, doc_id) and (wh) aggregations and their join all reuse
+  // HashPartitioning(wh) (it satisfies each one's clustering), so only
+  // the final per-doc rollup shuffles again.
   def q112WindowDup(s: SparkSession, dir: String): DataFrame = {
     val W = 40; val S = 20
     val occ = t(s, dir)("documents")
@@ -1540,7 +1548,9 @@ object Analytics {
       .where(length(col("nt")) >= W)
       .select(col("doc_id"), explode(transform(
         sequence(lit(0), floor((length(col("nt")) - W) / S).cast("int")),
-        i => md5(col("nt").substr(i * S + 1, lit(W))))).as("wh"))
+        i => graft.functions.PortableHash.md5Head60(
+          col("nt").substr(i * S + 1, lit(W))))).as("wh"))
+      .repartition(col("wh"))
     // per-(window, doc) occurrence counts: the ONLY pass over text
     val perDoc = occ.groupBy(col("wh"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
@@ -1731,30 +1741,40 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
-  // Tokenizer-apply (one BPE inference pass over a fixed ordered merge
-  // table — the production shape loops this against a learned vocabulary,
-  // same rewrite each round): each normalized token becomes a char
-  // lattice with DOUBLE-space unit separators, so a left-to-right
-  // replace-all of rule ' a  b ' → ' ab ' consumes one boundary space
-  // from each side and leaves the neighbor's boundary intact — EVERY
-  // adjacent occurrence merges, not just alternate ones. Both engines'
-  // replace() are the same non-overlapping left-to-right scan, so the
-  // rewritten lattices are bit-identical. Readout: top-30 subword units.
+  // Tokenizer-apply (one BPE inference pass over the fixed ordered merge
+  // table in plans/BpeMerges — the production shape loops this against a
+  // learned vocabulary, same rewrite each round): each rule is one
+  // left-to-right non-overlapping pass over the token's unit sequence,
+  // where a freshly merged unit is not re-eligible within the same pass.
+  // Runs as ONE codegen'd kernel over a local unit array
+  // (plans/BpeKernel) — the composed char-lattice replace() chain it
+  // replaces allocated ~3× the corpus per rule and measured 237 s at the
+  // 1000× dir (~28× its 100× time, pure GC churn); the kernel's
+  // semantics equal the lattice chain, parity-pinned in SampleStatsSpec,
+  // and the DuckDB oracle still replays the lattice form — the engines'
+  // hash equality therefore also re-proves kernel ≡ chain per run.
+  // Readout: top-30 subword units.
   def q118BpeApply(s: SparkSession, dir: String): DataFrame = {
-    val merges = Seq("t" -> "h", "i" -> "n", "e" -> "r", "a" -> "n",
-      "o" -> "n", "r" -> "e", "t" -> "i", "th" -> "e")
+    graft.plans.TextExpressions.register(s)
     val toks = t(s, dir)("documents")
       .select(explode(TextFunctions.tokens(
         TextFunctions.normalizeAscii(col("text")))).as("w"))
       .where(length(col("w")) > 0)
-    val lattice = regexp_replace(col("w"), "(.)", " $1 ")
-    val merged = merges.foldLeft(lattice) { case (acc, (a, b)) =>
-      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
-    }
-    toks.select(explode(split(trim(merged), "  ")).as("unit"))
+    toks.select(explode(call_function("bpe_units", col("w"))).as("unit"))
       .groupBy(col("unit")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("unit"))
       .limit(30)
+  }
+
+  /** The char-lattice replace-chain twin of plans/BpeKernel (the q118
+    * SampleStatsSpec parity pin; double-space separators keep EVERY
+    * adjacent occurrence mergeable under a left-to-right replace-all). */
+  private[graft] def bpeApplyComposed(w: org.apache.spark.sql.Column) = {
+    val lattice = regexp_replace(w, "(.)", " $1 ")
+    val merged = graft.plans.BpeMerges.table.foldLeft(lattice) {
+      case (acc, (a, b)) => replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    split(trim(merged), "  ")
   }
 
   // k-core peeling over the synthesized link graph (q103/q109's edges):

@@ -1573,7 +1573,9 @@ object AnalyticsOracles {
         |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
         |  FROM documents),
         |occ AS (
-        |  SELECT doc_id, md5(substr(nt, CAST(i AS INTEGER) * 20 + 1, 40)) AS wh
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(substr(nt, CAST(i AS INTEGER) * 20 + 1, 40)),
+        |      1, 15))::BIGINT AS wh
         |  FROM (SELECT doc_id, nt,
         |          unnest(range(((len(nt) - 40) // 20) + 1)) AS i
         |        FROM n WHERE len(nt) >= 40) t),

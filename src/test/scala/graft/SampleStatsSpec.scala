@@ -117,6 +117,25 @@ class SampleStatsSpec extends SparkSpec {
       "th" -> 2L))
   }
 
+  test("bpe kernel ≡ composed lattice replace-chain on adversarial tokens") {
+    graft.plans.TextExpressions.register(spark)
+    val toks = Seq("the", "inner", "thth", "ththth", "tthh", "ererer",
+      "anon", "thethe", "tininti", "a", "x", "rere", "onon", "thhe",
+      "interminable", "anthropomorphization", "ttttt", "hhhh",
+      "thinkingonandon") ++
+      (0 until 200).map(i => new scala.util.Random(i).alphanumeric
+        .filter(_.isLower).take(1 + i % 12).mkString)
+    val df = toks.toDF("w")
+    val got = df.select(col("w"),
+        call_function("bpe_units", col("w")).as("k"),
+        graft.queries.Analytics.bpeApplyComposed(col("w")).as("c"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"token '${r.getString(0)}'")
+    }
+  }
+
   test("kcore: peel rounds match a brute-force replay of the synthesized graph") {
     val n = 24L
     val dir = docsDir("kcore", (0L until n).map(i => (i, "x")))
