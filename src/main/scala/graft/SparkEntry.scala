@@ -138,7 +138,10 @@ object SparkEntry {
     "q117_pctl_state_merge"   -> (Analytics.q117PctlStateMerge _),
     "q118_bpe_apply"          -> (Analytics.q118BpeApply _),
     "q119_kcore"              -> (Analytics.q119Kcore _),
-    "q120_decay"              -> (Analytics.q120Decay _)
+    "q120_decay"              -> (Analytics.q120Decay _),
+    "q121_cc_incremental"     -> (Analytics.q121CcIncremental _),
+    "q122_price_bands"        -> (Analytics.q122PriceBands _),
+    "q123_late_data"          -> (Analytics.q123LateData _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1777,6 +1777,109 @@ object Analytics {
     split(trim(merged), "  ")
   }
 
+  /** q121's sparse block-local link graph: 8-node blocks, one in-block
+    * edge per doc except every third doc (so blocks fragment into
+    * multiple non-trivial components — unlike q103's +1 ring, which is
+    * one giant component and useless for CC work). The dst semi-join
+    * against the doc universe is LOAD-BEARING: a corpus whose max id is
+    * not 8-aligned synthesizes dst ids past the end (sf0.01's 500 docs
+    * → phantom 500–503), which the engine's doc-rooted readout would
+    * drop while a closure that walks raw edges would count — the round-10
+    * debug hunt's exact mismatch. Canonical undirected distinct edges. */
+  private[graft] def blockEdges(docs: DataFrame): DataFrame =
+    docs.where(col("id") % 3 =!= 0)
+      .select(col("id").as("src"),
+        ((col("id") - (col("id") % 8)) + (col("id") * 5 + 1) % 8).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .join(docs.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      .select(least(col("src"), col("dst")).as("id1"),
+        greatest(col("src"), col("dst")).as("id2"))
+      .distinct()
+
+  // Incremental connected components (the graph member of the q108/q117
+  // mergeable-state family): the base slice's components collapse to
+  // min-id super-nodes, the delta batch's endpoints REMAP to those reps
+  // (two left joins), and a second CC runs over the rep-graph — which is
+  // component-count-sized, not corpus-sized. Hash equality with the
+  // full-graph oracle proves refresh ≡ recompute: every base member's
+  // id ≥ its rep, so the merged rep-graph's min-id equals the full
+  // component's min-id. Readout: (cluster, size) over ALL docs
+  // (isolated docs are their own singleton cluster).
+  def q121CcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val canon = blockEdges(docs)
+    val base = canon.where((col("id1") + col("id2")) % 5 =!= 0)
+    val delta = canon.where((col("id1") + col("id2")) % 5 === 0)
+    val baseCC = graft.operators.Dedup.connectedComponents(base)
+    val d1 = delta
+      .join(baseCC.withColumnRenamed("id", "id1")
+        .withColumnRenamed("cluster", "c1"), Seq("id1"), "left")
+      .join(baseCC.withColumnRenamed("id", "id2")
+        .withColumnRenamed("cluster", "c2"), Seq("id2"), "left")
+      .select(coalesce(col("c1"), col("id1")).as("r1"),
+        coalesce(col("c2"), col("id2")).as("r2"))
+      .where(col("r1") =!= col("r2"))
+      .select(least(col("r1"), col("r2")).as("id1"),
+        greatest(col("r1"), col("r2")).as("id2"))
+      .distinct()
+    val mergeCC = graft.operators.Dedup.connectedComponents(d1)
+    docs
+      .join(baseCC, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("r"))
+      .join(mergeCC.select(col("id").as("r"), col("cluster").as("mc")),
+        Seq("r"), "left")
+      .select(col("id"), coalesce(col("mc"), col("r")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .orderBy(col("cluster"))
+  }
+
+  // ECDF binning for feature preparation: within each returnflag, the
+  // extendedprice distribution in $100 units (bounded ~O(1k) distinct
+  // bins — raw cents would be the q78 anti-shape) mapped to deciles by
+  // exact cumulative rank. Post-shuffle state O(flags × bins) at any SF;
+  // the decile of a bin is decided by its FIRST row's cumulative
+  // position, integer arithmetic end to end.
+  def q122PriceBands(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem").select(col("l_returnflag"),
+      expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) div 10000 AS BIGINT)")
+        .as("usd100"))
+    val hist = li.groupBy(col("l_returnflag"), col("usd100"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("usd100")
+    val wAll = Window.partitionBy("l_returnflag")
+    hist
+      .withColumn("n", sum(col("c")).over(wAll))
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("band",
+        expr("CAST(((cum - c) * 10) div n AS INT)"))
+      .groupBy(col("l_returnflag"), col("band"))
+      .agg(sum(col("c")).as("n_rows"),
+        min(col("usd100")).as("lo_usd100"),
+        max(col("usd100")).as("hi_usd100"))
+      .orderBy(col("l_returnflag"), col("band"))
+  }
+
+  // Late-data audit (the batch twin of a watermark health check): an
+  // event is LATE when it lands more than 10 minutes behind the maximum
+  // timestamp its user had already produced, in event_id arrival order.
+  // One partitioned running-max window (per-user state), exact integer
+  // second arithmetic; per-type rates and worst lateness.
+  def q123LateData(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir)("events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("prev_max", max(col("sec")).over(w))
+      .withColumn("late_s",
+        when(col("prev_max") - col("sec") > 600, col("prev_max") - col("sec")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("late_s")).as("n_late"),
+        coalesce(max(col("late_s")), lit(0L)).as("max_late_s"))
+      .orderBy(col("event_type"))
+  }
+
   // k-core peeling over the synthesized link graph (q103/q109's edges):
   // four deterministic peel rounds at k=3 — degree census (both endpoints
   // stream into one map-side-combining agg), drop nodes under k, keep

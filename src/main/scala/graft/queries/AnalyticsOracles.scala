@@ -1781,6 +1781,67 @@ object AnalyticsOracles {
         |  FROM events, mx) t
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // incremental CC: the oracle is the FULL-GRAPH recursive-CTE
+    // closure — equality proves the base+delta rep-graph merge ≡
+    // recompute (same proof shape as q108/q117)
+    "q121_cc_incremental" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM (
+        |    SELECT doc_id AS src,
+        |      (doc_id - (doc_id % 8)) + (doc_id * 5 + 1) % 8 AS dst
+        |    FROM documents WHERE doc_id % 3 <> 0) t
+        |  WHERE src <> dst
+        |    AND dst IN (SELECT doc_id FROM documents)),
+        |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT sym.b AS id, reach.r FROM reach JOIN sym ON sym.a = reach.id),
+        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS size
+        |FROM cl GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // ECDF decile binning replayed: same $100 bins, same first-row
+    // cumulative-rank decile
+    "q122_price_bands" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) // 10000 AS usd100
+        |  FROM lineitem),
+        |hist AS (SELECT l_returnflag, usd100, CAST(count(*) AS BIGINT) AS c
+        |         FROM li GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, usd100, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY usd100) AS cum
+        |  FROM hist)
+        |SELECT l_returnflag, CAST(((cum - c) * 10) // n AS INTEGER) AS band,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  min(usd100) AS lo_usd100, max(usd100) AS hi_usd100
+        |FROM r GROUP BY 1, 2 ORDER BY l_returnflag, band""".stripMargin,
+
+    // late-data audit replayed: same per-user running max in event_id
+    // order, 600 s tolerance, exact floor-second arithmetic
+    "q123_late_data" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, sec,
+        |    max(sec) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        |l AS (
+        |  SELECT event_type,
+        |    CASE WHEN prev_max - sec > 600 THEN prev_max - sec END AS late_s
+        |  FROM m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(late_s) AS BIGINT) AS n_late,
+        |  COALESCE(max(late_s), 0) AS max_late_s
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // percentile state-merge: the oracle is the FULL RESCAN — equality
     // proves merge-refresh ≡ recompute for order statistics
     "q117_pctl_state_merge" ->

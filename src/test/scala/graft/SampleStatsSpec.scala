@@ -176,6 +176,65 @@ class SampleStatsSpec extends SparkSpec {
     assert(got("view") == ((1L, 200L, 1000L)))
   }
 
+  test("incremental CC ≡ full recompute; isolated docs stay singletons") {
+    // 61 docs: the max id is NOT 8-aligned, so the tail block synthesizes
+    // dst ids past the corpus end — the membership semi-join must drop
+    // them (the sf0.01 phantom-node mismatch this round's debug found)
+    val n = 61L
+    val dir = docsDir("ccinc", (0L until n).map(i => (i, "x")))
+    val got = Analytics.q121CcIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force full CC over the same synthesized block edges
+    val edges = (0L until n).filter(_ % 3 != 0)
+      .map(i => (i, (i - i % 8) + (i * 5 + 1) % 8))
+      .filter { case (a, b) => a != b && b < n }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x
+      else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0L until n).groupBy(find).map { case (r, m) =>
+      (r, m.size.toLong) }.toSeq.sorted
+    assert(got.toSeq == want)
+    assert(got.length > 1, "graph must have multiple components")
+    assert(got.exists(_._2 > 1), "and at least one non-trivial one")
+  }
+
+  test("price bands: deciles by first-row cumulative rank, exact integers") {
+    val dir = tmpDir("bands")
+    // 10 rows of $100..$1000 in one flag -> each $100 bin is its own decile
+    val rows = (1 to 10).map(i => ("A", i * 100.0)) :+ (("B", 250.0))
+    rows.toDF("l_returnflag", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Analytics.q122PriceBands(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    (0 to 9).foreach { b =>
+      assert(got(("A", b)) == ((1L, b + 1L, b + 1L)))
+    }
+    assert(got(("B", 0)) == ((1L, 2L, 2L)))
+  }
+
+  test("late data: running-max lateness per user, 600 s tolerance") {
+    val dir = tmpDir("late")
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "buy", 1.0, "{}"),
+      (2L, ts("2024-01-01 09:45:00"), 7L, "buy", 1.0, "{}"), // 900 s late
+      (3L, ts("2024-01-01 09:55:00"), 7L, "view", 1.0, "{}"), // 300 s: in tolerance
+      (4L, ts("2024-01-01 11:00:00"), 8L, "buy", 1.0, "{}")) // other user, fine
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Analytics.q123LateData(spark, dir).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("buy") == ((3L, 1L, 900L)))
+    assert(got("view") == ((1L, 0L, 0L)))
+  }
+
   test("percentile state merge ≡ rescan on a split fact") {
     val dir = tmpDir("pctl")
     val rows = Seq(
