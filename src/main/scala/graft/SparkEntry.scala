@@ -141,7 +141,12 @@ object SparkEntry {
     "q120_decay"              -> (Analytics.q120Decay _),
     "q121_cc_incremental"     -> (Analytics.q121CcIncremental _),
     "q122_price_bands"        -> (Analytics.q122PriceBands _),
-    "q123_late_data"          -> (Analytics.q123LateData _)
+    "q123_late_data"          -> (Analytics.q123LateData _),
+    "q124_interval_coalesce"  -> (Curation.q124IntervalCoalesce _),
+    "q126_bigram_lm"          -> (Curation.q126BigramLm _),
+    "q129_bfs"                -> (Curation.q129Bfs _),
+    "q130_markov_transitions" -> (Curation.q130MarkovTransitions _),
+    "q133_star_flatten"       -> (Curation.q133StarFlatten _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -153,5 +158,6 @@ object SparkEntry {
     * anchored by an exact, hash-matched twin of the same shape: q78
     * computes q70's distinct/quantile columns exactly, and q79 replays
     * one k-means update in fixed-point integer arithmetic. */
-  def oracleSql: Map[String, String] = RelationalOracles.sql ++ AnalyticsOracles.sql
+  def oracleSql: Map[String, String] =
+    RelationalOracles.sql ++ AnalyticsOracles.sql ++ CurationOracles.sql
 }

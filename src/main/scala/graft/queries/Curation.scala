@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+
+/** Round-11 curation/analytics operators: interval algebra, sequence-model
+  * scoring, graph traversal, transition matrices, and wide-table
+  * denormalization. Same contract as [[Analytics]]: every query is
+  * integer-exact (or identical-IEEE-op-sequence) so the DuckDB twin in
+  * [[CurationOracles]] hash-matches, and every shuffle is keyed on the
+  * matched quantity so the plan scales to the 100 TB design point.
+  */
+object Curation {
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+
+  // Interval coalescing (the calendar-coverage primitive: merge each key's
+  // overlapping validity windows, report merged-segment count + covered
+  // days). Intervals synthesized from orders: [orderdate, orderdate + 1 +
+  // orderkey%14). The sweep is the classic sort + running-max-end: a row
+  // opens a NEW segment iff its start clears the max end of all earlier
+  // rows — both windows share one partition-local sort on (custkey, st,
+  // en); no unpartitioned window, post-shuffle state O(orders per key).
+  def q124IntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir)("orders").select(
+        col("o_custkey").as("k"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("long").as("st"),
+        col("o_orderkey"))
+      .withColumn("en", col("st") + 1L + pmod(col("o_orderkey"), lit(14L)))
+      .drop("o_orderkey")
+    val ord = Window.partitionBy(col("k")).orderBy(col("st"), col("en"))
+    val seg = iv
+      .withColumn("pmax",
+        max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("seg",
+        sum(col("opens")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    seg.groupBy(col("k"), col("seg"))
+      .agg(min(col("st")).as("s0"), max(col("en")).as("e1"),
+        count(lit(1)).as("n"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("int").as("n_segments"),
+        sum(col("n")).cast("int").as("n_intervals"),
+        sum(col("e1") - col("s0")).as("covered_days"))
+      .select(col("k").as("o_custkey"), col("n_intervals"),
+        col("n_segments"), col("covered_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  // Bigram-LM transition surprisal (KenLM-style quality scoring, integer-
+  // exact): corpus bigram model P(w2|w1) = c(w1 w2)/c(w1 ·); each doc is
+  // scored by its mean inverse transition probability in micro units —
+  // floor(c1·1e6/c2) per distinct bigram, count-weighted per doc. All
+  // integer, so order-independent and hash-exact (the q105 pattern: ratio
+  // readouts instead of ln, whose last ulp differs across engines' libm).
+  // One text pass; the model join is keyed on the bigram string.
+  def q126BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir)("documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+      .where(size(col("a")) >= 2)
+    val bg = toks.select(col("doc_id"), explode(zip_with(
+        slice(col("a"), lit(1), size(col("a")) - 1),
+        slice(col("a"), lit(2), size(col("a")) - 1),
+        (x, y) => concat_ws(" ", x, y))).as("bg"))
+    val perDoc = bg.groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, Seq("w1"))
+      .select(col("bg"),
+        expr("c1 * 1000000 div c2").as("surprisal_micro"))
+    perDoc.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("surprisal_micro")).as("ssum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("ssum div n_bigrams").as("mean_surprisal_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Multi-source k-hop BFS over the q121 link graph (the reachability /
+  // contamination-radius primitive): seeds are doc_id % 97 == 0; four
+  // frontier-expansion rounds, each a keyed equi-join + anti-join against
+  // the visited set. Per the q119 lineage lesson, every round's frontier
+  // and visited set are localCheckpoint'ed — the plan tree stays O(1) per
+  // round instead of compounding. Readout: per-distance population
+  // checksums plus the unreached remainder as dist = -1.
+  def q129Bfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val e = Analytics.blockEdges(docs)
+    val adj = e.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var dist = docs.where(col("id") % 97 === 0)
+      .select(col("id"), lit(0).as("dist")).localCheckpoint()
+    var frontier = dist.select(col("id"))
+    for (r <- 1 to 4) {
+      val next = frontier.join(adj, frontier("id") === adj("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .select(col("id"), lit(r).as("dist")).localCheckpoint()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next.select(col("id"))
+    }
+    val unreached = docs.join(dist, Seq("id"), "left_anti")
+      .select(col("id"), lit(-1).as("dist"))
+    dist.union(unreached)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+      .orderBy(col("dist"))
+  }
+
+  // Event-type transition matrix (the session-model readout): per user,
+  // events ordered by (ts, event_id), adjacent-pair counts and the row-
+  // normalized transition probability in ppb (integer floor — exact).
+  // One partition-local window sort, one hash aggregate on the pair.
+  def q130MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val tr = t(s, dir)("events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = tr.groupBy(col("from_type")).agg(sum(col("c")).as("n"))
+    tr.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"),
+        expr("c * 1000000000 div n").as("p_ppb"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  // Star-schema flatten (the wide-training-table denormalization): fact
+  // lineitem joined through orders→customer→nation→region plus part and
+  // supplier, then rolled up to a checksum readout that is sensitive to
+  // every join column. nation/region ride broadcasts; orders/customer/
+  // part/supplier are keyed shuffle joins at 100 TB (AQE may still
+  // broadcast them at catalog SF — both are the right call at their
+  // respective scales).
+  def q133StarFlatten(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir)("lineitem")
+    val ord = t(s, dir)("orders")
+    val cust = t(s, dir)("customer")
+    val nat = broadcast(t(s, dir)("nation"))
+    val reg = broadcast(t(s, dir)("region"))
+    val part = t(s, dir)("part")
+    val supp = t(s, dir)("supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("l_returnflag"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("p_retailprice"))).as("sum_retail_c"),
+        sum(cents(col("s_acctbal"))).as("sum_acctbal_c"))
+      .orderBy(col("r_name"), col("l_returnflag"), col("o_orderpriority"))
+  }
+}
