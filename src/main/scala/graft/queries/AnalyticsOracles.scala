@@ -13,8 +13,7 @@ package graft.queries
 object AnalyticsOracles {
 
   /** DuckDB twin of PortableHashKernel.md5Head60 over a SQL expression. */
-  private def md5Head60(expr: String): String =
-    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+  private def md5Head60(expr: String): String = OracleUtil.md5Head60(expr)
 
   /** Shared CTEs: embeddings as double lists + sequential-order norms
     * (matches VectorFunctions.toDouble + l2Norm exactly). */
@@ -1785,15 +1784,7 @@ object AnalyticsOracles {
     // closure — equality proves the base+delta rep-graph merge ≡
     // recompute (same proof shape as q108/q117)
     "q121_cc_incremental" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM (
-        |    SELECT doc_id AS src,
-        |      (doc_id - (doc_id % 8)) + (doc_id * 5 + 1) % 8 AS dst
-        |    FROM documents WHERE doc_id % 3 <> 0) t
-        |  WHERE src <> dst
-        |    AND dst IN (SELECT doc_id FROM documents)),
-        |sym AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      s"""WITH RECURSIVE ${OracleUtil.blockGraphCtes},
         |reach AS (
         |  SELECT doc_id AS id, doc_id AS r FROM documents
         |  UNION

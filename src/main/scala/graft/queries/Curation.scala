@@ -62,7 +62,20 @@ object Curation {
   // floor(c1·1e6/c2) per distinct bigram, count-weighted per doc. All
   // integer, so order-independent and hash-exact (the q105 pattern: ratio
   // readouts instead of ln, whose last ulp differs across engines' libm).
-  // One text pass; the model join is keyed on the bigram string.
+  //
+  // Shuffle discipline (the q112 lesson, applied here after round 11
+  // shipped the anti-shape): every post-tokenizer key is a 60-bit
+  // md5Head60 LONG — the bigram string and its head word are hashed in
+  // the SAME projection that forms them and never travel. The per-doc
+  // census, the corpus census, the head-word rollup, and the model join
+  // all move 8 B keys (the raw-string version shipped ~50 B/key; q112
+  // measured that exact swap 310 s → 64 s at the 1000× decade). An hbg
+  // collision would merge two bigrams in BOTH engines (the oracle replays
+  // the identical hash), so the gate is unaffected; odds are ~V²/2⁶¹ for
+  // vocab V. Overflow: c1·1e6 and the per-doc accumulator both widen
+  // through decimal(38,0) (ADVICE r11 — at 100 TB c1 can reach ~1e12, so
+  // a handful of singleton-bigram terms would wrap a long accumulator
+  // silently while DuckDB raised).
   def q126BigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
@@ -70,19 +83,26 @@ object Curation {
     val bg = toks.select(col("doc_id"), explode(zip_with(
         slice(col("a"), lit(1), size(col("a")) - 1),
         slice(col("a"), lit(2), size(col("a")) - 1),
-        (x, y) => concat_ws(" ", x, y))).as("bg"))
-    val perDoc = bg.groupBy(col("doc_id"), col("bg"))
+        (x, y) => struct(
+          graft.functions.PortableHash.md5Head60(concat_ws(" ", x, y))
+            .as("hbg"),
+          graft.functions.PortableHash.md5Head60(x).as("h1")))).as("g"))
+      .select(col("doc_id"), col("g.hbg").as("hbg"), col("g.h1").as("h1"))
+    val perDoc = bg.groupBy(col("doc_id"), col("hbg"))
       .agg(count(lit(1)).as("c"))
-    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val model = c2.join(c1, Seq("w1"))
-      .select(col("bg"),
-        expr("c1 * 1000000 div c2").as("surprisal_micro"))
-    perDoc.join(model, Seq("bg"))
+    // (hbg, h1) grouping: h1 is determined by the bigram, so this equals
+    // the by-string census row for row while keeping the key 16 B
+    val c2 = bg.groupBy(col("hbg"), col("h1")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, Seq("h1"))
+      .select(col("hbg"),
+        expr("CAST(c1 AS DECIMAL(38,0)) * 1000000 div c2")
+          .as("surprisal_micro"))
+    perDoc.join(model, Seq("hbg"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c") * col("surprisal_micro")).as("ssum"))
+        sum(col("c").cast("decimal(38,0)") * col("surprisal_micro"))
+          .as("ssum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("ssum div n_bigrams").as("mean_surprisal_micro"))
       .orderBy(col("doc_id"))
@@ -135,9 +155,13 @@ object Curation {
       .groupBy(col("event_type").as("from_type"), col("to_type"))
       .agg(count(lit(1)).as("c"))
     val tot = tr.groupBy(col("from_type")).agg(sum(col("c")).as("n"))
+    // c · 1e9 widens through decimal(38,0): a (from, to) pair count above
+    // ~9.2e9 — plausible at 100 TB with few event types — would wrap long
+    // arithmetic silently where the DuckDB twin errors (ADVICE r11); the
+    // quotient itself is ≤ 1e9, comfortably long
     tr.join(tot, Seq("from_type"))
       .select(col("from_type"), col("to_type"), col("c"),
-        expr("c * 1000000000 div n").as("p_ppb"))
+        expr("CAST(c AS DECIMAL(38,0)) * 1000000000 div n").as("p_ppb"))
       .orderBy(col("from_type"), col("to_type"))
   }
 

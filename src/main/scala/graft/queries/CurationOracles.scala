@@ -40,52 +40,50 @@ object CurationOracles {
         |  CAST(sum(e1 - s0) AS BIGINT) AS covered_days
         |FROM segs GROUP BY k ORDER BY o_custkey""".stripMargin,
 
-    // bigram-LM surprisal replayed: positional dual-unnest zip, same
-    // integer micro-unit floor divisions
+    // bigram-LM surprisal replayed: positional dual-unnest zip, the SAME
+    // 60-bit md5 bigram/head keys the engine shuffles, and the same
+    // HUGEINT-widened (≡ decimal(38,0)) micro-unit floor divisions
     "q126_bigram_lm" ->
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT doc_id,
         |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER)
         |      AS pos,
         |    unnest(string_split(text,' ')) AS w
         |  FROM documents),
         |bg AS (
-        |  SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+        |  SELECT a.doc_id,
+        |    ${OracleUtil.md5Head60("a.w || ' ' || b.w")} AS hbg,
+        |    ${OracleUtil.md5Head60("a.w")} AS h1
         |  FROM tok a JOIN tok b
         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
         |per_doc AS (
-        |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c
-        |  FROM bg GROUP BY doc_id, bg),
+        |  SELECT doc_id, hbg, CAST(count(*) AS BIGINT) AS c
+        |  FROM bg GROUP BY doc_id, hbg),
         |c2 AS (
-        |  SELECT bg, w1, CAST(count(*) AS BIGINT) AS c2
-        |  FROM bg GROUP BY bg, w1),
-        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |  SELECT hbg, h1, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY hbg, h1),
+        |c1 AS (SELECT h1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY h1),
         |model AS (
-        |  SELECT bg, c1 * 1000000 // c2.c2 AS sm
-        |  FROM c2 JOIN c1 ON c1.w1 = c2.w1)
+        |  SELECT hbg, CAST(CAST(c1 AS HUGEINT) * 1000000 // c2.c2 AS BIGINT)
+        |    AS sm
+        |  FROM c2 JOIN c1 ON c1.h1 = c2.h1)
         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(c * sm) // sum(c) AS BIGINT) AS mean_surprisal_micro
-        |FROM per_doc JOIN model ON model.bg = per_doc.bg
+        |  CAST(sum(CAST(c AS HUGEINT) * sm) // sum(c) AS BIGINT)
+        |    AS mean_surprisal_micro
+        |FROM per_doc JOIN model ON model.hbg = per_doc.hbg
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // BFS replayed as the bounded recursive closure; min(dist) per node is
-    // first-reach depth, unreached docs fold in as dist -1
+    // first-reach depth, unreached docs fold in as dist -1. The edge
+    // synthesis is the SHARED blockGraphCtes text (one copy for q121 and
+    // q129, so the recipes cannot drift independently).
     "q129_bfs" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-        |  FROM (
-        |    SELECT doc_id AS src,
-        |      (doc_id - (doc_id % 8)) + (doc_id * 5 + 1) % 8 AS dst
-        |    FROM documents WHERE doc_id % 3 <> 0) t
-        |  WHERE src <> dst
-        |    AND dst IN (SELECT doc_id FROM documents)),
-        |adj AS (SELECT a AS src, b AS dst FROM e0
-        |        UNION ALL SELECT b, a FROM e0),
+      s"""WITH RECURSIVE ${OracleUtil.blockGraphCtes},
         |bfs(id, dist) AS (
         |  SELECT doc_id, 0 FROM documents WHERE doc_id % 97 = 0
         |  UNION
-        |  SELECT adj.dst, bfs.dist + 1
-        |  FROM bfs JOIN adj ON adj.src = bfs.id WHERE bfs.dist < 4),
+        |  SELECT sym.b, bfs.dist + 1
+        |  FROM bfs JOIN sym ON sym.a = bfs.id WHERE bfs.dist < 4),
         |md AS (SELECT id, CAST(min(dist) AS INTEGER) AS dist
         |       FROM bfs GROUP BY id),
         |alld AS (
@@ -98,7 +96,8 @@ object CurationOracles {
         |  CAST(sum(id) AS BIGINT) AS sum_id
         |FROM alld GROUP BY dist ORDER BY dist""".stripMargin,
 
-    // transition matrix replayed: same (ts, event_id) order, same ppb floor
+    // transition matrix replayed: same (ts, event_id) order, same
+    // HUGEINT-widened (≡ decimal(38,0)) ppb floor
     "q130_markov_transitions" ->
       """WITH tr AS (
         |  SELECT event_type AS from_type,
@@ -110,7 +109,8 @@ object CurationOracles {
         |  FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
         |tot AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS n
         |        FROM c GROUP BY from_type)
-        |SELECT c.from_type, to_type, c, c * 1000000000 // n AS p_ppb
+        |SELECT c.from_type, to_type, c,
+        |  CAST(CAST(c AS HUGEINT) * 1000000000 // n AS BIGINT) AS p_ppb
         |FROM c JOIN tot ON tot.from_type = c.from_type
         |ORDER BY c.from_type, to_type""".stripMargin,
 
