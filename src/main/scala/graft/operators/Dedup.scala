@@ -249,20 +249,11 @@ object Dedup {
   private[graft] def connectedComponentsWithHook(
       pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
       reliableInterval: Int, smallGraphThreshold: Long,
-      onRoundEnd: Int => Unit): DataFrame = {
-    // setCheckpointDir mutates SESSION-GLOBAL state: restore the caller's
-    // directory on every exit so an unrelated Dataset.checkpoint elsewhere
-    // in the application doesn't silently land under (and get swept with)
-    // this operator's directory. When no prior dir existed the CC dir
-    // stays set (Spark has no public unset); concurrent CC runs with
-    // different dirs on one SparkContext still race — use one dir.
-    val sc = pairs.sparkSession.sparkContext
-    val prevCkptDir = sc.getCheckpointDir
-    checkpointDir.foreach(sc.setCheckpointDir)
-    try ccLoop(pairs, maxIters, checkpointDir, reliableInterval,
-      smallGraphThreshold, onRoundEnd)
-    finally if (checkpointDir.isDefined) prevCkptDir.foreach(sc.setCheckpointDir)
-  }
+      onRoundEnd: Int => Unit): DataFrame =
+    IterativeCheckpointer.withCheckpointDir(pairs.sparkSession, checkpointDir) {
+      ccLoop(pairs, maxIters, checkpointDir, reliableInterval,
+        smallGraphThreshold, onRoundEnd)
+    }
 
   private def ccLoop(
       pairs: DataFrame, maxIters: Int, checkpointDir: Option[String],
@@ -270,62 +261,16 @@ object Dedup {
       onRoundEnd: Int => Unit): DataFrame = {
     val spark = pairs.sparkSession
 
-    // The persisted RDD behind an (local)checkpointed Dataset, for explicit
-    // round-to-round storage reclamation. Freeing a superseded RELIABLE
-    // round also deletes its checkpoint files — the ContextCleaner does not
-    // (cleanCheckpoints defaults off), and leaving one edge-set copy per
-    // reliable round on HDFS/S3 is exactly the storage leak the local path
-    // avoids.
-    def persistedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.analyzed match {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
-        case _ => None
-      }
-    def free(df: DataFrame): Unit = persistedRdd(df).foreach { rdd =>
-      rdd.unpersist(blocking = false)
-      rdd.getCheckpointFile.foreach { f =>
-        val path = new org.apache.hadoop.fs.Path(f)
-        path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(path, true)
-      }
-    }
-    // Every round materializes via eager localCheckpoint — the ONE action
-    // the observe() fingerprints ride on. Reliable rounds then write that
-    // already-persisted copy through Dataset.checkpoint: its count + file
-    // write jobs read the local copy's LogicalRDD plan, which carries no
-    // CollectMetrics node, so the fingerprints fire exactly once. (Reliable-
-    // checkpointing the observed plan directly would run it twice — count
-    // then checkpoint write — XORing every edge hash twice and cancelling
-    // the fingerprint to 0, which would collapse convergence detection to
-    // edge-count equality.)
-    def materialize(df: DataFrame, round: Int): DataFrame = {
-      val local = df.localCheckpoint(eager = true)
-      if (checkpointDir.isDefined && round % reliableInterval == 0) {
-        val reliable = local.checkpoint(eager = true)
-        free(local) // data now lives in the checkpoint dir
-        reliable
-      } else local
-    }
-
-    // In reliable mode EVERY long-lived frame (pair source, node set, seed
-    // edges, result) is file-backed, not just the rounds: localCheckpoint
-    // truncates lineage onto executor-local blocks, so storage loss — the
-    // exact failure reliable mode exists to survive — would otherwise kill
-    // the loop through its seeds rather than its rounds. The recovery unit
-    // is the round: a mid-round failure replays from the last reliable
-    // files. (Eviction-injection spec in DedupSimilaritySpec.)
-    // Same local-first discipline as materialize(): a direct
-    // Dataset.checkpoint(eager) on an unpersisted plan computes it TWICE
-    // (count job + checkpoint-write job) — for the pair source that would
-    // double the dominant LSH cost of the whole operator.
-    def promote(local: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) {
-        val reliable = local.checkpoint(eager = true)
-        free(local)
-        reliable
-      } else local
-    def stage(df: DataFrame): DataFrame =
-      promote(df.localCheckpoint(eager = true))
+    // Shared round-frame machinery (see IterativeCheckpointer's scaladoc
+    // for the local-first / observe-once / reclaim-reliable-files
+    // reasoning; the eviction-injection spec in DedupSimilaritySpec pins
+    // the durability contract). The CollectMetrics subtlety is why
+    // materialize localCheckpoints BEFORE the reliable write: a direct
+    // Dataset.checkpoint(eager) on the observed plan would run it twice,
+    // XORing every edge hash twice and collapsing convergence detection
+    // to edge-count equality.
+    val ck = new IterativeCheckpointer(spark, checkpointDir, reliableInterval)
+    import ck.{free, materialize, promote, stage, isReliableRound}
 
     // Materialize the (expensive — usually an LSH pipeline) pair source
     // once and cut its lineage; the loop re-reads it only to seed
@@ -414,8 +359,6 @@ object Dedup {
     // equivalent to local-only mode. Reclaimed when the next reliable
     // round lands (or at exit).
     var reliableAnchor: Option[DataFrame] = None
-    def isReliableRound(r: Int) =
-      checkpointDir.isDefined && r % reliableInterval == 0
     while (!converged && iter < maxIters) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val prev = e

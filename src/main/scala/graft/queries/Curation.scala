@@ -108,30 +108,22 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
-  // Multi-source k-hop BFS over the q121 link graph (the reachability /
-  // contamination-radius primitive): seeds are doc_id % 97 == 0; four
-  // frontier-expansion rounds, each a keyed equi-join + anti-join against
-  // the visited set. Per the q119 lineage lesson, every round's frontier
-  // and visited set are localCheckpoint'ed — the plan tree stays O(1) per
-  // round instead of compounding. Readout: per-distance population
+  // Multi-source 4-hop BFS over the q121 link graph (the reachability /
+  // contamination-radius primitive), via [[graft.operators.Graphs.bfs]]:
+  // seeds are doc_id % 97 == 0; each round a keyed frontier join + anti-
+  // join against the visited set, each round's DELTA an eagerly
+  // checkpointed leaf and the visited set only ever a lazy union of those
+  // leaves (the round-11 shape re-checkpointed the full visited set every
+  // round — O(V·rounds) wasted materialization, VERDICT r11; the operator
+  // also carries CC's reliable-checkpoint mode for executor-loss
+  // survival at cluster scale). Readout: per-distance population
   // checksums plus the unreached remainder as dist = -1.
   def q129Bfs(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
-    val e = Analytics.blockEdges(docs)
-    val adj = e.select(col("id1").as("src"), col("id2").as("dst"))
-      .union(e.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
-    var dist = docs.where(col("id") % 97 === 0)
-      .select(col("id"), lit(0).as("dist")).localCheckpoint()
-    var frontier = dist.select(col("id"))
-    for (r <- 1 to 4) {
-      val next = frontier.join(adj, frontier("id") === adj("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(dist, Seq("id"), "left_anti")
-        .select(col("id"), lit(r).as("dist")).localCheckpoint()
-      dist = dist.union(next).localCheckpoint()
-      frontier = next.select(col("id"))
-    }
+    val dist = graft.operators.Graphs.bfs(
+      Analytics.blockEdges(docs),
+      docs.where(col("id") % 97 === 0).select(col("id")),
+      maxHops = 4)
     val unreached = docs.join(dist, Seq("id"), "left_anti")
       .select(col("id"), lit(-1).as("dist"))
     dist.union(unreached)
