@@ -102,6 +102,33 @@ final class TableStore(spark: SparkSession, root: String,
     else spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
+  /** S4 literal point-lookup API (reference tasks.py:657-680
+    * `mfp_select_raw_days`): for `username` and an explicit date list,
+    * exactly one row PER REQUESTED DATE in list order — (userid, date,
+    * rawdaydata), with NULL rawdaydata where the store has no row (the
+    * reference appends `(username, date, None)` for a missing fetchone).
+    * Duplicate dates in the request yield duplicate rows, like the
+    * reference's per-date loop.
+    *
+    * Shape: the reference runs one SELECT per date; here the date list is
+    * a literal relation left-outer-joined over ONE scan. The userid
+    * predicate pushes into the parquet scan, and with the date-partitioned
+    * layout the tiny preserved side drives dynamic partition pruning of
+    * the null-producing fact side (Catalyst's canPruneRight covers
+    * LeftOuter), so the scan touches only the requested days at 100 TB —
+    * the same left-outer + null-for-missing semantics q05 oracle-checks. */
+  def selectRawDays(username: String,
+                    dates: Seq[java.time.LocalDate]): DataFrame = {
+    import spark.implicits._
+    val want = dates.map(java.sql.Date.valueOf)
+      .zipWithIndex.toDF("date", "ord")
+    val have = read("RawDayData").where(col("userid") === username)
+    want.join(have, Seq("date"), "left_outer")
+      .orderBy(col("ord"))
+      .select(org.apache.spark.sql.functions.lit(username).as("userid"),
+        col("date"), col("rawdaydata"))
+  }
+
   /** Plain append (reference M3 literal semantics). */
   def append(table: String, df: DataFrame): Unit = {
     initTable(table)

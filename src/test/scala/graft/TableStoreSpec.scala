@@ -70,6 +70,28 @@ class TableStoreSpec extends SparkSpec {
         Date.valueOf("2021-01-04")).count() == 1)
   }
 
+  test("S4 selectRawDays: one row per requested date, null for missing (tasks.py:657-680)") {
+    val s = mkStore
+    s.upsert("RawDayData", rawRows((u, "2021-01-01", "[{\"a\":1}]"),
+      (u, "2021-01-03", "[{\"b\":2}]"),
+      ("someone_else", "2021-01-02", "[{\"x\":9}]")))
+    val dates = Seq("2021-01-01", "2021-01-02", "2021-01-03", "2021-01-04")
+      .map(java.time.LocalDate.parse)
+    val got = s.selectRawDays(u, dates).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        Option(r.getString(2))))
+    // request order preserved; the missing day and the other user's day
+    // both come back as (user, date, None) — the reference's fetchone
+    // miss shape
+    assert(got.toSeq == Seq(
+      (u, "2021-01-01", Some("[{\"a\":1}]")),
+      (u, "2021-01-02", None),
+      (u, "2021-01-03", Some("[{\"b\":2}]")),
+      (u, "2021-01-04", None)))
+    // duplicate dates replay like the reference's per-date loop
+    assert(s.selectRawDays(u, Seq(dates.head, dates.head)).count() == 2)
+  }
+
   test("M3 replaceDays: changed day's child rows replaced, not appended") {
     val s = mkStore
     s.append("Water", waterRows((u, "2021-01-01", 100.0), (u, "2021-01-02", 200.0)))
