@@ -143,9 +143,14 @@ object SparkEntry {
     "q122_price_bands"        -> (Analytics.q122PriceBands _),
     "q123_late_data"          -> (Analytics.q123LateData _),
     "q124_interval_coalesce"  -> (Curation.q124IntervalCoalesce _),
+    "q125_knn_ivf_pq"         -> (Curation.q125KnnIvfPq _),
     "q126_bigram_lm"          -> (Curation.q126BigramLm _),
+    "q127_curation_pass"      -> (Curation.q127CurationPass _),
+    "q128_priority_sample"    -> (Curation.q128PrioritySample _),
     "q129_bfs"                -> (Curation.q129Bfs _),
     "q130_markov_transitions" -> (Curation.q130MarkovTransitions _),
+    "q131_attribution"        -> (Curation.q131Attribution _),
+    "q132_pareto_frontier"    -> (Curation.q132ParetoFrontier _),
     "q133_star_flatten"       -> (Curation.q133StarFlatten _)
   )
 

@@ -500,6 +500,111 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
   }
 
+  /** IVF-PQ (IVFADC, Jégou et al.) — the production 100 TB ANN shape,
+    * composing [[ivfTopK]]'s cell routing with [[pqAdcTopK]]'s compressed
+    * scoring: vectors land in integer fixed-point, route to `nCells`
+    * md5-seeded cells by exact integer L2, and queries probe only their
+    * `nProbe` nearest cells; PQ codes (m subspaces × kCodes md5-seeded
+    * codebooks) are ADC-scored ONLY for probed-cell members — candidate
+    * cost ~ (nProbe/nCells)·N·m versus q88's full-corpus ADC — then the
+    * integer-exact rerank k-bounds the result per query.
+    *
+    * All-long/decimal arithmetic end to end, so unlike float IVF the FULL
+    * ranking hash-matches a DuckDB twin (q125): the driver gate covers
+    * routing, probe choice, encode, ADC join shape, and rerank at once.
+    *
+    * Scale shape: cells and codebooks ride broadcasts; both argmins are
+    * decimal-packed map-side-combining HashAggregates (min(d2·M + id) —
+    * a min_by(struct) here would silently plan SortAggregateExec and sort
+    * the N·K assignment stream, the q95 lesson); the probe window ranks a
+    * broadcast-bounded q×nCells grid, never the corpus; the members join
+    * hash-partitions on the cell id. Fixed nCells keeps routing O(N·K·d)
+    * — production at corpus-scaled K would add [[semanticDedup]]'s √K
+    * hierarchical routing; the join shape downstream is identical. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, nProbe: Int, m: Int, kCodes: Int, scale: Long,
+                queryPred: Column, rerank: Int, k: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
+    val q = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        transform(col(vecCol),
+          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sd = dim / m
+    // plan-time scalar for the decimal argmin packing (one max job)
+    val mExclusive = q.agg(max(col("id"))).first().getLong(0) + 1L
+    def argminTo(pairs: DataFrame, idC: String, distC: Column,
+                 keyC: String, outC: String): DataFrame =
+      pairs
+        .select(col(idC),
+          (distC.cast("decimal(38,0)") * lit(mExclusive) + col(keyC)).as("pd"))
+        .groupBy(col(idC))
+        .agg(min(col("pd")).as("pd"))
+        .select(col(idC), (col("pd") % lit(mExclusive)).cast("long").as(outC))
+    def mdSeeds(salt: String, n: Int, outId: String) = q
+      .withColumn("h", graft.functions.PortableHash.md5Head60(
+        concat(lit(salt), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(n)
+      .select(col("id").as(outId), col("qv").as("cv"))
+
+    // IVF routing: every vector to its (integer-L2) nearest cell
+    val cells = mdSeeds("ivf:", nCells, "cid")
+    val assigned = argminTo(q.crossJoin(broadcast(cells)), "id",
+      call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
+    // queries probe their nProbe nearest cells — a q×nCells grid window
+    val qVecs = q.where(queryPred).select(col("id").as("qid"), col("qv"))
+    val probeW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
+    val probes = qVecs.crossJoin(broadcast(cells))
+      .select(col("qid"), col("cid"),
+        call_function("long_sq_dist", col("qv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+
+    // PQ encode (whole corpus — the index build) + per-query ADC tables
+    val seeds = mdSeeds("pq:", kCodes, "ccid")
+    def subspaces(df: DataFrame, vec: String, out: String) =
+      df.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+        .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
+        .drop(vec)
+    val subC = subspaces(seeds, "cv", "csub")
+    val d2sub = call_function("long_sq_dist", col("sub"), col("csub"))
+    val codes = argminTo(
+      subspaces(q, "qv", "sub").join(broadcast(subC), "s")
+        .withColumn("ik", col("id") * m + col("s")), // (id, s) packed for the argmin
+      "ik", d2sub, "ccid", "code")
+      .select(expr(s"ik div $m").as("id"),
+        pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
+    val table = subspaces(qVecs.withColumnRenamed("qid", "id")
+        .withColumnRenamed("qv", "tv"), "tv", "sub")
+      .join(broadcast(subC), "s")
+      .select(col("id").as("qid"), col("s"), col("ccid").as("code"),
+        call_function("long_sq_dist", col("sub"), col("csub")).as("td2"))
+
+    // ADC confined to probed-cell members — the IVF win over q88
+    val members = assigned.join(probes, "cid").select(col("qid"), col("id"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
+    val shortlist = members.join(codes, "id")
+      .join(broadcast(table), Seq("qid", "s", "code"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("td2")).as("adc"))
+      .withColumn("arank", row_number().over(wAdc))
+      .where(col("arank") <= rerank)
+      .select(col("qid"), col("id"), col("adc"))
+    // integer-exact rerank of the broadcast-bounded shortlist
+    val qFull = qVecs.withColumnRenamed("qv", "quv")
+    val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    q.join(broadcast(shortlist), "id")
+      .join(broadcast(qFull), "qid")
+      .select(col("qid"), col("id"), col("adc"),
+        call_function("long_sq_dist", col("qv"), col("quv")).as("d2"))
+      .withColumn("rank", row_number().over(wEx))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
+  }
+
   /** The all-pairs reference implementation — spec-only, kept as ground
     * truth for the recall pin on [[cosineNearDupPairs]] (its `id1 < id2`
     * self-join is the BNLJ anti-pattern the LSH composition removed). */

@@ -108,6 +108,88 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // IVF-PQ ANN (the production 100 TB shape — q39's cell routing composed
+  // with q88's compressed scoring, see Similarity.ivfPqTopK): 16 integer-
+  // L2 cells, 4 probed per query, 16×16 md5-seeded codebooks, ADC only
+  // for probed-cell members (~nProbe/nCells of the corpus vs q88's full-
+  // corpus ADC), shortlist 30, integer-exact rerank to top-5. All-long
+  // arithmetic, so the FULL ranking hash-matches the DuckDB twin; recall
+  // vs exact L2 at these parameters is pinned in PQSpec.
+  def q125KnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfPqTopK(t(s, dir)("embeddings"),
+      "vec_id", "embedding", nCells = 16, nProbe = 4, m = 16, kCodes = 16,
+      scale = 1000000L, queryPred = col("id") < 8, rerank = 30, k = 5)
+      .orderBy(col("qid"), col("rank"))
+
+  // Composed curation pass (q67 extended with the dedup ladder a training
+  // corpus actually runs): re-crawl simulation (every 7th doc duplicated
+  // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →
+  // exact dedup (min doc_id per distinct text) → SemDeDup over the
+  // SURVIVORS' embeddings (so the adaptive K, seeds, and cells differ
+  // from q95's full-corpus run — the oracle replays the whole ladder).
+  // Per-doc verdict: quality_drop / exact_dup / semantic_dup / kept, with
+  // the semantic cell + lower-id-dup count where the doc reached stage 3.
+  //
+  // Scale notes: the quality gate fuses into the corpus scan; the exact-
+  // dedup exchange carries (text-group key, id) not text; keeper IS NULL
+  // stands in for the quality verdict (same text ⇒ same gate result, so
+  // a doc's text appears in `exact` iff the doc passed — one corpus-pass
+  // saved); the survivor embedding frame is localCheckpoint'ed because
+  // semanticDedup runs two eager sizing jobs over its input (q67's
+  // pay-the-upstream-once pattern).
+  def q127CurationPass(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val qual = corpus.where(TextFunctions.langId(col("text")) === "en" &&
+      TextFunctions.qualityScoreBp(col("text")) >= 5000)
+    val exact = qual.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+    val surv = exact.select(col("keeper").as("doc_id"))
+    val se = t(s, dir)("embeddings").where(col("embedding").isNotNull)
+      .join(surv, col("vec_id") === col("doc_id"), "left_semi")
+      .localCheckpoint()
+    val sem = graft.operators.Similarity.semanticDedup(
+      se, "vec_id", "embedding",
+      scale = 1000000L, targetCell = 64, minK = 8, thresholdPct = 45)
+    corpus
+      .join(exact, Seq("text"), "left")
+      .join(sem.select(col("id").as("doc_id"), col("cid"),
+        col("n_dups_lower")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("keeper").isNull, "quality_drop")
+          .when(col("keeper") =!= col("doc_id"), "exact_dup")
+          .when(col("n_dups_lower") > 0, "semantic_dup")
+          .otherwise("kept").as("stage"),
+        col("cid").as("sem_cid"), col("n_dups_lower"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Deterministic weighted priority sampling (Efraimidis–Spirakis shape
+  // with an md5 priority instead of RNG state — reproducible across
+  // engines and runs): per source stratum, rank docs by
+  // floor(h / n_chars) ascending (small hash, large weight first —
+  // weight-proportional preference; the 60-bit h already carries far more
+  // resolution than any weight, and pre-scaling h would push the quotient
+  // past int64 — h·1e6/48 ≈ 2.4e22). One corpus map + a per-stratum
+  // WindowGroupLimit top-k: each partition forwards at most k rows per
+  // stratum before the single exchange, post-shuffle state O(strata · k).
+  def q128PrioritySample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("priority"), col("doc_id"))
+    t(s, dir)("documents")
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.functions.PortableHash.md5Head60(
+          concat(lit("ps:"), col("doc_id").cast("string"))).as("h"))
+      .select(col("source"), col("doc_id"), col("n_chars").as("weight"),
+        expr("h div n_chars").as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"), col("weight"),
+        col("priority"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   // Multi-source 4-hop BFS over the q121 link graph (the reachability /
   // contamination-radius primitive), via [[graft.operators.Graphs.bfs]]:
   // seeds are doc_id % 97 == 0; each round a keyed frontier join + anti-
@@ -131,6 +213,62 @@ object Curation {
       .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
         max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
       .orderBy(col("dist"))
+  }
+
+  // Last-touch conversion attribution (the marketing-analytics readout
+  // every event pipeline serves): each purchase attributes to the user's
+  // most recent PRECEDING non-purchase event within 3600 s, else 'none'.
+  // The carried (ts, type) pair rides two IGNORE-NULLS last() calls over
+  // ONE partition-local (ts, event_id) window sort — the nulls align (both
+  // null exactly on purchase rows), so the pair stays consistent without a
+  // struct column; floor-second integer lateness keeps the cutoff exact.
+  // Readout: per attributed touch type, conversion count + value cents.
+  def q131Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touchable = when(col("event_type") =!= "purchase",
+      col("event_type"))
+    val touchSec = when(col("event_type") =!= "purchase", col("sec"))
+    t(s, dir)("events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"), cents(col("value")).as("value_c"),
+        unix_timestamp(col("ts")).as("sec"))
+      .select(col("event_id"), col("event_type"), col("value_c"), col("sec"),
+        last(touchable, ignoreNulls = true).over(w).as("t_type"),
+        last(touchSec, ignoreNulls = true).over(w).as("t_sec"))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("value_c"),
+        when(col("t_sec").isNotNull && col("sec") - col("t_sec") <= 3600L,
+          col("t_type")).otherwise("none").as("touch_type"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value_c")).as("sum_value_c"))
+      .orderBy(col("touch_type"))
+  }
+
+  // Per-group Pareto frontier (the 2-D skyline sweep): for each brand,
+  // the strictly-undominated (price, size) staircase — a part is on the
+  // frontier iff no cheaper-or-equal part has an equal-or-larger size.
+  // Reduction: collapse to max size per (brand, price_c) first (kills
+  // same-price dominance and bounds the window input to distinct prices),
+  // then one partition-local sort by price with a strict running-max-size
+  // test — the same sweep family as q124's interval coalesce, dominance
+  // semantics instead of overlap. No unpartitioned window; state O(
+  // distinct prices per brand).
+  def q132ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = t(s, dir)("part")
+      .select(col("p_brand"), cents(col("p_retailprice")).as("price_c"),
+        col("p_size"))
+      .groupBy(col("p_brand"), col("price_c"))
+      .agg(max(col("p_size")).as("max_size"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byPrice
+      .withColumn("pmax", max(col("max_size")).over(w))
+      .where(col("pmax").isNull || col("max_size") > col("pmax"))
+      .select(col("p_brand"), col("price_c"), col("max_size"))
+      .orderBy(col("p_brand"), col("price_c"))
   }
 
   // Event-type transition matrix (the session-model readout): per user,

@@ -40,6 +40,167 @@ object CurationOracles {
         |  CAST(sum(e1 - s0) AS BIGINT) AS covered_days
         |FROM segs GROUP BY k ORDER BY o_custkey""".stripMargin,
 
+    // IVF-PQ replayed end to end: same fixed-point vectors, md5-seeded
+    // cells ('ivf:') and codebooks ('pq:'), integer-L2 cell assignment and
+    // probe ranking, per-subspace argmin encode, ADC restricted to probed-
+    // cell members, exact integer rerank — q88's oracle with the routing
+    // CTEs in front
+    "q125_knn_ivf_pq" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cells AS (
+         |  SELECT id AS cid, qv AS cv FROM q
+         |  ORDER BY ${OracleUtil.md5Head60("'ivf:' || CAST(id AS VARCHAR)")}, id
+         |  LIMIT 16),
+         |elf AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM q),
+         |clf AS (
+         |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
+         |    unnest(cv) AS v
+         |  FROM cells),
+         |cd AS (
+         |  SELECT elf.id, clf.cid,
+         |    CAST(sum((elf.v - clf.v) * (elf.v - clf.v)) AS BIGINT) AS d2
+         |  FROM elf JOIN clf ON clf.pos = elf.pos
+         |  GROUP BY elf.id, clf.cid),
+         |asg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM cd) x
+         |  WHERE rn = 1),
+         |probes AS (
+         |  SELECT id AS qid, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM cd WHERE id < 8) x
+         |  WHERE rn <= 4),
+         |seeds AS (
+         |  SELECT id AS ccid, qv AS cv FROM q
+         |  ORDER BY ${OracleUtil.md5Head60("'pq:' || CAST(id AS VARCHAR)")}, id
+         |  LIMIT 16),
+         |sub_q AS (
+         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
+         |  FROM q CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |sub_c AS (
+         |  SELECT ccid, s, cv[s*4+1 : s*4+4] AS csub
+         |  FROM seeds CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |els AS (
+         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
+         |    unnest(sub) AS v
+         |  FROM sub_q),
+         |cels AS (
+         |  SELECT ccid, s, CAST(unnest(range(len(csub))) AS INTEGER) AS pos,
+         |    unnest(csub) AS v
+         |  FROM sub_c),
+         |dist AS (
+         |  SELECT els.id, cels.ccid, els.s,
+         |    CAST(sum((els.v - cels.v) * (els.v - cels.v)) AS BIGINT) AS d2
+         |  FROM els JOIN cels ON els.pos = cels.pos AND els.s = cels.s
+         |  GROUP BY els.id, cels.ccid, els.s),
+         |codes AS (
+         |  SELECT id, s, ccid AS code FROM (
+         |    SELECT id, s, ccid,
+         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
+         |    FROM dist) x
+         |  WHERE rn = 1),
+         |members AS (
+         |  SELECT p.qid, a.id FROM asg a JOIN probes p ON p.cid = a.cid),
+         |adc AS (
+         |  SELECT m.qid, m.id, CAST(sum(t.d2) AS BIGINT) AS adc
+         |  FROM members m JOIN codes c ON c.id = m.id
+         |  JOIN dist t ON t.id = m.qid AND t.s = c.s AND t.ccid = c.code
+         |  GROUP BY m.qid, m.id),
+         |shortlist AS (
+         |  SELECT qid, id, adc FROM (
+         |    SELECT qid, id, adc,
+         |      row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS arank
+         |    FROM adc) x
+         |  WHERE arank <= 30),
+         |ex AS (
+         |  SELECT sl.qid, sl.id, sl.adc,
+         |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+         |  FROM shortlist sl
+         |  JOIN elf a ON a.id = sl.qid
+         |  JOIN elf b ON b.id = sl.id AND b.pos = a.pos
+         |  GROUP BY sl.qid, sl.id, sl.adc),
+         |rr AS (
+         |  SELECT qid, id, adc, d2,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY d2, id) AS INTEGER) AS rank
+         |  FROM ex)
+         |SELECT qid, rank, id, adc, d2 FROM rr
+         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // composed curation ladder replayed: the q67 quality gate over the
+    // cloned corpus, min-id exact dedup, then the SHARED SemDeDup CTEs
+    // over the survivors' embeddings; per-doc verdict joined back
+    "q127_curation_pass" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text,' ')) AS n,
+         |    len(list_filter(string_split(text,' '), x -> x = 'the'))
+         |      + len(list_filter(string_split(text,' '), x -> x = 'a')) AS en,
+         |    len(list_filter(string_split(text,' '), x -> x = 'data'))
+         |      + len(list_filter(string_split(text,' '), x -> x = 'table')) AS es,
+         |    len(list_filter(string_split(text,' '), x -> x = 'group'))
+         |      + len(list_filter(string_split(text,' '), x -> x = 'fast')) AS de
+         |  FROM corpus),
+         |qual AS (
+         |  SELECT doc_id, text FROM scored
+         |  WHERE NOT (en = 0 AND es = 0 AND de = 0) AND en >= es AND en >= de
+         |    AND CAST(trunc((CASE WHEN n BETWEEN 20 AND 80 THEN 2 ELSE 1 END)
+         |          * (n - en) * 10000.0 / (n * 2)) AS INTEGER) >= 5000),
+         |exact AS (
+         |  SELECT text, min(doc_id) AS keeper FROM qual GROUP BY text),
+         |q AS (
+         |  SELECT e.vec_id AS id,
+         |    list_transform(e.embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings e
+         |  WHERE e.embedding IS NOT NULL
+         |    AND e.vec_id IN (SELECT keeper FROM exact)),
+         |${OracleUtil.semanticDedupCtes},
+         |sem AS (
+         |  SELECT a.id, a.cid, coalesce(d.n_dups_lower, 0) AS ndl
+         |  FROM asg a LEFT JOIN dups d ON d.id = a.id)
+         |SELECT c.doc_id,
+         |  CASE WHEN e.keeper IS NULL THEN 'quality_drop'
+         |       WHEN e.keeper <> c.doc_id THEN 'exact_dup'
+         |       WHEN s.ndl > 0 THEN 'semantic_dup'
+         |       ELSE 'kept' END AS stage,
+         |  s.cid AS sem_cid, s.ndl AS n_dups_lower
+         |FROM corpus c
+         |LEFT JOIN exact e ON e.text = c.text
+         |LEFT JOIN sem s ON s.id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    // deterministic weighted priority sampling replayed: same md5
+    // priority, same integer floor division, same per-stratum top-10
+    "q128_priority_sample" ->
+      s"""WITH p AS (
+         |  SELECT source, doc_id, n_chars AS weight,
+         |    ${OracleUtil.md5Head60("'ps:' || CAST(doc_id AS VARCHAR)")}
+         |      // n_chars AS priority
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, weight, priority,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY priority, doc_id) AS INTEGER) AS rank
+         |  FROM p)
+         |SELECT source, rank, doc_id, weight, priority FROM r
+         |WHERE rank <= 10 ORDER BY source, rank""".stripMargin,
+
     // bigram-LM surprisal replayed: positional dual-unnest zip, the SAME
     // 60-bit md5 bigram/head keys the engine shuffles, and the same
     // HUGEINT-widened (≡ decimal(38,0)) micro-unit floor divisions
@@ -113,6 +274,49 @@ object CurationOracles {
         |  CAST(CAST(c AS HUGEINT) * 1000000000 // n AS BIGINT) AS p_ppb
         |FROM c JOIN tot ON tot.from_type = c.from_type
         |ORDER BY c.from_type, to_type""".stripMargin,
+
+    // last-touch attribution replayed: same (ts, event_id) order, same
+    // aligned IGNORE-NULLS carried pair, same floor-second 3600 s cutoff
+    "q131_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS value_c,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |m AS (
+        |  SELECT event_id, event_type, value_c, sec,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS) OVER w AS t_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN sec END IGNORE NULLS) OVER w AS t_sec
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |a AS (
+        |  SELECT CASE WHEN t_sec IS NOT NULL AND sec - t_sec <= 3600
+        |              THEN t_type ELSE 'none' END AS touch_type,
+        |    value_c
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+        |  CAST(sum(value_c) AS BIGINT) AS sum_value_c
+        |FROM a GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
+    // pareto frontier replayed: same cents bins, same max-size collapse,
+    // same strict running-max sweep
+    "q132_pareto_frontier" ->
+      """WITH bp AS (
+        |  SELECT p_brand,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    max(p_size) AS max_size
+        |  FROM part GROUP BY p_brand, price_c),
+        |m AS (
+        |  SELECT p_brand, price_c, max_size,
+        |    max(max_size) OVER (PARTITION BY p_brand ORDER BY price_c
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM bp)
+        |SELECT p_brand, price_c, max_size FROM m
+        |WHERE pmax IS NULL OR max_size > pmax
+        |ORDER BY p_brand, price_c""".stripMargin,
 
     // star flatten replayed: the same 6-way join and cents checksums
     "q133_star_flatten" ->

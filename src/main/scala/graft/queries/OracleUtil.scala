@@ -17,6 +17,87 @@ private[queries] object OracleUtil {
     * canonical undirected edges `e0(a, b)` (a < b) plus the symmetrized
     * `sym(a, b)` both directions. The dst membership semi-join is
     * load-bearing — see blockEdges' scaladoc (phantom tail-block ids). */
+  /** SemDeDup decision replay ([[graft.operators.Similarity.semanticDedup]]
+    * at scale 1e6, targetCell 64, minK 8, threshold 45%): given a prior
+    * CTE `q(id, qv)` of fixed-point long vectors, defines the adaptive-K
+    * seed draw, √K super-cell routing, cell assignment `asg(id, cid)` and
+    * lower-id near-dup census `dups(id, n_dups_lower)`. ONE copy shared by
+    * q95 (full corpus) and q127 (curation survivors) so the two replays
+    * cannot drift. */
+  val semanticDedupCtes: String =
+    s"""kk AS (
+       |  SELECT GREATEST(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+       |  FROM q),
+       |ranked AS (
+       |  SELECT id, qv, row_number() OVER (ORDER BY
+       |    ${md5Head60("'sem:' || CAST(id AS VARCHAR)")}, id) AS rn
+       |  FROM q),
+       |seeds AS (
+       |  SELECT id AS cid, qv AS cv FROM ranked
+       |  WHERE rn <= (SELECT k FROM kk)),
+       |supers AS (
+       |  SELECT id AS sid, qv AS sv FROM ranked
+       |  WHERE rn <= (SELECT CAST(ceil(sqrt(k)) AS BIGINT) FROM kk)),
+       |el AS (
+       |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+       |    unnest(qv) AS v
+       |  FROM q),
+       |cel AS (
+       |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
+       |    unnest(cv) AS v
+       |  FROM seeds),
+       |sel AS (
+       |  SELECT sid, CAST(unnest(range(len(sv))) AS INTEGER) AS pos,
+       |    unnest(sv) AS v
+       |  FROM supers),
+       |sasg AS (
+       |  SELECT cid, sid FROM (
+       |    SELECT cel.cid, sel.sid,
+       |      row_number() OVER (PARTITION BY cel.cid ORDER BY
+       |        sum((cel.v - sel.v) * (cel.v - sel.v)), sel.sid) AS rn
+       |    FROM cel JOIN sel ON sel.pos = cel.pos
+       |    GROUP BY cel.cid, sel.sid) x
+       |  WHERE rn = 1),
+       |qsasg AS (
+       |  SELECT id, sid FROM (
+       |    SELECT el.id, sel.sid,
+       |      row_number() OVER (PARTITION BY el.id ORDER BY
+       |        sum((el.v - sel.v) * (el.v - sel.v)), sel.sid) AS rn
+       |    FROM el JOIN sel ON sel.pos = el.pos
+       |    GROUP BY el.id, sel.sid) x
+       |  WHERE rn = 1),
+       |dist AS (
+       |  SELECT el.id, cel.cid,
+       |    CAST(sum((el.v - cel.v) * (el.v - cel.v)) AS BIGINT) AS d2
+       |  FROM el JOIN qsasg ON qsasg.id = el.id
+       |  JOIN sasg ON sasg.sid = qsasg.sid
+       |  JOIN cel ON cel.cid = sasg.cid AND cel.pos = el.pos
+       |  GROUP BY el.id, cel.cid),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM dist) x
+       |  WHERE rn = 1),
+       |n2 AS (
+       |  SELECT id, CAST(sum(v * v) AS BIGINT) AS n2
+       |  FROM el GROUP BY id),
+       |dots AS (
+       |  SELECT ax.id AS id1, ay.id AS id2,
+       |    CAST(sum(ex.v * ey.v) AS BIGINT) AS dot
+       |  FROM asg ax JOIN asg ay ON ax.cid = ay.cid AND ax.id < ay.id
+       |  JOIN el ex ON ex.id = ax.id
+       |  JOIN el ey ON ey.id = ay.id AND ey.pos = ex.pos
+       |  GROUP BY ax.id, ay.id),
+       |near AS (
+       |  SELECT d.id1, d.id2 FROM dots d
+       |  JOIN n2 a ON a.id = d.id1 JOIN n2 b ON b.id = d.id2
+       |  WHERE d.dot > 0 AND
+       |    CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT) * 10000
+       |      >= CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT) * 2025),
+       |dups AS (
+       |  SELECT id2 AS id, count(*) AS n_dups_lower FROM near GROUP BY id2)""".stripMargin
+
   val blockGraphCtes: String =
     """e0 AS (
       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

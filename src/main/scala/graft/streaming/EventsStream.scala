@@ -8,6 +8,12 @@ import org.apache.spark.sql.types._
 /** Keyed session accumulator for [[EventsStream.sessionize]]. */
 case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 
+/** Carried last event per user for [[EventsStream.transitions]]. */
+case class LastEvent(ts: Long, eventId: Long, eventType: String)
+
+/** One emitted adjacent-pair transition. */
+case class Transition(user_id: Long, from_type: String, to_type: String)
+
 /** Emitted closed session. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
                    session_end: java.sql.Timestamp, n_events: Long,
@@ -131,6 +137,47 @@ object EventsStream {
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Streaming twin of q130's transition matrix (the round-11 batch
+    * operator): per-user adjacent-pair extraction via
+    * `flatMapGroupsWithState`. State per key is ONE carried (ts, event_id,
+    * event_type); each arriving event emits a (from, to) pair against it
+    * and replaces it. Within a batch the group's events sort by
+    * (ts, event_id) — the identical total order q130's lead() window uses
+    * — so for any batch split that respects per-user event-time order the
+    * emitted pair multiset equals the batch window's exactly (pinned in
+    * EventsStreamSpec against Curation.q130MarkovTransitions on the same
+    * rows, split mid-user across triggers). A genuinely late event would
+    * pair against the carried state rather than its true predecessor —
+    * production fronts this with the watermark + ordering buffer the
+    * sessionizer documents; counts downstream are a streaming aggregate.
+    * State never exceeds one small struct per active user. */
+  def transitions(events: DataFrame): Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(uid: Long,
+               it: Iterator[(Long, java.sql.Timestamp, Long, String)],
+               state: GroupState[LastEvent]): Iterator[Transition] = {
+      val evs = it.toSeq.sortBy(e => (e._2.getTime, e._3))
+      var last = state.getOption
+      val out = Seq.newBuilder[Transition]
+      evs.foreach { case (_, ts, eid, et) =>
+        last.foreach(l => out += Transition(uid, l.eventType, et))
+        last = Some(LastEvent(ts.getTime, eid, et))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Parse the simple "N unit" interval strings this module accepts, for

@@ -159,4 +159,96 @@ class CurationOpsSpec extends SparkSpec {
     assert(byShard.values.forall(s =>
       s.map(_._3).sorted.toSeq == (1 to s.length).toSeq))
   }
+
+  test("q127 ladder: quality, exact and semantic stages each claim their doc") {
+    // 12 quality-passing survivors (0..11) — adaptive K = minK = 8, and
+    // the md5 'sem:' draw over 0..11 seeds exactly {0,1,3,5,7,8,9,11}.
+    // Doc 4 is NOT a seed and its embedding is colinear with seed 3's
+    // (orthogonal to every other seed), so it lands in cell 3 at cosine
+    // ≈ 1 → semantic_dup. Doc 12 repeats doc 0's text → exact_dup; doc
+    // 13 is spanish-majority → quality_drop; docs 0 and 7 (id % 7 == 0)
+    // get re-crawl clones, which must land exact_dup under min-id keep.
+    val enText = "the cat a dog the fish a bird the cow a hen the ox a ram " +
+      "the sun a moon the star a sky the tree a leaf the root a stem"
+    val docs = ((0L until 12L).map(i => (i, s"$enText u$i")) ++ Seq(
+      (12L, s"$enText u0"),
+      (13L, "data table data table data table data table")
+    )).toDF("doc_id", "text")
+    def basis(pos: Int, v: Float) =
+      (0 until 16).map(j => if (j == pos) v else 0.0f)
+    val emb = (0L until 12L).map { i =>
+      if (i == 4L) (i, basis(3, 0.999999f)) else (i, basis(i.toInt, 1.0f))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ladder").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    emb.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.Curation.q127CurationPass(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 16) // 14 corpus docs + clones of 0 and 7
+    assert(got(4L) == "semantic_dup")    // cosine ≈ 1 vs lower-id seed 3
+    assert(got(12L) == "exact_dup")      // same text as doc 0, higher id
+    assert(got(13L) == "quality_drop")
+    assert(got(1000000L) == "exact_dup") // re-crawl clone of doc 0
+    assert(got(1000007L) == "exact_dup") // re-crawl clone of doc 7
+    assert((0L until 12L).filter(_ != 4L).forall(got(_) == "kept"))
+  }
+
+  test("q131 attribution: last touch only, within the 3600s window") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows = Seq(
+      // user 1: view at t=0, click at t=100, purchase at t=200 → click
+      (1L, ts(0), 1L, "view", 0.0, "{}"),
+      (2L, ts(100), 1L, "click", 0.0, "{}"),
+      (3L, ts(200), 1L, "purchase", 10.0, "{}"),
+      // user 2: view at t=0, purchase at t=4000 → stale touch → none
+      (4L, ts(0), 2L, "view", 0.0, "{}"),
+      (5L, ts(4000), 2L, "purchase", 20.0, "{}"),
+      // user 3: purchase with no prior events at all → none; an earlier
+      // PURCHASE must not become a touch for the later one
+      (6L, ts(50), 3L, "purchase", 30.0, "{}"),
+      (7L, ts(60), 3L, "purchase", 40.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.queries.Curation.q131Attribution(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("click", 1L, 1000L), ("none", 3L, 9000L)))
+  }
+
+  test("q132 pareto: dominated points drop, same-price collapses to max") {
+    val parts = Seq(
+      // brand A: (1.00, 5) frontier; (1.00, 3) collapsed away;
+      // (2.00, 7) frontier; (3.00, 6) dominated by (2.00, 7)
+      ("A", 1.00, 5), ("A", 1.00, 3), ("A", 2.00, 7), ("A", 3.00, 6),
+      // brand B: equal size at higher price is dominated (strict test)
+      ("B", 1.50, 4), ("B", 2.50, 4)
+    ).zipWithIndex.map { case ((b, p, sz), i) =>
+      (i.toLong, s"part$i", b, "t", sz, p)
+    }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val dir = java.nio.file.Files.createTempDirectory("pareto").toString
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = graft.queries.Curation.q132ParetoFrontier(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq(("A", 100L, 5), ("A", 200L, 7), ("B", 150L, 4)))
+  }
+
+  test("q128 priority sampling is deterministic and weight-biased") {
+    // two strata; within 'big' one doc carries 100× the weight of the
+    // rest — its priority h/w shrinks ~100×, so it must sample in
+    val docs = ((0L until 40L).map(i => (i, "s0", 100L)) ++
+      (100L until 140L).map(i => (i, "s1", if (i == 120L) 10000L else 100L)))
+      .map { case (id, src, w) => (id, "t", "en", src, w) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("prio").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val a = graft.queries.Curation.q128PrioritySample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val b = graft.queries.Curation.q128PrioritySample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq) // deterministic — no RNG state anywhere
+    assert(a.count(_._1 == "s0") == 10 && a.count(_._1 == "s1") == 10)
+    assert(a.exists(t => t._1 == "s1" && t._3 == 120L),
+      "the 100x-weight doc must be sampled")
+  }
 }

@@ -136,6 +136,57 @@ class EventsStreamSpec extends SparkSpec {
       s"expected ONE unsplit session (0..45, n=4), got ${u7.mkString(", ")}")
   }
 
+  test("transitions: multi-batch stream pairs equal the batch q130 matrix") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
+    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // user 7's chain is SPLIT mid-user across triggers (view→click in b1,
+    // click→purchase bridged by carried state into b2); user 9 interleaves
+    // a same-timestamp pair in b2 so the (ts, event_id) tie-break is
+    // exercised on both sides
+    val b1 = rows((1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(5), 7L, "click", 1.0, "{}"),
+      (3L, ts(1), 9L, "view", 1.0, "{}"))
+    val b2 = rows((4L, ts(10), 7L, "purchase", 1.0, "{}"),
+      (5L, ts(20), 9L, "click", 1.0, "{}"),
+      (6L, ts(20), 9L, "error", 1.0, "{}"))
+    val src = tmpDir("trans-src")
+    stageFile(b1, src, "b1.parquet", 1000000L)
+    stageFile(b2, src, "b2.parquet", 2000000L)
+
+    val out = tmpDir("trans-out")
+    val schema = rows().schema
+    val q = EventsStream.transitions(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("trans-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted
+
+    // batch twin on the SAME rows through the real catalog query
+    val dir = tmpDir("trans-batch")
+    b1.unionAll(b2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Curation.q130MarkovTransitions(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.mkString(",")} != batch ${batch.mkString(",")}")
+  }
+
   test("attribution window longer than 1h keeps views the old fixed delay dropped") {
     import sqlImplicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime

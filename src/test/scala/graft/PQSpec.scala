@@ -46,6 +46,48 @@ class PQSpec extends SparkSpec {
     assert(pq.sorted.toSeq == brute.sorted.toSeq)
   }
 
+  test("ivfPqTopK: all cells probed + full codebook degenerates to exact") {
+    // nProbe = nCells removes the routing approximation and m=1 with a
+    // full codebook removes the quantization one — the composition must
+    // then equal the brute-force integer-L2 ranking bit for bit
+    val vecs = (0L until 30L).map { i =>
+      (i, (0 until 8).map(j => (((i * 7 + j * 3) % 11).toDouble - 5) / 10).toArray)
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        nCells = 4, nProbe = 4, m = 1, kCodes = 30, scale = 1000000L,
+        queryPred = $"id" < 4, rerank = 3, k = 3)
+      .select($"qid", $"rank", $"id", $"d2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val brute = bruteIntTopK(vecs, nQueries = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == brute.sorted.toSeq)
+  }
+
+  test("q125 config: recall tracks the probe ratio; rerank distances exact") {
+    // the embeddings table is near-random, so 4/16 probed cells bounds
+    // recall near nProbe/nCells — the pin is a floor on that expectation
+    // plus the exact-rerank contract (the same contract q88 pins)
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding",
+        nCells = 16, nProbe = 4, m = 16, kCodes = 16, scale = 1000000L,
+        queryPred = $"id" < 8, rerank = 30, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    val brute = bruteIntTopK(emb, nQueries = 8, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val exactByQ = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val gotByQ = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exactByQ.map { case (q, ex) =>
+      gotByQ.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }.toSeq
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.15, s"mean recall $mean (per-query: $recalls)")
+    val bruteD2 = brute.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (qid, id, d2) =>
+      bruteD2.get((qid, id)).foreach(bd2 => assert(bd2 == d2,
+        s"rerank d2 $d2 != true $bd2 for ($qid,$id)"))
+    }
+  }
+
   test("q88 config holds recall ≥ 0.7 vs exact L2 on the real embeddings") {
     val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val pq = Similarity.pqAdcTopK(emb, "vec_id", "embedding",

@@ -111,6 +111,8 @@ class PlanSpec extends SparkSpec {
       "q51_gapfill", // broadcast calendar grid (users × bounded date range)
       "q92_mixture_plan", // broadcast single-row totals scalar (tot_tok, n_langs)
       "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
+      "q125_knn_ivf_pq", // broadcast-K cell grid (K = nCells, routing)
+      "q127_curation_pass", // semanticDedup's broadcast seed/super grids
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
