@@ -80,6 +80,19 @@ object Curation {
     val toks = t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
       .where(size(col("a")) >= 2)
+    // The raw bigram stream is consumed ONCE: explicit repartition(hbg),
+    // a per-doc census on it — h1 rides in the grouping key (it is
+    // hbg-determined, so the extra key is a semantic no-op) — and the
+    // corpus census DERIVES from that aggregate. The per-doc census is
+    // the diamond's shared apex (model side + final join both read it),
+    // and exchange/stage reuse does NOT fire across these branches (the
+    // zip_with lambda defeats plan canonicalization — q112 has the same
+    // 2-scan shape), so it materializes through one eager localCheckpoint
+    // (q67's pay-the-upstream-once pattern). LogicalRDD preserves the
+    // hash(hbg) partitioning, which satisfies the corpus rollup AND the
+    // model join — after the checkpoint the only exchanges left are the
+    // vocab-sized c1 rollup and the final per-doc rollup. The round-11
+    // shape scanned + tokenized + shuffled the stream once PER BRANCH.
     val bg = toks.select(col("doc_id"), explode(zip_with(
         slice(col("a"), lit(1), size(col("a")) - 1),
         slice(col("a"), lit(2), size(col("a")) - 1),
@@ -88,11 +101,12 @@ object Curation {
             .as("hbg"),
           graft.functions.PortableHash.md5Head60(x).as("h1")))).as("g"))
       .select(col("doc_id"), col("g.hbg").as("hbg"), col("g.h1").as("h1"))
-    val perDoc = bg.groupBy(col("doc_id"), col("hbg"))
+      .repartition(col("hbg"))
+    val perDoc = bg.groupBy(col("doc_id"), col("hbg"), col("h1"))
       .agg(count(lit(1)).as("c"))
-    // (hbg, h1) grouping: h1 is determined by the bigram, so this equals
-    // the by-string census row for row while keeping the key 16 B
-    val c2 = bg.groupBy(col("hbg"), col("h1")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint()
+    val c2 = perDoc.groupBy(col("hbg"), col("h1"))
+      .agg(sum(col("c")).as("c2"))
     val c1 = c2.groupBy(col("h1")).agg(sum(col("c2")).as("c1"))
     val model = c2.join(c1, Seq("h1"))
       .select(col("hbg"),
