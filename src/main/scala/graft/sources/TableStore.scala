@@ -113,10 +113,12 @@ final class TableStore(spark: SparkSession, root: String,
     * Shape: the reference runs one SELECT per date; here the date list is
     * a literal relation left-outer-joined over ONE scan. The userid
     * predicate pushes into the parquet scan, and with the date-partitioned
-    * layout the tiny preserved side drives dynamic partition pruning of
-    * the null-producing fact side (Catalyst's canPruneRight covers
-    * LeftOuter), so the scan touches only the requested days at 100 TB —
-    * the same left-outer + null-for-missing semantics q05 oracle-checks. */
+    * layout the tiny preserved side prunes the null-producing fact side's
+    * partitions (DPP — Catalyst's canPruneRight covers LeftOuter — or the
+    * planner's static pruning; PartitionedStoreSpec pins that the scan
+    * does not read all partitions), so the lookup touches only the
+    * requested days at 100 TB — the same left-outer + null-for-missing
+    * semantics q05 oracle-checks. */
   def selectRawDays(username: String,
                     dates: Seq[java.time.LocalDate]): DataFrame = {
     import spark.implicits._

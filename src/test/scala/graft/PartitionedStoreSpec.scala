@@ -40,4 +40,23 @@ class PartitionedStoreSpec extends SparkSpec {
       s"expected partition filter in:\n$scan")
     assert(lookup.collect().map(_.getAs[Double]("quantity")).toSeq == Seq(99.0))
   }
+
+  test("selectRawDays on the partitioned layout prunes the date-list join") {
+    val s = new TableStore(spark, tmpDir("pstore-s4"), partitionByDate = true)
+    val rows = (1 to 28).map(d => Row(u, Date.valueOf(f"2021-01-$d%02d"), s"[$d]"))
+    s.upsert("RawDayData", spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), Schemas.rawDayData))
+    val df = s.selectRawDays(u,
+      Seq("2021-01-03", "2021-01-07", "2021-02-01").map(java.time.LocalDate.parse))
+    assert(df.collect().map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("[3]"), Some("[7]"), None))
+    // the tiny literal date side must reach the partitioned scan — either
+    // as a DPP filter or (post-AQE) a pruned partition count ≤ requested
+    // dates — instead of a 28-partition full scan
+    val planStr = df.queryExecution.executedPlan.toString
+    val pruned = planStr.contains("dynamicpruning") ||
+      planStr.linesIterator.exists(l =>
+        l.contains("FileScan") && !l.contains("PartitionFilters: []"))
+    assert(pruned, s"no partition pruning evidence in:\n$planStr")
+  }
 }
