@@ -11,6 +11,15 @@ case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
 /** Carried last event per user for [[EventsStream.transitions]]. */
 case class LastEvent(ts: Long, eventId: Long, eventType: String)
 
+/** Open merged segments per key for [[EventsStream.coalesceIntervals]]
+  * (millis, sorted, non-overlapping). */
+case class SegmentsState(segs: List[(Long, Long, Long)])
+
+/** One emitted closed segment: merged cover [seg_start, seg_end) built
+  * from n_intervals source intervals. */
+case class Segment(k: Long, seg_start: java.sql.Timestamp,
+                   seg_end: java.sql.Timestamp, n_intervals: Long)
+
 /** One emitted adjacent-pair transition. */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
@@ -178,6 +187,65 @@ object EventsStream {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of q124's interval coalescing: per-key merge of
+    * overlapping [st, en) validity windows via `flatMapGroupsWithState`.
+    * State per key is the sorted list of OPEN merged segments; each batch
+    * folds its intervals in (merge-on-insert, so state is bounded by the
+    * number of disjoint open segments, not by interval count). A segment
+    * closes — and emits — once the event-time watermark passes its end:
+    * the watermark guarantees no future interval starts before it, and an
+    * extender would need `start ≤ seg_end < watermark`, which the
+    * watermark filter drops. Same adjacency convention as q124's batch
+    * sweep: intervals touching at a point (st == seg_end) MERGE (the
+    * running-max-end sweep opens a new segment only on `st > pmax`).
+    * EventTimeTimeout flushes closeable segments even when a key receives
+    * no further rows (timeout clamped past the watermark, the sessionize
+    * lesson). EventsStreamSpec pins multi-batch emitted segments —
+    * including a bridge interval that arrives AFTER its two neighbours —
+    * against the batch sweep's merge of the same rows. */
+  def coalesceIntervals(iv: DataFrame): Dataset[Segment] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = iv.sparkSession
+    import spark.implicits._
+
+    def fold(segs: List[(Long, Long, Long)],
+             x: (Long, Long)): List[(Long, Long, Long)] = {
+      // absorb every segment overlapping-or-touching [st, en)
+      val (touch, rest) = segs.partition { case (s, e, _) =>
+        x._1 <= e && s <= x._2
+      }
+      val merged = (
+        (x._1 +: touch.map(_._1)).min,
+        (x._2 +: touch.map(_._2)).max,
+        1L + touch.map(_._3).sum)
+      (merged +: rest).sortBy(_._1)
+    }
+
+    def update(k: Long, it: Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp)],
+               state: GroupState[SegmentsState]): Iterator[Segment] = {
+      val wm = state.getCurrentWatermarkMs()
+      var segs = state.getOption.map(_.segs).getOrElse(Nil)
+      it.foreach(r => segs = fold(segs, (r._2.getTime, r._3.getTime)))
+      val (closed, open) = segs.partition(_._2 < wm)
+      if (open.isEmpty) state.remove()
+      else {
+        state.update(SegmentsState(open))
+        // earliest open end decides when the next segment can close;
+        // clamp past the watermark (a past-due timeout kills the query)
+        state.setTimeoutTimestamp(math.max(open.map(_._2).min + 1, wm + 1))
+      }
+      closed.sortBy(_._1).map { case (s, e, n) =>
+        Segment(k, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n)
+      }.iterator
+    }
+
+    iv.select(col("k"), col("st_ts"), col("en_ts"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   /** Parse the simple "N unit" interval strings this module accepts, for

@@ -187,6 +187,72 @@ class EventsStreamSpec extends SparkSpec {
       s"stream ${streamed.mkString(",")} != batch ${batch.mkString(",")}")
   }
 
+  test("coalesceIntervals: late bridge merges, touch merges, open stays") {
+    import sqlImplicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(m: Long) = new java.sql.Timestamp(t0 + m * 60000L)
+    def rows(xs: (Long, java.sql.Timestamp, java.sql.Timestamp)*) =
+      xs.toDF("k", "st_ts", "en_ts")
+
+    // key 7: [0,10) and [20,30) arrive first; the BRIDGE [10,20) arrives a
+    // batch later (touching both → one segment of 3). key 8: point-touch
+    // pair [0,5)+[5,8) plus a disjoint [50,60) → two segments. key 9's
+    // far-future interval pushes the watermark so everything closes via
+    // the event-time timeout, and itself stays open (never emitted).
+    val src = tmpDir("coal-src")
+    stageFile(rows((7L, ts(0), ts(10)), (7L, ts(20), ts(30)),
+      (8L, ts(0), ts(5)), (8L, ts(5), ts(8)), (8L, ts(50), ts(60))),
+      src, "b1.parquet", 1000000L)
+    stageFile(rows((7L, ts(10), ts(20))), src, "b2.parquet", 2000000L)
+    stageFile(rows((9L, ts(5000), ts(5010))), src, "b3.parquet", 3000000L)
+
+    val out = tmpDir("coal-out")
+    val schema = rows().schema
+    val q = EventsStream.coalesceIntervals(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .withWatermark("st_ts", "10 minutes"))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("coal-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2.getTime))
+    assert(got.toSeq == Seq(
+      (7L, ts(0), ts(30), 3L),   // bridge fused all three
+      (8L, ts(0), ts(8), 2L),    // point-touch merged (q124's st > pmax rule)
+      (8L, ts(50), ts(60), 1L)), // disjoint; key 9 stays open, unemitted
+      s"got ${got.mkString(", ")}")
+
+    // batch twin: q124's running-max-end sweep over the same rows yields
+    // the same (closed) segments
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val all = rows((7L, ts(0), ts(10)), (7L, ts(20), ts(30)),
+      (8L, ts(0), ts(5)), (8L, ts(5), ts(8)), (8L, ts(50), ts(60)),
+      (7L, ts(10), ts(20)))
+    val ord = Window.partitionBy($"k").orderBy($"st_ts", $"en_ts")
+    val batch = all
+      .withColumn("pmax", max($"en_ts").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when($"pmax".isNull || $"st_ts" > $"pmax", 1L).otherwise(0L))
+      .withColumn("seg", sum($"opens").over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"k", $"seg")
+      .agg(min($"st_ts").as("s0"), max($"en_ts").as("e1"),
+        count(lit(1)).as("n"))
+      .where($"k" =!= 9L) // the open key-9 segment is the only difference
+      .select($"k", $"s0", $"e1", $"n")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(t => (t._1, t._2.getTime))
+    assert(got.toSeq == batch.toSeq)
+  }
+
   test("attribution window longer than 1h keeps views the old fixed delay dropped") {
     import sqlImplicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
