@@ -634,6 +634,85 @@ case class BpeUnits(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Kernel for [[BigramHashes]] — one static entry so codegen is a single
+  * compiled call (the Shingles pattern). */
+object BigramHashesKernel {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Adjacent-pair (md5Head60("w1 w2"), md5Head60(w1)) rows for a token
+    * array — n-1 rows for n tokens, empty below 2. Null-element semantics
+    * mirror the composed form exactly: concat_ws skips null parts (so the
+    * joined key degrades to the surviving token, or "" for a null pair)
+    * and h1 is NULL for a null head token, like md5(NULL). */
+  def bigramHashes(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val m = math.max(0, n - 1)
+    val rows = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val x = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      val y = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      val joined =
+        if (x != null && y != null) UTF8String.concatWs(Space, x, y)
+        else if (x != null) x
+        else if (y != null) y
+        else UTF8String.EMPTY_UTF8
+      val row = new GenericInternalRow(2)
+      // both hashes ride the thread-local md5 memo — Zipfian bigram and
+      // head-word repeats skip the digest entirely
+      row.update(0, PortableHashKernel.md5Head60(joined))
+      if (x != null) row.update(1, PortableHashKernel.md5Head60(x))
+      else row.setNullAt(1)
+      rows(i) = row
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Codegen'd adjacent-bigram hashing for q126's tokenizer projection:
+  * replaces the `zip_with(slice, slice, struct(md5Head60(concat_ws(..)),
+  * md5Head60(x)))` HOF chain, which evaluates interpreted with a boxed
+  * lambda frame per bigram and builds an intermediate hex STRING per hash
+  * (md5 → hex → substring → conv → cast). The kernel walks the token
+  * array once, digests raw UTF-8 bytes straight to the 60-bit long
+  * ([[PortableHashKernel.md5Head60]], thread-local memo), and emits the
+  * (hbg, h1) struct rows directly. Value-identical to the composition —
+  * incl. concat_ws null-skipping and md5(NULL) → NULL h1 — pinned in
+  * TextExpressionsSpec. */
+case class BigramHashes(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "bigram_hashes"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("hbg", LongType, nullable = false),
+      StructField("h1", LongType, nullable = true))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramHashesKernel.bigramHashes(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val kernel = BigramHashesKernel.getClass.getName + ".MODULE$"
+      s"""
+         |${ev.value} = $kernel.bigramHashes($a);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -682,5 +761,11 @@ object TextExpressions {
         normId,
         new ExpressionInfo(classOf[NormalizeAscii].getName, "normalize_ascii"),
         (args: Seq[Expression]) => NormalizeAscii(args(0)))
+    val bgId = new FunctionIdentifier("bigram_hashes")
+    if (!reg.functionExists(bgId))
+      reg.registerFunction(
+        bgId,
+        new ExpressionInfo(classOf[BigramHashes].getName, "bigram_hashes"),
+        (args: Seq[Expression]) => BigramHashes(args(0)))
   }
 }

@@ -93,13 +93,13 @@ object Curation {
     // model join — after the checkpoint the only exchanges left are the
     // vocab-sized c1 rollup and the final per-doc rollup. The round-11
     // shape scanned + tokenized + shuffled the stream once PER BRANCH.
-    val bg = toks.select(col("doc_id"), explode(zip_with(
-        slice(col("a"), lit(1), size(col("a")) - 1),
-        slice(col("a"), lit(2), size(col("a")) - 1),
-        (x, y) => struct(
-          graft.functions.PortableHash.md5Head60(concat_ws(" ", x, y))
-            .as("hbg"),
-          graft.functions.PortableHash.md5Head60(x).as("h1")))).as("g"))
+    // bigram_hashes: codegen kernel emitting the (hbg, h1) rows straight
+    // from the token array — replaces the interpreted zip_with/concat_ws/
+    // hex-md5 chain (value-identical, TextExpressionsSpec parity pin)
+    graft.plans.TextExpressions.register(s)
+    val bg = toks
+      .select(col("doc_id"),
+        explode(call_function("bigram_hashes", col("a"))).as("g"))
       .select(col("doc_id"), col("g.hbg").as("hbg"), col("g.h1").as("h1"))
       .repartition(col("hbg"))
     val perDoc = bg.groupBy(col("doc_id"), col("hbg"), col("h1"))

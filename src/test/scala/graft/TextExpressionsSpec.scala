@@ -173,6 +173,65 @@ class TextExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("bigram_hashes ≡ zip_with/concat_ws/md5 composition + codegen pin") {
+    TextExpressions.register(spark)
+    val composed = (a: org.apache.spark.sql.Column) => zip_with(
+      slice(a, lit(1), size(a) - 1),
+      slice(a, lit(2), size(a) - 1),
+      (x, y) => struct(
+        graft.functions.PortableHash.md5Head60(concat_ws(" ", x, y)).as("hbg"),
+        graft.functions.PortableHash.md5Head60(x).as("h1")))
+    val df = Seq(
+      "the quick brown fox",
+      "a  b", // repeated separator → empty middle token rides the bigrams
+      "héllo wörld ünïcode",
+      "single",   // one token → empty output
+      "x y"
+    ).toDF("text").select(split(col("text"), " ").as("a"))
+    val rows = df.select(
+      call_function("bigram_hashes", col("a")).as("fast"),
+      composed(col("a")).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ==
+        r.getSeq[org.apache.spark.sql.Row](1), s"mismatch in $r")
+    }
+    assert(rows(3).getSeq[org.apache.spark.sql.Row](0).isEmpty)
+
+    // null elements (SQL surface only): concat_ws skips null parts and a
+    // null head token yields a NULL h1, exactly like md5(NULL)
+    val nulls = spark.sql(
+      "SELECT bigram_hashes(array('a', CAST(NULL AS STRING), 'b')) AS fast")
+      .select(col("fast"), composed(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("ref"))
+      .collect().head
+    assert(nulls.getSeq[org.apache.spark.sql.Row](0) ==
+      nulls.getSeq[org.apache.spark.sql.Row](1))
+
+    // codegen compile pin (the shared sweep below compares element arrays
+    // with InternalRow equality, which struct rows don't define — so the
+    // compile + parity check for this expression lives here, field by
+    // field)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val arrRef = BoundReference(0, ArrayType(StringType), nullable = true)
+    val e = graft.plans.BigramHashes(arrRef)
+    val proj = GenerateMutableProjection.generate(Seq(e)) // throws on bad Java
+    val in = InternalRow(ArrayData.toArrayData(Array(
+      UTF8String.fromString("the"), UTF8String.fromString("quick"),
+      UTF8String.fromString("fox"))))
+    val cg = proj(in).get(0, e.dataType).asInstanceOf[ArrayData]
+    val ie = e.eval(in).asInstanceOf[ArrayData]
+    assert(cg.numElements() == 2 && ie.numElements() == 2)
+    (0 until 2).foreach { i =>
+      val (a, b) = (cg.getStruct(i, 2), ie.getStruct(i, 2))
+      assert(a.getLong(0) == b.getLong(0) && a.getLong(1) == b.getLong(1))
+    }
+  }
+
   test("every custom expression's doGenCode COMPILES — no interpreted fallback") {
     // Whole-stage codegen catches janino compile errors and silently falls
     // back to interpreted execution (an ERROR log line is the only trace),
