@@ -144,21 +144,29 @@ object Curation {
   // Per-doc verdict: quality_drop / exact_dup / semantic_dup / kept, with
   // the semantic cell + lower-id-dup count where the doc reached stage 3.
   //
-  // Scale notes: the quality gate fuses into the corpus scan; the exact-
-  // dedup exchange carries (text-group key, id) not text; keeper IS NULL
-  // stands in for the quality verdict (same text ⇒ same gate result, so
-  // a doc's text appears in `exact` iff the doc passed — one corpus-pass
-  // saved); the survivor embedding frame is localCheckpoint'ed because
-  // semanticDedup runs two eager sizing jobs over its input (q67's
-  // pay-the-upstream-once pattern).
+  // Scale notes: the quality gate fuses into the corpus scan; the exact
+  // stage keys on the DUAL text fingerprint (unhex(md5) ⊕ xxhash64 — the
+  // Dedup.exactByFingerprint recipe: 24 B through the exchange where the
+  // raw text would make the shuffle payload the corpus itself; the DuckDB
+  // twin groups/joins by raw text, equivalent absent a joint md5+xxhash64
+  // collision — < 2^-190 across 10^12 docs, and the hash gate itself
+  // would catch one), and the verdict join reuses the same 24 B keys.
+  // keeper IS NULL stands in for the quality verdict (same text ⇒ same
+  // gate result, so a doc's fingerprint appears in `exact` iff the doc
+  // passed — one corpus-pass saved); the survivor embedding frame is
+  // localCheckpoint'ed because semanticDedup runs two eager sizing jobs
+  // over its input (q67's pay-the-upstream-once pattern).
   def q127CurationPass(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    val qual = corpus.where(TextFunctions.langId(col("text")) === "en" &&
-      TextFunctions.qualityScoreBp(col("text")) >= 5000)
-    val exact = qual.groupBy(col("text")).agg(min(col("doc_id")).as("keeper"))
+    val fpd = corpus.select(col("doc_id"),
+      unhex(md5(col("text"))).as("f1"), xxhash64(col("text")).as("f2"),
+      (TextFunctions.langId(col("text")) === "en" &&
+        TextFunctions.qualityScoreBp(col("text")) >= 5000).as("ok"))
+    val exact = fpd.where(col("ok")).groupBy(col("f1"), col("f2"))
+      .agg(min(col("doc_id")).as("keeper"))
     val surv = exact.select(col("keeper").as("doc_id"))
     val se = t(s, dir)("embeddings").where(col("embedding").isNotNull)
       .join(surv, col("vec_id") === col("doc_id"), "left_semi")
@@ -166,8 +174,8 @@ object Curation {
     val sem = graft.operators.Similarity.semanticDedup(
       se, "vec_id", "embedding",
       scale = 1000000L, targetCell = 64, minK = 8, thresholdPct = 45)
-    corpus
-      .join(exact, Seq("text"), "left")
+    fpd
+      .join(exact, Seq("f1", "f2"), "left")
       .join(sem.select(col("id").as("doc_id"), col("cid"),
         col("n_dups_lower")), Seq("doc_id"), "left")
       .select(col("doc_id"),
