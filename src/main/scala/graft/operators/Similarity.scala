@@ -442,6 +442,7 @@ object Similarity {
   def pqAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                 m: Int, kCodes: Int, scale: Long,
                 queryPred: Column, rerank: Int, k: Int): DataFrame = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         transform(col(vecCol),
@@ -460,9 +461,11 @@ object Similarity {
         .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
         .drop(vec)
     val subC = subspaces(seeds, "cv", "csub")
-    val d2 = aggregate(
-      zip_with(col("sub"), col("csub"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    // codegen'd exact long Σ(a−b)² (plans.LongSquaredDistance) — the
+    // aggregate(zip_with) lambda it replaces ran interpreted with a boxed
+    // frame per element; identical sums over the equal-length slices
+    // (VectorExpressionsSpec parity; the q88 hash gate re-proves it)
+    val d2 = call_function("long_sq_dist", col("sub"), col("csub"))
     // encode: per (id, subspace) argmin over the broadcast codebook
     val codes = subspaces(q, "qv", "sub")
       .join(broadcast(subC), "s")
@@ -488,9 +491,7 @@ object Similarity {
     // shortlist order (still all-long arithmetic — still hash-matchable)
     val qvecs = q.where(queryPred)
       .select(col("id").as("qid"), col("qv").as("quv"))
-    val exactD2 = aggregate(
-      zip_with(col("qv"), col("quv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    val exactD2 = call_function("long_sq_dist", col("qv"), col("quv"))
     val wEx = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
     q.join(broadcast(shortlist), "id")
       .join(broadcast(qvecs), "qid")
