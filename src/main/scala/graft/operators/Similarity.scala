@@ -181,6 +181,7 @@ object Similarity {
               nCentroids: Int, nProbe: Int, queryPred: Column,
               k: Int, kmeansIters: Int = 0,
               portable: Boolean = false): DataFrame = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
     val base = prepared(emb, idCol, vecCol)
     // portable seed hash: md5-derived so a DuckDB oracle can re-pick the
     // same seed centroids (see graft.plans.PortableHashKernel); id cast to
@@ -196,21 +197,29 @@ object Similarity {
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val centroidSim = dotFast(col("v"), col("cv")) / (col("nrm") * col("cn"))
 
-    // Assign every vector to its nearest centroid (broadcast K centroids).
-    // max_by over a (csim, -cid) ordering struct instead of a per-id window:
-    // a partial-aggregating hash aggregate keeps one candidate per id per
-    // partition, where row_number would shuffle AND sort all n·K rows. The
-    // -cid component pins the tie-break (highest csim, then smallest cid) —
-    // identical to the window ordering it replaces.
+    // Assign every vector to its nearest centroid (broadcast K centroids)
+    // via the DECIMAL-PACKED argmax (q95/q79/q88's lesson applied to a
+    // FLOAT ordering): the old max_by(struct(cid, v, nrm), struct(csim,
+    // -cid)) carried the vector in an immutable struct buffer, which
+    // silently plans SortAggregateExec — all n·K assignment rows sorted
+    // WITH their vectors. double_sort_key (order-preserving IEEE-754 bit
+    // map, NaN greatest like Spark's comparator) makes csim packable:
+    // max((key(csim)+2⁶³)·M + (M−1−cid)) is the identical lexicographic
+    // (csim desc, cid asc) argmax in a mutable 16-byte decimal buffer —
+    // a map-side-combining HashAggregate — and the vector re-joins by id
+    // afterwards. M = max(id)+1, one plan-time scalar job.
+    val mEx = base.agg(max(col("id"))).first().getLong(0) + 1L
+    val keyOffset = lit(new java.math.BigDecimal("9223372036854775808"))
     def assign(centroids: DataFrame): DataFrame =
       base.crossJoin(broadcast(centroids))
-        .select(col("id"), col("v"), col("nrm"), col("cid"),
-          centroidSim.as("csim"))
+        .select(col("id"),
+          ((call_function("double_sort_key", centroidSim).cast("decimal(38,0)")
+            + keyOffset) * lit(mEx) + (lit(mEx - 1) - col("cid"))).as("pd"))
         .groupBy(col("id"))
-        .agg(max_by(struct(col("cid"), col("v"), col("nrm")),
-          struct(col("csim"), negate(col("cid")))).as("m"))
-        .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
-          col("m.cid").as("cid"))
+        .agg(max(col("pd")).as("pd"))
+        .select(col("id"),
+          (lit(mEx - 1) - (col("pd") % lit(mEx))).cast("long").as("cid"))
+        .join(base.select(col("id"), col("v"), col("nrm")), Seq("id"))
 
     // Spherical k-means step: per-cell element-wise mean (posexplode →
     // partial-agg avg on (cid, pos) → re-pack ordered array). The cell id
@@ -364,6 +373,7 @@ object Similarity {
     * aggregations. */
   def kmeansStepFixedPoint(emb: DataFrame, idCol: String, vecCol: String,
                            nCentroids: Int, scale: Long): DataFrame = {
+    graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"),
         transform(col(vecCol),
@@ -375,18 +385,28 @@ object Similarity {
       .limit(nCentroids)
       .select(col("id").as("cid"), col("qv").as("cv"))
     // pure long arithmetic end to end: products ≤ (2·scale·|x|max)²·dim
-    // stay far below 2^63 for unit-scale embeddings at scale ≤ 1e6
-    val d2 = aggregate(
-      zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
-    // same partial-agg argmin shape as ivfTopK.assign, integer ordering
+    // stay far below 2^63 for unit-scale embeddings at scale ≤ 1e6;
+    // codegen kernel, not the interpreted aggregate(zip_with) lambda
+    val d2 = call_function("long_sq_dist", col("qv"), col("cv"))
+    // DECIMAL-PACKED argmin, the q95 lesson applied here too: the old
+    // min_by(struct(cid, d2, qv), struct(d2, cid)) carried the VECTOR in
+    // an immutable struct buffer — Spark silently planned
+    // SortAggregateExec (10 nodes in the sf0.1 dump), sorting all N·K
+    // assignment rows with the payload riding the sort. min(d2·M + cid)
+    // over decimal(38,0) is the identical lexicographic (d2, cid) argmin
+    // in a mutable 16-byte buffer — a map-side-combining HashAggregate —
+    // and both components unpack exactly (pd div M, pd mod M); the
+    // vector re-joins by id afterwards (an N-row equi-join) instead of
+    // riding the aggregate. M = max(id)+1, one plan-time scalar job.
+    val mEx = q.agg(max(col("id"))).first().getLong(0) + 1L
     val assigned = q.crossJoin(broadcast(seeds))
-      .select(col("id"), col("qv"), col("cid"), d2.as("d2"))
+      .select(col("id"),
+        (d2.cast("decimal(38,0)") * lit(mEx) + col("cid")).as("pd"))
       .groupBy(col("id"))
-      .agg(min_by(struct(col("cid"), col("d2"), col("qv")),
-        struct(col("d2"), col("cid"))).as("m"))
-      .select(col("m.cid").as("cid"), col("m.d2").as("d2"),
-        col("m.qv").as("qv"))
+      .agg(min(col("pd")).as("pd"))
+      .select(col("id"), (col("pd") % lit(mEx)).cast("long").as("cid"),
+        expr(s"CAST(pd div $mEx AS BIGINT)").as("d2"))
+      .join(q, Seq("id"))
     // inertia must not ride a LONG sum: per-vector d2 reaches ~3e14 on
     // jittered stress embeddings, and members/centroid grows with SF —
     // the raw sum overflows 2^63 near the 1000× decade (found by the
@@ -466,12 +486,20 @@ object Similarity {
     // frame per element; identical sums over the equal-length slices
     // (VectorExpressionsSpec parity; the q88 hash gate re-proves it)
     val d2 = call_function("long_sq_dist", col("sub"), col("csub"))
-    // encode: per (id, subspace) argmin over the broadcast codebook
+    // encode argmin, DECIMAL-PACKED (the q95/q79 lesson): the old
+    // min_by(cid, struct(d2, cid)) struct buffer planned SortAggregateExec
+    // and sorted all N·m·kCodes candidate rows; min(d2·M + cid) over
+    // decimal(38,0) is the identical (d2, cid) order in a mutable buffer
+    // — map-side-combining HashAggregate. M = max(id)+1, plan-time scalar.
+    val mEx = q.agg(max(col("id"))).first().getLong(0) + 1L
     val codes = subspaces(q, "qv", "sub")
       .join(broadcast(subC), "s")
-      .select(col("id"), col("s"), col("cid"), d2.as("d2"))
+      .select(col("id"), col("s"),
+        (d2.cast("decimal(38,0)") * lit(mEx) + col("cid")).as("pd"))
       .groupBy(col("id"), col("s"))
-      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("code"))
+      .agg(min(col("pd")).as("pd"))
+      .select(col("id"), col("s"),
+        (col("pd") % lit(mEx)).cast("long").as("code"))
     // ADC tables: query sub-vector → every codebook entry, bounded at
     // nQueries × m × kCodes rows
     val table = subspaces(q.where(queryPred).withColumnRenamed("id", "qid"),

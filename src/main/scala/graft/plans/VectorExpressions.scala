@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
@@ -323,6 +323,55 @@ case class HyperplaneSig(child: Expression, dim: Int, nbits: Int,
     copy(child = newChild)
 }
 
+/** Order-preserving 64-bit key for a DOUBLE: `key(a) < key(b) ⟺ a
+  * orders before b` under Spark's double ordering (NaN greatest). The
+  * IEEE-754 bit trick — `bits ^ ((bits >> 63) & 0x7fff…fL)` on
+  * `doubleToLongBits` (Lucene's doubleToSortableLong) — flips everything
+  * BUT the sign bit for negatives and leaves non-negatives alone, making
+  * the numeric order a SIGNED-long order (the `| Long.MinValue` variant
+  * of the trick maps to the unsigned-comparison domain instead — wrong
+  * under the decimal packing below, which compares signed; caught by the
+  * q39 hash gate on first presentation). The canonical NaN encoding
+  * lands above +Infinity, matching Spark's NaN-greatest comparator.
+  *
+  * Purpose: float orderings (a cosine similarity) can't ride the
+  * decimal-packed argmin/argmax HashAggregate directly — this key makes
+  * them packable, so `min/max(key·M + tiebreak)` replaces a
+  * `min_by/max_by(payload, struct(...))` whose immutable struct buffer
+  * silently plans SortAggregateExec (the q95/q79/q88 lesson; q39's
+  * N·K assignment with vectors riding the sort was the last one).
+  * Divergence from Spark struct ordering: −0.0 keys below 0.0 where
+  * Spark compares them equal — an argmin tie between −0.0 and 0.0 of the
+  * same quantity is the only observable case, unreachable for the cosine
+  * inputs this serves (pinned in VectorExpressionsSpec). */
+case class DoubleSortKey(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "double_sort_key"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case DoubleType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires DOUBLE, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bits = java.lang.Double.doubleToLongBits(input.asInstanceOf[Double])
+    bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d => {
+      val bits = ctx.freshName("bits")
+      s"""
+         |long $bits = java.lang.Double.doubleToLongBits($d);
+         |${ev.value} = $bits ^ (($bits >> 63) & 0x7fffffffffffffffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: idempotent per-session helper plus a
   * `spark.sql.extensions`-loadable class. */
 object VectorExpressions {
@@ -338,7 +387,10 @@ object VectorExpressions {
       (args: Seq[Expression]) => LongDotProduct(args(0), args(1))),
     (new FunctionIdentifier("long_sq_dist"),
       new ExpressionInfo(classOf[LongSquaredDistance].getName, "long_sq_dist"),
-      (args: Seq[Expression]) => LongSquaredDistance(args(0), args(1))))
+      (args: Seq[Expression]) => LongSquaredDistance(args(0), args(1))),
+    (new FunctionIdentifier("double_sort_key"),
+      new ExpressionInfo(classOf[DoubleSortKey].getName, "double_sort_key"),
+      (args: Seq[Expression]) => DoubleSortKey(args(0))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     entries.foreach { case (id, info, builder) =>

@@ -89,11 +89,15 @@ class PlanSpec extends SparkSpec {
         l.contains("WindowGroupLimit") && l.contains("Partial")),
         s"no map-side WindowGroupLimit in plan:\n$p")
     }
-    // q39's corpus-sized centroid assignment must be a hash aggregate
-    // (max_by), not a per-id window at all
+    // q39's corpus-sized centroid assignment must be the decimal-packed
+    // HashAggregate argmax (double_sort_key) — not a per-id window, and
+    // not the max_by(struct) form whose immutable buffer silently plans
+    // SortAggregateExec over all n·K assignment rows
     val p39 = plan(graft.queries.Analytics.q39KnnIvf(spark, dir))
-    assert(p39.contains("max_by"),
-      s"expected max_by aggregate-based assignment:\n$p39")
+    assert(p39.contains("double_sort_key"),
+      s"expected double_sort_key packed assignment:\n$p39")
+    assert(!p39.contains("SortAggregate"),
+      s"SortAggregate crept back into the assignment:\n$p39")
   }
 
   test("no catalog query plans a CartesianProduct; BNLJ only where intended") {

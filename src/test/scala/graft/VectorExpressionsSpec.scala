@@ -112,6 +112,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(m.getLong(0) == 23L && m.getLong(1) == 8L)
   }
 
+  test("double_sort_key: signed-long order ≡ Spark's double order") {
+    VectorExpressions.register(spark)
+    // adversarial ladder: -Inf < most-negative < -1 < -ε < ±0 < ε < 1 <
+    // most-positive < +Inf < NaN (Spark's NaN-greatest ordering). -0.0 and
+    // 0.0 both sit strictly between every negative and every positive —
+    // their relative order is the documented, unobservable divergence.
+    val ladder = Seq(Double.NegativeInfinity, -1.7976931348623157e308,
+      -1.0, -4.9e-324, -0.0, 0.0, 4.9e-324, 1.0,
+      1.7976931348623157e308, Double.PositiveInfinity, Double.NaN)
+    val keys = ladder.zipWithIndex.toDF("x", "i")
+      .select($"i", call_function("double_sort_key", $"x").as("k"))
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+    // strictly ascending except the ±0 adjacency (ascending there too,
+    // just not required to be)
+    keys.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+      assert(pair(0) < pair(1),
+        s"key order broke between ladder[$i]=${ladder(i)} " +
+          s"and ladder[${i + 1}]=${ladder(i + 1)}: ${pair(0)} >= ${pair(1)}")
+    }
+    // the packed-argmax contract the kernel exists for: for random pairs,
+    // key comparison must agree with java.lang.Double.compare
+    val rnd = new scala.util.Random(7)
+    val doubles = Array.fill(200)(rnd.nextDouble() * 2 - 1)
+    def key(d: Double): Long = {
+      val bits = java.lang.Double.doubleToLongBits(d)
+      bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+    }
+    for (a <- doubles.take(40); b <- doubles.take(40))
+      assert(Integer.signum(java.lang.Long.compare(key(a), key(b))) ==
+        Integer.signum(java.lang.Double.compare(a, b)))
+  }
+
   test("kernel participates in whole-stage codegen") {
     VectorExpressions.register(spark)
     // a range source so ConvertToLocalRelation can't pre-evaluate the project
