@@ -14,12 +14,21 @@ import org.apache.spark.sql.functions._
   * seq collisions deterministic (`U` > `I` > `D` lexicographically) instead
   * of shuffle-order-dependent; a winning `D` erases the key.
   *
-  * Scale shape: ONE hash aggregation on the key with a `max_by` partial —
-  * map-side combine keeps a single candidate row per key per partition, so
-  * the exchange carries ≤ one row per (key, partition) regardless of how
-  * many times a hot key churns in the feed. No window, no sort, no join —
-  * this beats the row_number-over-key formulation, whose per-key sort
-  * buffers every version of the key on one task. */
+  * Scale shape: ONE keyed aggregation with a `max_by` partial — map-side
+  * combine keeps a single candidate row per key per partition, so the
+  * exchange carries ≤ one row per (key, partition) regardless of how many
+  * times a hot key churns in the feed. Plan honesty: max_by's ROW-typed
+  * buffer is immutable, so Spark plans SortAggregateExec — a
+  * partition-local sort of each side's input by the key, NOT the
+  * hash-agg the rest of the argmin family runs. That is the right
+  * trade here: the decimal-packed argmax can't carry a whole row, and
+  * the join-back alternative (hash-agg the winning (seq, op), rejoin for
+  * the payload) costs two extra full-feed exchanges plus an explicit
+  * dedup for at-least-once feeds — strictly worse than one local sort
+  * with the same bounded-exchange guarantee. (PlanSpec allowlists this
+  * SortAggregate explicitly.) Still no window and no join, and the
+  * row_number formulation's partial WindowGroupLimit would sort the same
+  * rows with a longer key. */
 object CdcMerge {
 
   def merge(base: DataFrame, feed: DataFrame, keyCol: String,

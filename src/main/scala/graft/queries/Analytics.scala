@@ -246,13 +246,18 @@ object Analytics {
   // Cluster dedup with retention policy: near-dup clusters (q46's CC), then
   // KEEP the best-quality member per cluster (argmax quality_bp, smallest id
   // on ties) — the canonical "dedup keeping the canonical document" step of
-  // a training-data pipeline. Singleton docs keep themselves. One partial-agg
-  // max_by per cluster; no windows over the corpus.
+  // a training-data pipeline. Singleton docs keep themselves. The argmax is
+  // DECIMAL-PACKED (max(q·2⁶³ + (2⁶³−1−id)) — the q95 pattern; the old
+  // max_by(struct) buffer silently planned SortAggregateExec over the
+  // corpus-sized assignment rows) with 2⁶³ as the packing base, exact for
+  // any long id with q ≤ ~10²⁰ — no plan-time max(id) job needed. One
+  // map-side-combining hash agg per cluster; no windows over the corpus.
   def q53DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
     val clusters = graft.operators.Dedup.connectedComponents(
       graft.operators.Dedup.minhashLshPairs(docs, "doc_id", "text",
         shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.8))
+    val base = lit(new java.math.BigDecimal("9223372036854775808"))
     docs.select(col("doc_id").as("id"),
         TextFunctions.qualityScoreBp(col("text")).as("q"))
       .join(clusters, Seq("id"), "left_outer")
@@ -260,11 +265,14 @@ object Analytics {
         col("q"))
       .groupBy(col("cluster"))
       .agg(
-        max_by(struct(col("id"), col("q")),
-          struct(col("q"), negate(col("id")))).as("m"),
+        max(col("q").cast("decimal(38,0)") * base
+          + (base - 1 - col("id"))).as("pd"),
         count(lit(1)).as("n_members"))
-      .select(col("cluster"), col("m.id").as("kept_id"),
-        col("m.q").as("kept_quality_bp"), col("n_members"))
+      .select(col("cluster"),
+        (base - 1 - (col("pd") % base)).cast("long").as("kept_id"),
+        expr("CAST(pd div 9223372036854775808BD AS INT)")
+          .as("kept_quality_bp"),
+        col("n_members"))
       .orderBy(col("cluster"))
   }
 

@@ -135,6 +135,30 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("no catalog query plans an unexpected SortAggregate") {
+    // The q95/q79/q88/q39 bug class: min_by/max_by/min(struct) buffers are
+    // immutable, so Spark silently swaps HashAggregate for
+    // SortAggregateExec — which SORTS the aggregate's whole input — while
+    // every result-level spec stays green. The argmin/argmax family is
+    // decimal-packed (see Similarity/q53); this sweep pins that the class
+    // cannot creep back in. Allowlisted residuals are each adjudicated:
+    val sortAggAllowed = Set(
+      // min/max over STRING — the buffer is a UTF8String, inherently
+      // immutable; the value itself is the result, so no packing exists
+      "q43_null_suite", "q116_profile",
+      // CdcMerge's winner carries the FULL ROW: the packed argmax can't
+      // hold a row, and the join-back alternative costs two extra
+      // full-feed exchanges + an at-least-once dedup (see its scaladoc);
+      // the partial max_by still bounds the exchange to 1 row/key/side
+      "q101_cdc_merge")
+    val offenders = catalogPlans.collect {
+      case (name, plan) if plan.toString.contains("SortAggregate") &&
+        !sortAggAllowed(name) => name
+    }
+    assert(offenders.isEmpty,
+      s"SortAggregate crept into: ${offenders.mkString(", ")}")
+  }
+
   test("no catalog query plans an unpartitioned Window over data rows") {
     // The other 100 TB chokepoint class: a Window with an empty
     // PARTITION BY drags every row through ONE task. The engine's designs
