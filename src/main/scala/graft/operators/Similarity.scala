@@ -20,6 +20,14 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Fixed-point quantization: round(x·scale) as exact longs — ONE
+    * definition for every integer-arithmetic ANN/k-means path (its DuckDB
+    * twin is OracleUtil.fixedPointVec; float→double promotion is
+    * value-exact and both engines round ties away from zero, so the longs
+    * are cross-engine bit-equal). */
+  private def fixedPoint(vecCol: String, scale: Long): Column =
+    transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
+
   /** Corpus prepared once: double-cast vector + its norm (norms computed
     * n times, not n·k times). Also registers the codegen'd vector kernels
     * ([[graft.plans.VectorExpressions]]) — the per-pair inner loop uses
@@ -375,9 +383,7 @@ object Similarity {
                            nCentroids: Int, scale: Long): DataFrame = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     val seeds = q
       .withColumn("h",
         graft.functions.PortableHash.md5Head60(col("id").cast("string")))
@@ -464,9 +470,7 @@ object Similarity {
                 queryPred: Column, rerank: Int, k: Int): DataFrame = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sd = dim / m
@@ -555,9 +559,7 @@ object Similarity {
                 queryPred: Column, rerank: Int, k: Int): DataFrame = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sd = dim / m
@@ -681,9 +683,7 @@ object Similarity {
                     thresholdPct: Int): DataFrame = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        transform(col(vecCol),
-          x => round(x.cast("double") * scale).cast("long")).as("qv"))
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     // plan-time scalar (one count job) — the same sizing pattern as
     // BloomPrune.buildSized; the oracle recomputes it in SQL
     val n = q.count()

@@ -639,8 +639,7 @@ object AnalyticsOracles {
     "q79_kmeans_step" ->
       s"""WITH q AS (
          |  SELECT vec_id AS id,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |    ${OracleUtil.fixedPointVec()} AS qv
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |seeds AS (
          |  SELECT id AS cid, qv AS cv FROM q
@@ -868,8 +867,7 @@ object AnalyticsOracles {
     "q88_pq_adc" ->
       s"""WITH q AS (
          |  SELECT vec_id AS id,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |    ${OracleUtil.fixedPointVec()} AS qv
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |seeds AS (
          |  SELECT id AS cid, qv AS cv FROM q
@@ -1379,8 +1377,7 @@ object AnalyticsOracles {
     "q95_semantic_dedup" ->
       s"""WITH q AS (
          |  SELECT vec_id AS id,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |    ${OracleUtil.fixedPointVec()} AS qv
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |${OracleUtil.semanticDedupCtes}
          |SELECT a.id, a.cid,

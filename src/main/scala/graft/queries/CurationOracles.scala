@@ -48,8 +48,7 @@ object CurationOracles {
     "q125_knn_ivf_pq" ->
       s"""WITH q AS (
          |  SELECT vec_id AS id,
-         |    list_transform(embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |    ${OracleUtil.fixedPointVec()} AS qv
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |cells AS (
          |  SELECT id AS cid, qv AS cv FROM q
@@ -165,8 +164,7 @@ object CurationOracles {
          |  SELECT text, min(doc_id) AS keeper FROM qual GROUP BY text),
          |q AS (
          |  SELECT e.vec_id AS id,
-         |    list_transform(e.embedding,
-         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |    ${OracleUtil.fixedPointVec("e.embedding")} AS qv
          |  FROM embeddings e
          |  WHERE e.embedding IS NOT NULL
          |    AND e.vec_id IN (SELECT keeper FROM exact)),

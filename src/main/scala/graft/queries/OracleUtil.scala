@@ -13,6 +13,15 @@ private[queries] object OracleUtil {
   def md5Head60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
 
+  /** DuckDB twin of the engine's fixed-point embedding quantization
+    * ([[graft.operators.Similarity]].fixedPoint — round(x·scale) as long;
+    * float→double promotion is value-exact and both engines round ties
+    * away from zero, so the longs are bit-equal). ONE copy — five oracle
+    * replays quantize this way and the recipe must never drift per-file. */
+  def fixedPointVec(expr: String = "embedding",
+                    scale: Long = 1000000L): String =
+    s"list_transform($expr,\n      x -> CAST(round(CAST(x AS DOUBLE) * $scale) AS BIGINT))"
+
   /** The q121/q129 link-graph synthesis ([[Analytics.blockEdges]]):
     * canonical undirected edges `e0(a, b)` (a < b) plus the symmetrized
     * `sym(a, b)` both directions. The dst membership semi-join is
