@@ -47,12 +47,27 @@ object StressGen {
     * 10 copies of a 100× dir, keeping each level's union shallow instead
     * of planning a 1000-way left-deep tree) must pass an offset clearing
     * the already-shifted input range — 10^10 for a 100-copy input. All
-    * shifted keys stay far below 2^53, so long arithmetic is exact. */
+    * shifted keys stay far below 2^53, so long arithmetic is exact.
+    *
+    * `shiftUsers` flips the events-density design decision: by default
+    * user_id is NOT shifted, so per-user event density grows with SF —
+    * the deliberate skew/session stress. With `shiftUsers = true` the
+    * copies get disjoint user ranges (users scale, density stays flat) —
+    * the shape a REAL events table growing its user base has. The knob
+    * exists to ADJUDICATE per-user-window scaling tails: a query whose
+    * in-decade exponent collapses under shiftUsers is paying for the
+    * fixture's densification, not for its own plan (NOTES_r12 q130/q131).
+    *
+    * `only` restricts generation to the named tables (default all) — the
+    * adjudication fixture needs only events, not a 15 GB dir copy. */
   def generate(spark: SparkSession, srcDir: String, outDir: String,
-               n: Int, keyOffset: Long = DefaultKeyOffset): Unit = {
+               n: Int, keyOffset: Long = DefaultKeyOffset,
+               shiftUsers: Boolean = false,
+               only: Set[String] = Set.empty): Unit = {
     val KeyOffset = keyOffset
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
-    def out(df: DataFrame, t: String): Unit =
+    def wanted(t: String) = only.isEmpty || only(t)
+    def out(df: => DataFrame, t: String): Unit = if (wanted(t))
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     out(src("region"), "region")
@@ -80,16 +95,21 @@ object StressGen {
     // shifts land in a range disjoint from level-1's (copy (5,0) and
     // (0,5) would otherwise collide at the same ts)
     val stepSec = KeyOffset / DefaultKeyOffset
-    val evs = src("events")
-    val tsIsLong =
-      evs.schema("ts").dataType == org.apache.spark.sql.types.LongType
-    out(copies(evs, n) { (df, i) =>
-      val shifted =
-        if (tsIsLong) col("ts") + i * (1000000000L * stepSec)
-        else timestamp_add("SECOND", lit(i * stepSec), col("ts"))
-      df.withColumn("event_id", col("event_id") + i * KeyOffset)
-        .withColumn("ts", shifted)
-    }, "events")
+    if (wanted("events")) {
+      val evs = src("events")
+      val tsIsLong =
+        evs.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      out(copies(evs, n) { (df, i) =>
+        val shifted =
+          if (tsIsLong) col("ts") + i * (1000000000L * stepSec)
+          else timestamp_add("SECOND", lit(i * stepSec), col("ts"))
+        val base = df.withColumn("event_id", col("event_id") + i * KeyOffset)
+          .withColumn("ts", shifted)
+        if (shiftUsers) base.withColumn("user_id",
+          col("user_id") + i * KeyOffset)
+        else base
+      }, "events")
+    }
 
     out(copies(src("documents"), n) { (df, i) =>
       val text = if (i == 0) col("text")
@@ -120,6 +140,11 @@ object StressGen {
     val n = if (args.length > 2) args(2).toInt else 10
     val keyOffset =
       if (args.length > 3) args(3).toLong else DefaultKeyOffset
+    // optional trailing flags: "shiftUsers" and/or "only=events,orders"
+    val flags = args.drop(4)
+    val shiftUsers = flags.contains("shiftUsers")
+    val only = flags.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -127,8 +152,10 @@ object StressGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, srcDir, outDir, n, keyOffset)
-    println(s"[stressgen] wrote ${n}x $srcDir -> $outDir")
+    generate(spark, srcDir, outDir, n, keyOffset, shiftUsers, only)
+    println(s"[stressgen] wrote ${n}x $srcDir -> $outDir" +
+      (if (shiftUsers) " (users shifted)" else "") +
+      (if (only.nonEmpty) s" (only ${only.mkString(",")})" else ""))
     spark.stop()
   }
 }
