@@ -69,10 +69,30 @@ object Graphs {
     * (eviction-injection spec in GraphsSpec, mirroring CC's).
     *
     * The per-round count rides an `observe` on the materialize action
-    * (free — no extra job); an exhausted frontier exits early. */
+    * (free — no extra job); an exhausted frontier exits early.
+    *
+    * Retention contract (ADVICE r12): the returned union READS the delta
+    * checkpoints, so their executor blocks — and in reliable mode their
+    * checkpoint files — stay live until the caller is done with the
+    * result; this overload never reclaims them (Spark's ContextCleaner
+    * won't either: cleanCheckpoints defaults off). A caller that invokes
+    * BFS repeatedly against one checkpoint dir should use
+    * [[bfsReleasable]] and call `release()` once the result is
+    * materialized (written/collected/checkpointed onward), or the
+    * per-invocation delta files accumulate for the application's
+    * lifetime. */
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
           checkpointDir: Option[String] = None,
-          onRoundEnd: Int => Unit = _ => ()): DataFrame = {
+          onRoundEnd: Int => Unit = _ => ()): DataFrame =
+    bfsReleasable(edges, seeds, maxHops, checkpointDir, onRoundEnd)._1
+
+  /** [[bfs]] plus a `release()` handle that unpersists every round delta
+    * and deletes their reliable checkpoint files. Call it only AFTER the
+    * returned frame has been consumed (it is a lazy union of exactly
+    * those leaves — releasing first loses the data). */
+  def bfsReleasable(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+          checkpointDir: Option[String] = None,
+          onRoundEnd: Int => Unit = _ => ()): (DataFrame, () => Unit) = {
     val spark = edges.sparkSession
     // reliableInterval 1: every materialized delta is durable in reliable
     // mode (all deltas are live until the result is consumed)
@@ -107,7 +127,8 @@ object Graphs {
         r += 1
       }
       ck.free(adj) // deltas are materialized; the result no longer reads it
-      deltas.reduce(_ unionAll _)
+      val finalDeltas = deltas
+      (finalDeltas.reduce(_ unionAll _), () => finalDeltas.foreach(ck.free))
     }
   }
 }

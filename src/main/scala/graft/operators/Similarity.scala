@@ -28,6 +28,24 @@ object Similarity {
   private def fixedPoint(vecCol: String, scale: Long): Column =
     transform(col(vecCol), x => round(x.cast("double") * scale).cast("long"))
 
+  /** Exclusive id radix M = max(id)+1 for the decimal-packed argmin/argmax
+    * paths — ONE plan-time scalar job shared by every packing site. Two
+    * guards the packing arithmetic itself can't express: an empty (or
+    * all-null-embedding) input leaves the max slot NULL, so return radix 1
+    * and let the caller's plan lazily produce its empty frame instead of
+    * NPE-ing at plan time; and a NEGATIVE id would push (M−1−id) past the
+    * radix and flip the sign of pd % M, silently corrupting the winner —
+    * fail fast on min(id) < 0 rather than return a wrong argmin. */
+  private def idRadix(q: DataFrame): Long = {
+    val r = q.agg(max(col("id")), min(col("id"))).first()
+    if (r.isNullAt(0)) 1L
+    else {
+      require(r.getLong(1) >= 0L,
+        s"decimal-packed argmin requires non-negative ids; saw min(id)=${r.getLong(1)}")
+      r.getLong(0) + 1L
+    }
+  }
+
   /** Corpus prepared once: double-cast vector + its norm (norms computed
     * n times, not n·k times). Also registers the codegen'd vector kernels
     * ([[graft.plans.VectorExpressions]]) — the per-pair inner loop uses
@@ -216,7 +234,7 @@ object Similarity {
     // (csim desc, cid asc) argmax in a mutable 16-byte decimal buffer —
     // a map-side-combining HashAggregate — and the vector re-joins by id
     // afterwards. M = max(id)+1, one plan-time scalar job.
-    val mEx = base.agg(max(col("id"))).first().getLong(0) + 1L
+    val mEx = idRadix(base)
     val keyOffset = lit(new java.math.BigDecimal("9223372036854775808"))
     def assign(centroids: DataFrame): DataFrame =
       base.crossJoin(broadcast(centroids))
@@ -404,7 +422,7 @@ object Similarity {
     // and both components unpack exactly (pd div M, pd mod M); the
     // vector re-joins by id afterwards (an N-row equi-join) instead of
     // riding the aggregate. M = max(id)+1, one plan-time scalar job.
-    val mEx = q.agg(max(col("id"))).first().getLong(0) + 1L
+    val mEx = idRadix(q)
     val assigned = q.crossJoin(broadcast(seeds))
       .select(col("id"),
         (d2.cast("decimal(38,0)") * lit(mEx) + col("cid")).as("pd"))
@@ -495,7 +513,7 @@ object Similarity {
     // and sorted all N·m·kCodes candidate rows; min(d2·M + cid) over
     // decimal(38,0) is the identical (d2, cid) order in a mutable buffer
     // — map-side-combining HashAggregate. M = max(id)+1, plan-time scalar.
-    val mEx = q.agg(max(col("id"))).first().getLong(0) + 1L
+    val mEx = idRadix(q)
     val codes = subspaces(q, "qv", "sub")
       .join(broadcast(subC), "s")
       .select(col("id"), col("s"),
@@ -564,7 +582,7 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sd = dim / m
     // plan-time scalar for the decimal argmin packing (one max job)
-    val mExclusive = q.agg(max(col("id"))).first().getLong(0) + 1L
+    val mExclusive = idRadix(q)
     def argminTo(pairs: DataFrame, idC: String, distC: Column,
                  keyC: String, outC: String): DataFrame =
       pairs
@@ -711,7 +729,7 @@ object Similarity {
     // hash agg: each partition emits ONE row per doc and nothing is ever
     // sorted. The doc vector is re-joined by id afterwards (an N-row
     // equi-join) instead of riding the aggregate.
-    val mExclusive = q.agg(max(col("id"))).first().getLong(0) + 1L
+    val mExclusive = idRadix(q)
     val sCount = math.ceil(math.sqrt(k.toDouble)).toInt
     // the super-seed grid is the md5-order PREFIX of the seed list, built
     // by its own TakeOrdered so determinism never leans on limit-of-limit

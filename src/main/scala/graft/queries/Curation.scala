@@ -158,9 +158,14 @@ object Curation {
   // over its input (q67's pay-the-upstream-once pattern).
   def q127CurationPass(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
+    // re-crawl clone ids derived from max(doc_id)+1 (ADVICE r12: a fixed
+    // +1e6 offset would silently collide with real ids past 1e6 docs per
+    // copy and cross-attach the sem/verdict joins); one plan-time scalar
+    // job, the oracle replays the identical scalar subquery
+    val cloneOff = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + cloneOff).as("doc_id"), col("text")))
     val fpd = corpus.select(col("doc_id"),
       unhex(md5(col("text"))).as("f1"), xxhash64(col("text")).as("f2"),
       (TextFunctions.langId(col("text")) === "en" &&

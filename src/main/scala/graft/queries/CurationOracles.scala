@@ -143,7 +143,8 @@ object CurationOracles {
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+         |  FROM documents
          |  WHERE doc_id % 7 = 0),
          |scored AS (
          |  SELECT doc_id, text,

@@ -170,7 +170,14 @@ object EventsStream {
     def update(uid: Long,
                it: Iterator[(Long, java.sql.Timestamp, Long, String)],
                state: GroupState[LastEvent]): Iterator[Transition] = {
-      val evs = it.toSeq.sortBy(e => (e._2.getTime, e._3))
+      // sort by the FULL instant (epoch-millis alone truncates the
+      // microsecond component a TimestampType carries, so two events in
+      // the same millisecond could pair in the opposite order from q130's
+      // lead() window, which orders by the complete timestamp): getTime
+      // gives the integral millis, getNanos the sub-second refinement
+      val evs = it.toSeq.sortBy { e =>
+        val i = e._2.toInstant; (i.getEpochSecond, i.getNano, e._3)
+      }
       var last = state.getOption
       val out = Seq.newBuilder[Transition]
       evs.foreach { case (_, ts, eid, et) =>

@@ -188,8 +188,10 @@ class CurationOpsSpec extends SparkSpec {
     assert(got(4L) == "semantic_dup")    // cosine ≈ 1 vs lower-id seed 3
     assert(got(12L) == "exact_dup")      // same text as doc 0, higher id
     assert(got(13L) == "quality_drop")
-    assert(got(1000000L) == "exact_dup") // re-crawl clone of doc 0
-    assert(got(1000007L) == "exact_dup") // re-crawl clone of doc 7
+    // clone ids ride max(doc_id)+1 = 14 (ADVICE r12: no fixed offset to
+    // collide with real ids), so clones of 0 and 7 land at 14 and 21
+    assert(got(14L) == "exact_dup")      // re-crawl clone of doc 0
+    assert(got(21L) == "exact_dup")      // re-crawl clone of doc 7
     assert((0L until 12L).filter(_ != 4L).forall(got(_) == "kept"))
   }
 

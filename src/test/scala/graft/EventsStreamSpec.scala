@@ -187,6 +187,51 @@ class EventsStreamSpec extends SparkSpec {
       s"stream ${streamed.mkString(",")} != batch ${batch.mkString(",")}")
   }
 
+  test("transitions: same-millisecond microsecond ordering matches batch") {
+    // ADVICE r12: the stream sort keyed on Timestamp.getTime (millis) while
+    // the batch q130 window orders by the FULL microsecond instant — two
+    // events inside one millisecond whose event_id order OPPOSES their
+    // microsecond order would pair backwards stream-vs-batch. Pin the
+    // adversarial case: id 1 at .0019, id 2 at .0011 (millis tie, id order
+    // inverted vs micro order), then a .0020 closer.
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val b1 = rows(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.0019"), 7L, "view", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.0011"), 7L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.002"), 7L, "purchase", 1.0, "{}"))
+    val src = tmpDir("trans-us-src")
+    stageFile(b1, src, "b1.parquet", 1000000L)
+
+    val out = tmpDir("trans-us-out")
+    val q = EventsStream.transitions(
+        spark.readStream.schema(rows().schema).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("trans-us-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select(col("from_type"), col("to_type"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    // batch truth: click(.0011) -> view(.0019) -> purchase(.0020); the
+    // old millis sort produced view->click instead
+    assert(streamed == Seq(("click", "view"), ("view", "purchase")),
+      s"stream paired $streamed")
+
+    val dir = tmpDir("trans-us-batch")
+    b1.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Curation.q130MarkovTransitions(spark, dir)
+      .select(col("from_type"), col("to_type"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
+
   test("coalesceIntervals: late bridge merges, touch merges, open stays") {
     import sqlImplicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime

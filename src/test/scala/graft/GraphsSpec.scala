@@ -50,6 +50,26 @@ class GraphsSpec extends SparkSpec {
     assert(leaves.size == 2, "empty rounds must not append delta leaves")
   }
 
+  test("bfsReleasable: release() reclaims every reliable delta file after use") {
+    // ADVICE r12: repeated reliable-mode invocations against one dir must
+    // not accumulate per-invocation delta files for the app's lifetime —
+    // the release handle deletes every rdd-* checkpoint dir once the
+    // caller has consumed the lazy union
+    val dir = tmpDir("bfs-rel")
+    def rddDirs: Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+    }
+    val (out, release) = Graphs.bfsReleasable(
+      pathGraph, Seq(0L).toDF("id"), 3, checkpointDir = Some(dir))
+    assert(distances(out) == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    assert(rddDirs.nonEmpty, "deltas must be file-backed while the result is live")
+    release()
+    assert(rddDirs.isEmpty,
+      s"release() left checkpoint files: ${rddDirs.mkString(", ")}")
+  }
+
   test("bfs: reliable mode survives loss of every executor-local block") {
     // unpersist(blocking) on a lineage-truncated localCheckpoint IS block
     // loss; in reliable mode every delta and the adjacency are file-backed,

@@ -193,4 +193,30 @@ class RecallSpec extends SparkSpec {
     assert(got == truth,
       s"missed ${(truth -- got).size} exact pairs, ${(got -- truth).size} spurious")
   }
+
+  test("idRadix guards: empty corpus -> empty result, not a plan-time NPE") {
+    // ADVICE r12: the decimal-packing radix job max(id) returns a NULL
+    // slot on an empty (or all-null-embedding) input; the old getLong
+    // NPE'd at PLAN time where the lazy plan would have produced an
+    // empty frame
+    import sqlImplicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(empty, "vec_id", "embedding",
+      nCentroids = 4, nProbe = 2, col("id") < 2, k = 3).count() == 0L)
+    assert(Similarity.kmeansStepFixedPoint(empty, "vec_id", "embedding",
+      nCentroids = 4, scale = 1000000L).count() == 0L)
+  }
+
+  test("idRadix guards: negative ids fail fast instead of corrupting argmin") {
+    // (M-1-cid) past the radix flips the sign of pd % M — a silently
+    // WRONG winner; the guard turns the bad fixture into a loud error
+    import sqlImplicits._
+    val neg = Seq((-1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfTopK(neg, "vec_id", "embedding",
+        nCentroids = 2, nProbe = 1, col("id") < 2, k = 1)
+    }
+    assert(ex.getMessage.contains("non-negative"), ex.getMessage)
+  }
 }
