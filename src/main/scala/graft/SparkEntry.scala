@@ -151,7 +151,11 @@ object SparkEntry {
     "q130_markov_transitions" -> (Curation.q130MarkovTransitions _),
     "q131_attribution"        -> (Curation.q131Attribution _),
     "q132_pareto_frontier"    -> (Curation.q132ParetoFrontier _),
-    "q133_star_flatten"       -> (Curation.q133StarFlatten _)
+    "q133_star_flatten"       -> (Curation.q133StarFlatten _),
+    "q134_label_prop"         -> (Curation.q134LabelProp _),
+    "q135_exact_quantiles"    -> (Curation.q135ExactQuantiles _),
+    "q136_sparse_retrieval"   -> (Curation.q136SparseRetrieval _),
+    "q137_random_walks"       -> (Curation.q137RandomWalks _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

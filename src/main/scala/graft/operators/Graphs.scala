@@ -131,4 +131,132 @@ object Graphs {
       (finalDeltas.reduce(_ unionAll _), () => finalDeltas.foreach(ck.free))
     }
   }
+
+  /** Synchronous min-label propagation for `rounds` rounds over an
+    * undirected edge set `edges(id1, id2)` — bounded-round community
+    * detection: after round r every node carries the smallest node id in
+    * its r-hop neighborhood, so label plateaus ARE the emerging
+    * communities (and at convergence this is exactly connected
+    * components — [[Dedup.connectedComponents]] is the run-to-fixpoint
+    * sibling with large/small-star acceleration; this operator is the
+    * fixed-budget variant whose per-round cost is predictable, the shape
+    * training pipelines schedule).
+    *
+    * Every node in `nodes(id)` keeps its own id as the round-0 label;
+    * isolated nodes ride through unchanged. Per round: one equi-join of
+    * the label frame onto the symmetrized adjacency (keyed on the node
+    * id), a map-side-combining `min` keyed on the neighbor, and a left
+    * join back — state never exceeds node+edge cardinality and each
+    * round's frame materializes through [[IterativeCheckpointer]] (the
+    * superseded round is freed immediately; reliable mode file-backs
+    * rounds for executor-loss survival like CC). */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val ck = new IterativeCheckpointer(spark, checkpointDir, 1)
+    IterativeCheckpointer.withCheckpointDir(spark, checkpointDir) {
+      val adj = ck.stage(
+        edges.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+      var labels = ck.stage(
+        nodes.select(col("id"), col("id").as("label")))
+      var r = 1
+      while (r <= rounds) {
+        val nbrMin = labels
+          .join(adj, labels("id") === adj("src"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        val next = ck.materialize(
+          labels.join(nbrMin, labels("id") === nbrMin("dst"), "left")
+            .select(labels("id"),
+              least(col("label"), coalesce(col("nl"), col("label")))
+                .as("label")), r)
+        ck.free(labels) // superseded — unlike BFS, only the latest survives
+        labels = next
+        r += 1
+      }
+      ck.free(adj)
+      labels
+    }
+  }
+
+  /** [[randomWalks]] plus the delta-release handle ([[bfsReleasable]]'s
+    * retention contract — the result is a lazy union of per-step leaves;
+    * release only after consuming it). */
+  def randomWalksReleasable(edges: DataFrame, seeds: DataFrame, steps: Int,
+      checkpointDir: Option[String] = None): (DataFrame, () => Unit) = {
+    val spark = edges.sparkSession
+    val ck = new IterativeCheckpointer(spark, checkpointDir, 1)
+    IterativeCheckpointer.withCheckpointDir(spark, checkpointDir) {
+      val adj = ck.stage(
+        edges.select(col("id1").as("src"), col("id2").as("dst"))
+          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+      // exclusive dst radix for the decimal-packed argmin (same guard
+      // discipline as Similarity's idRadix: empty adjacency -> radix 1 and
+      // the joins below lazily produce zero continuation rows; negative
+      // ids would corrupt the packing -> fail fast)
+      val mEx = {
+        val row = adj.agg(max(col("dst")), min(col("dst"))).first()
+        if (row.isNullAt(0)) 1L
+        else {
+          require(row.getLong(1) >= 0L,
+            s"randomWalks requires non-negative node ids; saw ${row.getLong(1)}")
+          row.getLong(0) + 1L
+        }
+      }
+      var deltas = Vector(ck.stage(
+        seeds.select(col("id").as("walk_id"), lit(0).as("step"),
+          col("id").as("node"))))
+      var frontier = deltas.head
+      var s = 1
+      var exhausted = false
+      while (s <= steps && !exhausted) {
+        // deterministic neighbor draw: argmin over the frontier's out-edges
+        // of the portable 60-bit hash of (walk, step, candidate) — the
+        // distributed DeepWalk-corpus shape with no RNG state to ship.
+        // Packed argmin h·M + dst in a mutable decimal buffer (HashAgg,
+        // never SortAggregate — the q95/q39 lesson); h < 2^60 and
+        // M = max(dst)+1 keep the product far inside decimal(38,0) even
+        // for 10^13-range stress ids. Walks at sink nodes simply end
+        // (inner join emits no continuation row).
+        val h = graft.functions.PortableHash.md5Head60(
+          concat(lit("walk:"), col("walk_id").cast("string"),
+            lit(s":$s:"), col("dst").cast("string")))
+        val obs = org.apache.spark.sql.Observation(s"walk_step_$s")
+        val next = ck.materialize(
+          frontier.select(col("walk_id"), col("node"))
+            .join(adj, col("node") === col("src"))
+            .select(col("walk_id"),
+              (h.cast("decimal(38,0)") * lit(mEx) + col("dst")).as("pd"))
+            .groupBy(col("walk_id")).agg(min(col("pd")).as("pd"))
+            .select(col("walk_id"), lit(s).as("step"),
+              (col("pd") % lit(mEx)).cast("long").as("node"))
+            .observe(obs, count(lit(1)).as("cnt")), s)
+        if (obs.get("cnt").asInstanceOf[Long] == 0L) {
+          ck.free(next)
+          exhausted = true
+        } else {
+          deltas :+= next
+          frontier = next
+        }
+        s += 1
+      }
+      ck.free(adj)
+      val finalDeltas = deltas
+      (finalDeltas.reduce(_ unionAll _), () => finalDeltas.foreach(ck.free))
+    }
+  }
+
+  /** Deterministic random walks: from each `seeds(id)` node, `steps` hops
+    * over the symmetrized `edges(id1, id2)`, the next node at step s drawn
+    * by portable-hash argmin over the current node's neighbors (md5-keyed
+    * on (walk, step, candidate) — reproducible across engines and
+    * restarts, no RNG state). Returns the full trajectories
+    * `(walk_id, step, node)` with step 0 = the seed; a walk reaching a
+    * node with no edges ends early. Per step: one keyed frontier⋈adjacency
+    * join + a map-side-combining packed argmin — walk-cardinality state,
+    * the distributed corpus-generation shape for graph-embedding training
+    * data. Retention contract matches [[bfs]]. */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+                  checkpointDir: Option[String] = None): DataFrame =
+    randomWalksReleasable(edges, seeds, steps, checkpointDir)._1
 }

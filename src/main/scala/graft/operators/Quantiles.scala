@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global quantiles WITHOUT a total sort — the two-pass
+  * histogram-refine selection that replaces `ORDER BY` on the full table
+  * (a single-partition sort at 100 TB) with three keyed passes:
+  *
+  *   1. one aggregation scan for (min, max, count);
+  *   2. one map-side-combining histogram over `nBins` fixed-width bins —
+  *      the ONLY driver state is that nBins-row census (bounded by
+  *      construction, folded to cumulative counts on the driver);
+  *   3. one refine scan that reads ONLY the bins containing a target rank
+  *      (a pushable value-range filter — ~n/nBins rows per target), sorts
+  *      within each target bin partition-locally, and picks the residual
+  *      rank.
+  *
+  * Compare `approx_percentile`: same pass structure but EXACT — the answer
+  * is the true k-th smallest, k = 1 + ⌊p·(n−1)⌋ (lower nearest-rank), not
+  * a sketch bound. Ties are value-ties only, so the selected VALUE is
+  * well-defined regardless of tie order. Input values must be integral
+  * (longs — quantize money to cents first); duplicate-heavy single-value
+  * bins cost one partition-local sort of that bin, never a global one.
+  */
+object Quantiles {
+
+  /** `quantilesBp`: targets in basis points (5000 = median). Returns one
+    * row per target: (p_bp, rank, value) ordered by p_bp. */
+  def exactQuantiles(df: DataFrame, valueCol: Column,
+                     quantilesBp: Seq[Int], nBins: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(quantilesBp.nonEmpty && quantilesBp.forall(p => p >= 0 && p <= 10000),
+      s"quantile targets must be basis points in [0, 10000]: $quantilesBp")
+    val v = df.select(valueCol.cast("long").as("v")).where($"v".isNotNull)
+    // pass 1: domain + cardinality (one scalar row)
+    val head = v.agg(min($"v"), max($"v"), count(lit(1))).first()
+    if (head.isNullAt(0))
+      return Seq.empty[(Int, Long, Long)].toDF("p_bp", "rank", "value")
+    val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    val width = math.max(1L, (hi - lo) / nBins + 1L)
+    // true integer division (Column./ on longs is DOUBLE division, whose
+    // half-ulp rounding could flip a value across a bin boundary at
+    // 2^50-range quotients)
+    def binOf: Column = expr(s"(v - ${lo}L) div ${width}L")
+    // pass 2: fixed-width histogram; nBins rows to the driver — bounded
+    // cardinality by construction (the annotated-collect contract)
+    val hist = v.groupBy(binOf.as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val cumBefore = hist.scanLeft(0L)(_ + _._2).init
+    // fold each target rank k to (bin, residual rank within bin)
+    val targets = quantilesBp.sorted.map { p =>
+      val k = 1L + p.toLong * (n - 1L) / 10000L
+      val i = hist.indices.find(i => cumBefore(i) < k && k <= cumBefore(i) + hist(i)._2).get
+      (p, k, hist(i)._1, k - cumBefore(i))
+    }
+    // pass 3: refine ONLY the target bins — the bin ranges push down to
+    // the scan as value-range filters; the within-bin sort is partitioned
+    // by bin (never an unpartitioned window)
+    val binFilter = targets.map { case (_, _, b, _) =>
+      $"v" >= lo + b * width && $"v" < lo + (b + 1L) * width
+    }.reduce(_ || _)
+    val want = targets.toDF("p_bp", "rank", "tbin", "kb")
+    v.where(binFilter)
+      .withColumn("bin", binOf)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"bin").orderBy($"v")))
+      .join(broadcast(want), $"bin" === $"tbin" && $"rn" === $"kb")
+      .select($"p_bp", $"rank", $"v".as("value"))
+      .orderBy($"p_bp")
+  }
+}

@@ -351,4 +351,63 @@ object Curation {
         sum(cents(col("s_acctbal"))).as("sum_acctbal_c"))
       .orderBy(col("r_name"), col("l_returnflag"), col("o_orderpriority"))
   }
+
+  // Bounded-round min-label propagation over the q121 link graph (the
+  // fixed-budget community-detection primitive — the run-to-fixpoint
+  // sibling is Dedup.connectedComponents): 4 synchronous rounds via
+  // Graphs.labelPropagation (per round one keyed join + map-side min +
+  // left join back, each round an IterativeCheckpointer leaf). Readout:
+  // per-label community census — hash-sensitive to every node's final
+  // label.
+  def q134LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    graft.operators.Graphs
+      .labelPropagation(Analytics.blockEdges(docs), docs, rounds = 4)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"), sum(col("id")).as("sum_id"))
+      .orderBy(col("label"))
+  }
+
+  // Exact global price quantiles WITHOUT a total sort (Quantiles.
+  // exactQuantiles): two aggregation scans (domain, 4096-bin histogram)
+  // + one range-filter-pushed refine scan that sorts only the target
+  // bins partition-locally. The answer is the true k-th smallest cent
+  // value, k = 1 + floor(p·(n-1)), byte-identical to the oracle's full
+  // ORDER BY — which is exactly the plan this operator exists to avoid
+  // at 100 TB.
+  def q135ExactQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactQuantiles(
+        t(s, dir)("lineitem"), cents(col("l_extendedprice")),
+        quantilesBp = Seq(2500, 5000, 9000, 9900))
+      .select(col("p_bp"), col("rank"), col("value").as("value_cents"))
+
+  // Sparse tf·idf cosine retrieval (TfIdf.sparseCosineTopK): top-5
+  // lexical neighbors per query doc (doc_id % 97 == 0) under integer
+  // reciprocal-df weights, candidates from the df-capped inverted index,
+  // exact integer rescore — the sparse sibling of the dense ANN suite
+  // (q24/q39/q125), full ranking hash-matched.
+  def q136SparseRetrieval(s: SparkSession, dir: String): DataFrame =
+    // maxDf 400: the synthetic corpus draws from a ~30-term vocabulary
+    // where typical df ≈ 300 of 500 docs per StressGen copy — the cap
+    // excludes only the ubiquitous >400-df term (and, at stress scale,
+    // keeps candidates copy-local since suffixed tokens never cross
+    // copies); rescoring still sums EVERY shared term, capped or not
+    graft.operators.TfIdf.sparseCosineTopK(
+      t(s, dir)("documents"), "doc_id", "text",
+      queryPred = col("id") % 97 === 0, k = 5, maxDf = 400L)
+
+  // Deterministic random walks over the q121 link graph (Graphs.
+  // randomWalks): 3 hops from each doc_id % 61 == 0 seed, next node =
+  // portable-hash argmin over the current node's neighbors (md5-keyed on
+  // walk/step/candidate — the distributed DeepWalk corpus-generation
+  // shape, reproducible with no RNG state). Full trajectories, walks at
+  // sink nodes end early.
+  def q137RandomWalks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    graft.operators.Graphs.randomWalks(
+        Analytics.blockEdges(docs),
+        docs.where(col("id") % 61 === 0), steps = 3)
+      .orderBy(col("walk_id"), col("step"))
+  }
 }

@@ -4,6 +4,32 @@ package graft.queries
   * frames, same tie-breaks, column names matched so the driver's
   * sort-columns-then-hash compare is exact. */
 object CurationOracles {
+
+  /** One synchronous min-label-propagation round: `cur` from `prev` over
+    * the shared `sym` edge CTE (neighbors of v are {a | sym(a, b=v)}) —
+    * generated so the four q134 rounds cannot drift from each other. */
+  private def lpRound(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+       |  FROM $prev l
+       |  LEFT JOIN sym s ON s.b = l.id
+       |  LEFT JOIN $prev n ON n.id = s.a
+       |  GROUP BY l.id, l.label)""".stripMargin
+
+  /** One deterministic-random-walk step for q137: the same portable-hash
+    * argmin draw the engine packs into a decimal HashAggregate, replayed
+    * as a row_number over (md5Head60(walk:id:step:candidate), candidate). */
+  private def walkStep(prev: String, cur: String, step: Int): String =
+    s"""$cur AS (
+       |  SELECT walk_id, $step AS step, node FROM (
+       |    SELECT w.walk_id, s.b AS node,
+       |      row_number() OVER (PARTITION BY w.walk_id ORDER BY
+       |        ${OracleUtil.md5Head60(
+              s"'walk:' || CAST(w.walk_id AS VARCHAR) || ':$step:' || CAST(s.b AS VARCHAR)")},
+       |        s.b) AS rn
+       |    FROM $prev w JOIN sym s ON s.a = w.node) x
+       |  WHERE rn = 1)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // interval coalescing replayed: same (st, en) synthesis, same running-
@@ -336,6 +362,91 @@ object CurationOracles {
         |JOIN part ON p_partkey = l_partkey
         |JOIN supplier ON s_suppkey = l_suppkey
         |GROUP BY r_name, l_returnflag, o_orderpriority
-        |ORDER BY r_name, l_returnflag, o_orderpriority""".stripMargin
+        |ORDER BY r_name, l_returnflag, o_orderpriority""".stripMargin,
+
+    // 4 synchronous min-label rounds over the shared edge synthesis, then
+    // the per-label community census
+    "q134_label_prop" ->
+      s"""WITH ${OracleUtil.blockGraphCtes},
+        |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+        |${lpRound("l0", "l1")},
+        |${lpRound("l1", "l2")},
+        |${lpRound("l2", "l3")},
+        |${lpRound("l3", "l4")}
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  min(id) AS min_id, max(id) AS max_id,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM l4 GROUP BY label ORDER BY label""".stripMargin,
+
+    // the full ORDER BY the engine's two-pass selection avoids: the k-th
+    // smallest cent value at k = 1 + floor(p·(n-1))
+    "q135_exact_quantiles" ->
+      """WITH v AS (
+        |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |t(p_bp) AS (VALUES (2500), (5000), (9000), (9900)),
+        |k AS (
+        |  SELECT CAST(p_bp AS INTEGER) AS p_bp,
+        |    1 + p_bp * (n - 1) // 10000 AS rank
+        |  FROM t CROSS JOIN nn),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v)
+        |SELECT k.p_bp, k.rank, r.c AS value_cents
+        |FROM k JOIN r ON r.rn = k.rank ORDER BY k.p_bp""".stripMargin,
+
+    // sparse cosine retrieval replayed: same integer reciprocal-df
+    // weights, same df-capped candidate join, same HUGEINT (≡ decimal
+    // (38,0)) dot/norm arithmetic and truncated cos²·10⁶ score
+    "q136_sparse_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT id, tf.term, df, tf * (10000 // df) AS w
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
+        |n2 AS (
+        |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY id),
+        |rare AS (SELECT * FROM w WHERE df BETWEEN 2 AND 400),
+        |cand AS (
+        |  SELECT DISTINCT q.id AS qid, c.id AS nid
+        |  FROM rare q JOIN rare c ON q.term = c.term
+        |  WHERE q.id % 97 = 0 AND q.id <> c.id),
+        |dt AS (
+        |  SELECT cand.qid, cand.nid,
+        |    sum(CAST(wq.w AS HUGEINT) * wn.w) AS dot
+        |  FROM cand
+        |  JOIN w wq ON wq.id = cand.qid
+        |  JOIN w wn ON wn.id = cand.nid AND wn.term = wq.term
+        |  GROUP BY cand.qid, cand.nid),
+        |scored AS (
+        |  SELECT dt.qid, dt.nid,
+        |    CAST(dt.dot * dt.dot * 1000000 // (a.n2 * b.n2) AS BIGINT)
+        |      AS sim2_ppm
+        |  FROM dt
+        |  JOIN n2 a ON a.id = dt.qid
+        |  JOIN n2 b ON b.id = dt.nid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, sim2_ppm FROM (
+        |  SELECT qid, nid, sim2_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim2_ppm DESC, nid) AS rank
+        |  FROM scored) x
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // deterministic walks replayed: 3 chained argmin draws over the
+    // shared edge synthesis
+    "q137_random_walks" ->
+      s"""WITH ${OracleUtil.blockGraphCtes},
+        |w0 AS (
+        |  SELECT doc_id AS walk_id, 0 AS step, doc_id AS node
+        |  FROM documents WHERE doc_id % 61 = 0),
+        |${walkStep("w0", "s1", 1)},
+        |${walkStep("s1", "s2", 2)},
+        |${walkStep("s2", "s3", 3)}
+        |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
+        |  SELECT * FROM w0 UNION ALL SELECT * FROM s1
+        |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
+        |ORDER BY walk_id, step""".stripMargin
   )
 }

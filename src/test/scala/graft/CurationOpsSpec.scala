@@ -195,6 +195,46 @@ class CurationOpsSpec extends SparkSpec {
     assert((0L until 12L).filter(_ != 4L).forall(got(_) == "kept"))
   }
 
+  test("sparse cosine retrieval ≡ BigInt brute force; df-capped candidates") {
+    // doc 4 shares ONLY the over-cap term 'a' (df 4 > maxDf 3) with the
+    // query -> excluded by design even though its cosine is positive;
+    // doc 5 shares nothing. Docs 1/2/3 qualify via b (df 2) or c (df 3).
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "c d"),
+      (3L, "a c"), (4L, "a x"), (5L, "y z")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TfIdf.sparseCosineTopK(
+        docs, "doc_id", "text", queryPred = col("id") === 0, k = 5,
+        maxDf = 3L, idfScale = 10000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    // brute force with exact BigInt arithmetic, identical weight recipe
+    val corpus = Seq(0L -> "a b c", 1L -> "a b", 2L -> "c d",
+      3L -> "a c", 4L -> "a x", 5L -> "y z")
+    val tf = corpus.map { case (id, t) =>
+      id -> t.split(' ').groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val w = tf.view.mapValues(_.map { case (t, f) =>
+      t -> BigInt(f * (10000L / dfreq(t))) }.toMap).toMap
+    val n2 = w.view.mapValues(_.values.map(x => x * x).sum).toMap
+    def dot(a: Long, b: Long): BigInt =
+      w(a).keySet.intersect(w(b).keySet).toSeq
+        .map(t => w(a)(t) * w(b)(t)).sum
+    val cands = (1L to 5L).filter { n =>
+      tf(0L).keySet.intersect(tf(n).keySet)
+        .exists(t => dfreq(t) >= 2 && dfreq(t) <= 3)
+    }
+    val expected = cands
+      .map(n => n -> (dot(0L, n) * dot(0L, n) * 1000000 / (n2(0L) * n2(n))).toLong)
+      .sortBy { case (n, s) => (-s, n) }
+      .zipWithIndex.map { case ((n, s), i) => (0L, i + 1, n, s) }
+    assert(got.sortBy(_._2).toSeq == expected)
+    assert(!got.exists(_._3 == 4L), "over-cap-only doc 4 must be absent")
+    assert(got.length == 3)
+  }
+
   test("q131 attribution: last touch only, within the 3600s window") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(

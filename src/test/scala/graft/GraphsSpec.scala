@@ -50,6 +50,47 @@ class GraphsSpec extends SparkSpec {
     assert(leaves.size == 2, "empty rounds must not append delta leaves")
   }
 
+  test("labelPropagation: round-r labels are r-hop neighborhood minima") {
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L, 30L)
+      .toDF("id") // 30 is isolated: in the node set, no edges
+    def labels(rounds: Int): Map[Long, Long] =
+      Graphs.labelPropagation(pathGraph, nodes, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(2) == Map(
+      0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3, // path: min in 2 hops
+      10L -> 10, 11L -> 10, 12L -> 10,                      // triangle collapses
+      20L -> 20, 21L -> 20,
+      30L -> 30))                                           // isolated keeps own
+    // 5 rounds: the whole path reaches 0 — bounded LP at convergence IS CC
+    assert(labels(5).view.filterKeys(_ <= 5L).toMap ==
+      (0L to 5L).map(_ -> 0L).toMap)
+  }
+
+  test("randomWalks: trajectories chain along edges, deterministically") {
+    val seeds = Seq(0L, 20L, 30L).toDF("id")
+    def run() = Graphs.randomWalks(pathGraph, seeds, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val got = run()
+    // deterministic: identical trajectories on a re-run
+    assert(got.toSeq == run().toSeq)
+    // step 0 is exactly the seed set; isolated seed 30 ends there
+    assert(got.filter(_._2 == 0).map(_._3).toSet == Set(0L, 20L, 30L))
+    assert(got.filter(_._1 == 30L).toSeq == Seq((30L, 0, 30L)))
+    // walk 20 has one neighbor each way: must oscillate 20,21,20,21
+    assert(got.filter(_._1 == 20L).map(_._3).toSeq == Seq(20L, 21L, 20L, 21L))
+    // every consecutive step pair is a real edge of the symmetrized graph
+    val sym = pathGraph.collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    got.groupBy(_._1).values.foreach { t =>
+      val path = t.sortBy(_._2).map(_._3)
+      path.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+        assert(sym((a, b)), s"non-edge hop $a -> $b")
+      }
+    }
+  }
+
   test("bfsReleasable: release() reclaims every reliable delta file after use") {
     // ADVICE r12: repeated reliable-mode invocations against one dir must
     // not accumulate per-invocation delta files for the app's lifetime —
