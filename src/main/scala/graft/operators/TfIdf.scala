@@ -114,21 +114,21 @@ object TfIdf {
     * every downstream product stays exact integer arithmetic, so the full
     * ranking hash-matches a SQL twin (no float logs to drift last-ulp).
     *
-    * Candidate generation is Broder-asymmetric like [[Dedup]]'s
-    * containment join: a (query, candidate) pair must share ≥ 1 term with
-    * 2 ≤ df ≤ `maxDf` — the inverted-index bucket join whose cost is
-    * Σ_rare-terms df·qf, NEVER all-pairs; pairs sharing only ultra-common
-    * terms are out of scope by design (their weights are 0 there anyway).
-    * The exact dot product then re-scores each candidate over ALL shared
-    * terms (terms outside the intersection contribute 0, so the candidate
-    * -confined rescore IS the full sparse dot). Score = truncated
-    * cos²·10⁶ = dot²·10⁶ div (‖q‖²·‖d‖²), all in decimal(38,0) — exact
-    * cross-engine, and monotone in cosine since dots are non-negative.
+    * Candidacy is Broder-asymmetric like [[Dedup]]'s containment join: a
+    * (query, candidate) pair must share ≥ 1 term with 2 ≤ df ≤ `maxDf` —
+    * inverted-index buckets, NEVER all-pairs; pairs sharing only
+    * ultra-common terms are out of scope by design. The exact dot then
+    * re-scores each candidate over ALL shared terms (absent terms
+    * contribute 0, so the candidate-confined rescore IS the full sparse
+    * dot). Score = truncated cos²·10⁶ = dot²·10⁶ div (‖q‖²·‖d‖²), all in
+    * decimal(38,0) — exact cross-engine, monotone in cosine since dots
+    * are non-negative.
     *
     * Plan: tf from the per-row codegen'd TermCounts kernel (no tokenize
-    * shuffle), df/weights keyed on term, candidates keyed on term then
-    * (query, candidate), rescore keyed on doc id, top-k via the partial
-    * WindowGroupLimit row_number. */
+    * shuffle), weights checkpointed once on hash(term) (the diamond
+    * apex), candidates keyed on term then distinct on (query, candidate),
+    * rescore keyed on doc id, top-k via the partial WindowGroupLimit
+    * row_number. */
   def sparseCosineTopK(docs: DataFrame, idCol: String, textCol: String,
                        queryPred: org.apache.spark.sql.Column, k: Int,
                        maxDf: Long = 100L,
@@ -140,13 +140,32 @@ object TfIdf {
       .select(col("id"), col("tc.term").as("term"),
         col("tc.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // integer weight; (idfScale div df) == 0 for df > idfScale by design
+    // integer weight; (idfScale div df) == 0 for df > idfScale by design.
+    // w is the diamond's shared apex (norms, candidate postings ×2, and
+    // both rescore sides all read it): materialize it ONCE through an
+    // eager localCheckpoint (the q126/q67 pay-the-upstream-once pattern —
+    // without it the tokenize→tf→df→w pipeline re-executes per consumer,
+    // 17 corpus scans in the 100× dump). The LogicalRDD keeps the df
+    // join's hash(term) partitioning, so the term-keyed candidate join
+    // needs no re-exchange; cost is a corpus-token-shaped executor-storage
+    // footprint for the query's duration, the documented q126 trade.
     val w = tf.join(dfreq, "term")
       .select(col("id"), col("term"), col("df"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
+      .localCheckpoint()
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    // inverted-index candidates: rare-term postings joined query-side
+    // Candidates first, THEN the rescore — measured against the
+    // "obvious" fusion (one postings join + a single (qid, nid) aggregate
+    // carrying sum(wq·wn) and a max(df-in-range) candidacy flag): the
+    // fused aggregate's input arrives partitioned by TERM, so each
+    // (qid, nid) pair straddles one partition per shared term and the
+    // partial agg combines almost nothing — the exchange carries the raw
+    // product stream anyway, now funneled into one spilling hash
+    // aggregate (one-session A/B at 100×: fused 33.4 s vs 5.1 s for this
+    // shape; the fused 1000× run was killed at 10+ min vs 136 s). Keeping
+    // candidacy (a distinct over the df-capped postings join) separate
+    // from the rescore keeps every exchange k-bounded or pair-bounded.
     val rare = w.where(col("df") >= 2 && col("df") <= maxDf)
     val cand = rare.where(queryPred)
       .select(col("id").as("qid"), col("term"))
