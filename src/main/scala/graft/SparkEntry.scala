@@ -155,7 +155,8 @@ object SparkEntry {
     "q134_label_prop"         -> (Curation.q134LabelProp _),
     "q135_exact_quantiles"    -> (Curation.q135ExactQuantiles _),
     "q136_sparse_retrieval"   -> (Curation.q136SparseRetrieval _),
-    "q137_random_walks"       -> (Curation.q137RandomWalks _)
+    "q137_random_walks"       -> (Curation.q137RandomWalks _),
+    "q138_hybrid_rrf"         -> (Curation.q138HybridRrf _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -12,10 +12,14 @@ import org.apache.spark.sql.functions._
   *   2. one map-side-combining histogram over `nBins` fixed-width bins —
   *      the ONLY driver state is that nBins-row census (bounded by
   *      construction, folded to cumulative counts on the driver);
-  *   3. one refine scan that reads ONLY the bins containing a target rank
-  *      (a pushable value-range filter — ~n/nBins rows per target), sorts
-  *      within each target bin partition-locally, and picks the residual
-  *      rank.
+  *   3. one refine scan whose value-range filter keeps ONLY the bins
+  *      containing a target rank (~n/nBins rows per target), sorts those
+  *      partition-locally, and picks the residual rank. When `valueCol`
+  *      is a raw integral column the range pushes through the alias into
+  *      the parquet scan (row-group pruning); for a computed column
+  *      (e.g. on-the-fly cents quantization, q135) the scan re-reads the
+  *      one column and the filter runs in the scan's codegen stage —
+  *      store the quantized value to get pushdown.
   *
   * Compare `approx_percentile`: same pass structure but EXACT — the answer
   * is the true k-th smallest, k = 1 + ⌊p·(n−1)⌋ (lower nearest-rank), not

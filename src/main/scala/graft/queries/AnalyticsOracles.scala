@@ -16,16 +16,19 @@ object AnalyticsOracles {
   private def md5Head60(expr: String): String = OracleUtil.md5Head60(expr)
 
   /** Shared CTEs: embeddings as double lists + sequential-order norms
-    * (matches VectorFunctions.toDouble + l2Norm exactly). */
-  private val vecCtes: String =
+    * (matches VectorFunctions.toDouble + l2Norm exactly).
+    * `private[queries]`: q138's hybrid fusion re-reads the dense pipeline
+    * from CurationOracles — one text, no drift. */
+  private[queries] val vecCtes: String =
     """v AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
       |  FROM embeddings),
       |n AS (SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM v)""".stripMargin
 
-  /** Shared tail: exact rerank of a `cand(qid, nid)` CTE to top-5 per
-    * query, same rounding and tie-break as Similarity.rankTopK. */
-  private val rerankTail: String =
+  /** Exact rerank of a `cand(qid, nid)` CTE as a `ranked` CTE — same
+    * rounding and tie-break as Similarity.rankTopK. Split from the final
+    * SELECT so q138 can keep ranking as a CTE. */
+  private[queries] val rerankCtes: String =
     """sims AS (
       |  SELECT qid, nid,
       |    round(list_dot_product(qv.vv, nv.vv) / (qn.nrm * nn.nrm), 6) AS sim
@@ -38,9 +41,44 @@ object AnalyticsOracles {
       |  SELECT qid, nid, sim,
       |    CAST(row_number() OVER (PARTITION BY qid
       |                            ORDER BY sim DESC, nid) AS INTEGER) AS rank
-      |  FROM sims)
+      |  FROM sims)""".stripMargin
+
+  /** Shared tail: [[rerankCtes]] plus the top-5 readout. */
+  private val rerankTail: String =
+    s"""$rerankCtes
       |SELECT qid, rank, nid, sim FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  /** The q39 portable-IVF candidate pipeline (md5-picked seed cells,
+    * nearest-cell assignment with smallest-cid ties, 14-of-16 probed
+    * cells) ending in `cand(qid, nid)` — shared verbatim with q138. */
+  private[queries] val ivfCandCtes: String =
+    s"""seeds AS (
+       |  SELECT v.vec_id AS cid, vv AS cv, nrm AS cn
+       |  FROM v JOIN n ON n.vec_id = v.vec_id
+       |  ORDER BY ${OracleUtil.md5Head60("CAST(v.vec_id AS VARCHAR)")}, v.vec_id
+       |  LIMIT 16),
+       |asg AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
+       |        AS rn
+       |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT v.vec_id AS qid, s.cid,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
+       |        AS rn
+       |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s
+       |    WHERE v.vec_id < 8)
+       |  WHERE rn <= 14),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, a.vec_id AS nid
+       |  FROM probes p JOIN asg a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.qid)""".stripMargin
 
   /** Shared CTE list: exact all-pairs n-gram jaccard over a doc universe.
     * Tokens are exploded with positions (zip-unnest), trigrams built by
@@ -144,32 +182,7 @@ object AnalyticsOracles {
     // exact rerank within probed cells only
     "q39_knn_ivf" ->
       s"""WITH $vecCtes,
-         |seeds AS (
-         |  SELECT v.vec_id AS cid, vv AS cv, nrm AS cn
-         |  FROM v JOIN n ON n.vec_id = v.vec_id
-         |  ORDER BY ${md5Head60("CAST(v.vec_id AS VARCHAR)")}, v.vec_id
-         |  LIMIT 16),
-         |asg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT v.vec_id, s.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
-         |        AS rn
-         |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s)
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT qid, cid FROM (
-         |    SELECT v.vec_id AS qid, s.cid,
-         |      row_number() OVER (PARTITION BY v.vec_id
-         |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
-         |        AS rn
-         |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s
-         |    WHERE v.vec_id < 8)
-         |  WHERE rn <= 14),
-         |cand AS (
-         |  SELECT DISTINCT p.qid, a.vec_id AS nid
-         |  FROM probes p JOIN asg a ON a.cid = p.cid
-         |  WHERE a.vec_id <> p.qid),
+         |$ivfCandCtes,
          |$rerankTail""".stripMargin,
 
     "q24_knn_brute" ->

@@ -410,4 +410,35 @@ object Curation {
         docs.where(col("id") % 61 === 0), steps = 3)
       .orderBy(col("walk_id"), col("step"))
   }
+
+  // Hybrid retrieval (the modern search/RAG mining shape): the dense
+  // portable-IVF top-5 (q39's exact pipeline over embeddings) and the
+  // sparse tf·idf cosine top-5 (q136's over the SAME ids in documents)
+  // fused by integer reciprocal-rank — rrf = Σ coalesce(10⁶ div
+  // (60 + rank), 0) over the two lists, a full-outer join on (query,
+  // candidate) then one partitioned top-5 window. Every input rank is
+  // hash-matched upstream, so the fusion is exact end to end; both
+  // branches are k-bounded before the join, making the fusion's state
+  // queries×(2k) regardless of corpus size.
+  def q138HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val dense = graft.operators.Similarity.ivfTopK(
+        t(s, dir)("embeddings"), "vec_id", "embedding",
+        nCentroids = 16, nProbe = 14, queryPred = col("id") < 8, k = 5,
+        portable = true)
+      .select(col("qid"), col("nid"), col("rank").as("dr"))
+    val sparse = graft.operators.TfIdf.sparseCosineTopK(
+        t(s, dir)("documents"), "doc_id", "text",
+        queryPred = col("id") < 8, k = 5, maxDf = 400L)
+      .select(col("qid"), col("nid"), col("rank").as("sr"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("rrf_micro").desc, col("nid"))
+    dense.join(sparse, Seq("qid", "nid"), "full_outer")
+      .select(col("qid"), col("nid"),
+        (coalesce(expr("1000000 div (60 + dr)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + sr)"), lit(0L))).as("rrf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("qid"), col("rank"), col("nid"), col("rrf_micro"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

@@ -30,6 +30,42 @@ object CurationOracles {
        |    FROM $prev w JOIN sym s ON s.a = w.node) x
        |  WHERE rn = 1)""".stripMargin
 
+  /** The sparse-retrieval scoring pipeline (TfIdf.sparseCosineTopK's
+    * twin): integer reciprocal-df weights, df-capped candidacy for query
+    * docs satisfying `pred` (over alias `q`), exact HUGEINT dot/norm
+    * rescore — ends in `sscored(qid, nid, sim2_ppm)`. ONE text shared by
+    * q136 and q138's hybrid fusion so the recipes cannot drift. */
+  private def sparseScoredCtes(pred: String): String =
+    s"""stoks AS (
+       |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |stf AS (SELECT id, term, count(*) AS tf FROM stoks GROUP BY id, term),
+       |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+       |sw AS (
+       |  SELECT id, stf.term, df, tf * (10000 // df) AS w
+       |  FROM stf JOIN sdf ON stf.term = sdf.term),
+       |sn2 AS (
+       |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM sw GROUP BY id),
+       |srare AS (SELECT * FROM sw WHERE df BETWEEN 2 AND 400),
+       |scand AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM srare q JOIN srare c ON q.term = c.term
+       |  WHERE $pred AND q.id <> c.id),
+       |sdt AS (
+       |  SELECT scand.qid, scand.nid,
+       |    sum(CAST(wq.w AS HUGEINT) * wn.w) AS dot
+       |  FROM scand
+       |  JOIN sw wq ON wq.id = scand.qid
+       |  JOIN sw wn ON wn.id = scand.nid AND wn.term = wq.term
+       |  GROUP BY scand.qid, scand.nid),
+       |sscored AS (
+       |  SELECT sdt.qid, sdt.nid,
+       |    CAST(sdt.dot * sdt.dot * 1000000 // (a.n2 * b.n2) AS BIGINT)
+       |      AS sim2_ppm
+       |  FROM sdt
+       |  JOIN sn2 a ON a.id = sdt.qid
+       |  JOIN sn2 b ON b.id = sdt.nid)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // interval coalescing replayed: same (st, en) synthesis, same running-
@@ -396,42 +432,15 @@ object CurationOracles {
 
     // sparse cosine retrieval replayed: same integer reciprocal-df
     // weights, same df-capped candidate join, same HUGEINT (≡ decimal
-    // (38,0)) dot/norm arithmetic and truncated cos²·10⁶ score
+    // (38,0)) dot/norm arithmetic and truncated cos²·10⁶ score — the
+    // pipeline is the shared sparseScoredCtes text (q138 replays it too)
     "q136_sparse_retrieval" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |w AS (
-        |  SELECT id, tf.term, df, tf * (10000 // df) AS w
-        |  FROM tf JOIN dfreq ON tf.term = dfreq.term),
-        |n2 AS (
-        |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY id),
-        |rare AS (SELECT * FROM w WHERE df BETWEEN 2 AND 400),
-        |cand AS (
-        |  SELECT DISTINCT q.id AS qid, c.id AS nid
-        |  FROM rare q JOIN rare c ON q.term = c.term
-        |  WHERE q.id % 97 = 0 AND q.id <> c.id),
-        |dt AS (
-        |  SELECT cand.qid, cand.nid,
-        |    sum(CAST(wq.w AS HUGEINT) * wn.w) AS dot
-        |  FROM cand
-        |  JOIN w wq ON wq.id = cand.qid
-        |  JOIN w wn ON wn.id = cand.nid AND wn.term = wq.term
-        |  GROUP BY cand.qid, cand.nid),
-        |scored AS (
-        |  SELECT dt.qid, dt.nid,
-        |    CAST(dt.dot * dt.dot * 1000000 // (a.n2 * b.n2) AS BIGINT)
-        |      AS sim2_ppm
-        |  FROM dt
-        |  JOIN n2 a ON a.id = dt.qid
-        |  JOIN n2 b ON b.id = dt.nid)
+      s"""WITH ${sparseScoredCtes("q.id % 97 = 0")}
         |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, sim2_ppm FROM (
         |  SELECT qid, nid, sim2_ppm,
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY sim2_ppm DESC, nid) AS rank
-        |  FROM scored) x
+        |  FROM sscored) x
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // deterministic walks replayed: 3 chained argmin draws over the
@@ -447,6 +456,38 @@ object CurationOracles {
         |SELECT walk_id, CAST(step AS INTEGER) AS step, node FROM (
         |  SELECT * FROM w0 UNION ALL SELECT * FROM s1
         |  UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
-        |ORDER BY walk_id, step""".stripMargin
+        |ORDER BY walk_id, step""".stripMargin,
+
+    // hybrid retrieval: BOTH pipelines replayed from their shared texts
+    // (the dense side is q39's exact CTE chain out of AnalyticsOracles,
+    // the sparse side is q136's sparseScoredCtes) and fused by integer
+    // reciprocal-rank — coalesced 10⁶ div (60 + rank) per list
+    "q138_hybrid_rrf" ->
+      s"""WITH ${AnalyticsOracles.vecCtes},
+        |${AnalyticsOracles.ivfCandCtes},
+        |${AnalyticsOracles.rerankCtes},
+        |dense AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5),
+        |${sparseScoredCtes("q.id < 8")},
+        |sparse AS (
+        |  SELECT qid, nid, rank FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim2_ppm DESC, nid) AS rank
+        |    FROM sscored) x
+        |  WHERE rank <= 5),
+        |fused AS (
+        |  SELECT coalesce(d.qid, s.qid) AS qid,
+        |    coalesce(d.nid, s.nid) AS nid,
+        |    coalesce(1000000 // (60 + d.rank), 0)
+        |      + coalesce(1000000 // (60 + s.rank), 0) AS rrf_micro
+        |  FROM dense d
+        |  FULL OUTER JOIN sparse s ON s.qid = d.qid AND s.nid = d.nid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro FROM (
+        |  SELECT qid, nid, rrf_micro,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_micro DESC, nid) AS rank
+        |  FROM fused) x
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   )
 }

@@ -235,6 +235,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("q138 fusion: rrf recomposes from the two constituent rankings") {
+    // run the hybrid AND its two branches standalone on the real sf0.001
+    // tables; every fused score must equal the recomputed coalesced
+    // 10^6 div (60 + rank) sum, including single-list candidates
+    val dir = "/root/testdata/sf0.001"
+    val dense = graft.operators.Similarity.ivfTopK(
+        graft.sources.Tables(spark, dir, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, nProbe = 14,
+        queryPred = col("id") < 8, k = 5, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val sparse = graft.operators.TfIdf.sparseCosineTopK(
+        graft.sources.Tables(spark, dir, "documents"), "doc_id", "text",
+        queryPred = col("id") < 8, k = 5, maxDf = 400L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val fused = graft.queries.Curation.q138HybridRrf(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(fused.nonEmpty)
+    fused.foreach { case (qid, _, nid, rrf) =>
+      val expect = dense.get((qid, nid)).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+        sparse.get((qid, nid)).map(r => 1000000L / (60 + r)).getOrElse(0L)
+      assert(rrf == expect, s"($qid, $nid): $rrf != $expect")
+    }
+    // the fixture must exercise BOTH single-list paths or the coalesce
+    // arms are untested
+    val pairs = fused.map(t => (t._1, t._3)).toSet
+    assert(pairs.exists(p => dense.contains(p) && !sparse.contains(p)))
+    assert(pairs.exists(p => sparse.contains(p) && !dense.contains(p)))
+  }
+
   test("q131 attribution: last touch only, within the 3600s window") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(

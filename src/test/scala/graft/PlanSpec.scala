@@ -116,6 +116,7 @@ class PlanSpec extends SparkSpec {
       "q92_mixture_plan", // broadcast single-row totals scalar (tot_tok, n_langs)
       "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
       "q125_knn_ivf_pq", // broadcast-K cell grid (K = nCells, routing)
+      "q138_hybrid_rrf", // q39's broadcast-K centroid grid inside the dense branch
       "q127_curation_pass", // semanticDedup's broadcast seed/super grids
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
