@@ -207,6 +207,56 @@ object Similarity {
               nCentroids: Int, nProbe: Int, queryPred: Column,
               k: Int, kmeansIters: Int = 0,
               portable: Boolean = false): DataFrame = {
+    val (base, centroids, assigned) =
+      ivfIndex(emb, idCol, vecCol, nCentroids, kmeansIters, portable)
+
+    // Each query probes its nProbe nearest cells. This window is over q·K
+    // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
+    // acceptable; the corpus-sized rankings below use rankTopK. The window
+    // ranks (qid, cid, csim) ONLY — the query vectors are projected away
+    // before the exchange and rejoined by qid afterward, the same ids-only
+    // shuffle discipline lshTopK applies to its band join (vectors riding
+    // the probe window would copy every query embedding K times through
+    // the sort).
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val qVecs = base.where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val probes = qVecs
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("cid"),
+        dotFast(col("qv"), col("cv")).divide(col("qn") * col("cn")).as("csim"))
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nProbe)
+      .select(col("qid"), col("cid"))
+      .join(qVecs, "qid")
+
+    // exact rerank within the probed cells only
+    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+    val pairs = probes.join(assigned, "cid")
+      .where(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
+      .dropDuplicates("qid", "nid")
+    rankTopK(pairs, k)
+  }
+
+  /** The corpus's IVF cell assignment `(id, cid)` — the index structure
+    * [[ivfTopK]] routes through, exposed for index inspection and for
+    * cell-confined mining (q139's hard negatives draw from the anchor's
+    * cell). Same seeds, same packed argmax, same tie-breaks as the
+    * search path — ONE implementation ([[ivfIndex]]). */
+  def ivfAssignments(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, kmeansIters: Int = 0,
+                     portable: Boolean = false): DataFrame =
+    ivfIndex(emb, idCol, vecCol, nCentroids, kmeansIters, portable)
+      ._3.select(col("id"), col("cid"))
+
+  /** Shared IVF index build: (prepared corpus, final centroids, cell
+    * assignment joined back to vectors) — the first half of [[ivfTopK]],
+    * split out so [[ivfAssignments]] cannot drift from the search path. */
+  private def ivfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int, kmeansIters: Int,
+                       portable: Boolean): (DataFrame, DataFrame, DataFrame) = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val base = prepared(emb, idCol, vecCol)
     // portable seed hash: md5-derived so a DuckDB oracle can re-pick the
@@ -263,36 +313,7 @@ object Similarity {
     val centroids = (1 to kmeansIters).foldLeft(seeds: DataFrame) {
       case (cs, _) => recenter(assign(cs))
     }
-    val assigned = assign(centroids)
-
-    // Each query probes its nProbe nearest cells. This window is over q·K
-    // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
-    // acceptable; the corpus-sized rankings below use rankTopK. The window
-    // ranks (qid, cid, csim) ONLY — the query vectors are projected away
-    // before the exchange and rejoined by qid afterward, the same ids-only
-    // shuffle discipline lshTopK applies to its band join (vectors riding
-    // the probe window would copy every query embedding K times through
-    // the sort).
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cid"))
-    val qVecs = base.where(queryPred)
-      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val probes = qVecs
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("cid"),
-        dotFast(col("qv"), col("cv")).divide(col("qn") * col("cn")).as("csim"))
-      .withColumn("rn", row_number().over(probeW))
-      .where(col("rn") <= nProbe)
-      .select(col("qid"), col("cid"))
-      .join(qVecs, "qid")
-
-    // exact rerank within the probed cells only
-    val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val pairs = probes.join(assigned, "cid")
-      .where(col("qid") =!= col("id"))
-      .select(col("qid"), col("id").as("nid"), sim.as("sim"))
-      .dropDuplicates("qid", "nid")
-    rankTopK(pairs, k)
+    (base, centroids, assign(centroids))
   }
 
   /** Banding parameters (bitsPerTable, tables) for [[cosineNearDupPairs]],

@@ -49,10 +49,11 @@ object AnalyticsOracles {
       |SELECT qid, rank, nid, sim FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
-  /** The q39 portable-IVF candidate pipeline (md5-picked seed cells,
-    * nearest-cell assignment with smallest-cid ties, 14-of-16 probed
-    * cells) ending in `cand(qid, nid)` — shared verbatim with q138. */
-  private[queries] val ivfCandCtes: String =
+  /** The portable-IVF index build (md5-picked seed cells, nearest-cell
+    * assignment with smallest-cid ties) ending in `asg(vec_id, cid)` —
+    * the twin of Similarity.ivfIndex, shared by q39/q138 (via
+    * [[ivfCandCtes]]) and q139's cell-confined negative mining. */
+  private[queries] val ivfAsgCtes: String =
     s"""seeds AS (
        |  SELECT v.vec_id AS cid, vv AS cv, nrm AS cn
        |  FROM v JOIN n ON n.vec_id = v.vec_id
@@ -65,7 +66,13 @@ object AnalyticsOracles {
        |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
        |        AS rn
        |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The q39 portable-IVF candidate pipeline ([[ivfAsgCtes]] + 14-of-16
+    * probed cells) ending in `cand(qid, nid)` — shared verbatim with
+    * q138. */
+  private[queries] val ivfCandCtes: String =
+    s"""$ivfAsgCtes,
        |probes AS (
        |  SELECT qid, cid FROM (
        |    SELECT v.vec_id AS qid, s.cid,

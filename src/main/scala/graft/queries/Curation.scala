@@ -441,4 +441,38 @@ object Curation {
       .select(col("qid"), col("rank"), col("nid"), col("rrf_micro"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  // Hard-negative mining (contrastive-training data): for each anchor
+  // (the ANN suite's id < 8 query convention — constant anchor count at
+  // any SF), candidates are the anchor's OWN IVF cell members
+  // (Similarity.ivfAssignments — same seeds/argmax as the search path,
+  // one implementation) minus its exact-ranked top-5 (q39's pipeline)
+  // and itself; 3 negatives drawn deterministically by portable-hash
+  // order. Same-cell-but-not-nearest is exactly the "semantically close
+  // yet not positive" band embedding training wants. Cell-confined
+  // candidacy keeps the pair stream at anchors × cell size, never
+  // anchors × corpus.
+  def q139HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val top5 = graft.operators.Similarity.ivfTopK(emb, "vec_id",
+        "embedding", nCentroids = 16, nProbe = 14,
+        queryPred = col("id") < 8, k = 5, portable = true)
+      .select(col("qid"), col("nid"))
+    val asg = graft.operators.Similarity.ivfAssignments(emb, "vec_id",
+      "embedding", nCentroids = 16, portable = true)
+    val cand = asg.where(col("id") < 8)
+      .select(col("id").as("qid"), col("cid"))
+      .join(asg.select(col("id").as("nid"), col("cid")), "cid")
+      .where(col("qid") =!= col("nid"))
+    val h = graft.functions.PortableHash.md5Head60(
+      concat(lit("neg:"), col("qid").cast("string"),
+        lit(":"), col("nid").cast("string")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("h"), col("nid"))
+    cand.join(top5, Seq("qid", "nid"), "left_anti")
+      .withColumn("h", h)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("nid"), col("cid"))
+      .orderBy(col("qid"), col("rank"))
+  }
 }

@@ -488,6 +488,33 @@ object CurationOracles {
         |    row_number() OVER (PARTITION BY qid
         |      ORDER BY rrf_micro DESC, nid) AS rank
         |  FROM fused) x
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // hard negatives replayed: the SHARED IVF index + candidate + rerank
+    // texts give the anchor top-5 (exactly q39's) and the cell
+    // assignment; the negative draw is the md5 order over same-cell
+    // non-top-5 members
+    "q139_hard_negatives" ->
+      s"""WITH ${AnalyticsOracles.vecCtes},
+        |${AnalyticsOracles.ivfCandCtes},
+        |${AnalyticsOracles.rerankCtes},
+        |top5 AS (SELECT qid, nid FROM ranked WHERE rank <= 5),
+        |negcand AS (
+        |  SELECT qa.vec_id AS qid, na.vec_id AS nid, qa.cid
+        |  FROM asg qa JOIN asg na ON na.cid = qa.cid
+        |  WHERE qa.vec_id < 8 AND na.vec_id <> qa.vec_id),
+        |negs AS (
+        |  SELECT nc.qid, nc.nid, nc.cid
+        |  FROM negcand nc
+        |  LEFT JOIN top5 t ON t.qid = nc.qid AND t.nid = nc.nid
+        |  WHERE t.qid IS NULL)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, cid FROM (
+        |  SELECT qid, nid, cid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY
+        |      ${OracleUtil.md5Head60(
+             "'neg:' || CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")},
+        |      nid) AS rank
+        |  FROM negs) x
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
   )
 }

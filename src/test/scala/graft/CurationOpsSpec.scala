@@ -264,6 +264,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(pairs.exists(p => sparse.contains(p) && !dense.contains(p)))
   }
 
+  test("q139 negatives: same cell, disjoint from top-5, never the anchor") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+    val top5 = graft.operators.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        nCentroids = 16, nProbe = 14, queryPred = col("id") < 8, k = 5,
+        portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cellOf = graft.operators.Similarity.ivfAssignments(emb, "vec_id",
+        "embedding", nCentroids = 16, portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val negs = graft.queries.Curation.q139HardNegatives(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (qid, _, nid, cid) =>
+      assert(nid != qid, s"anchor $qid listed as its own negative")
+      assert(!top5((qid, nid)), s"($qid, $nid) is a top-5 positive")
+      assert(cellOf(nid) == cid && cellOf(qid) == cid,
+        s"($qid, $nid) not cell-confined")
+    }
+    // ≤3 per anchor, ranks dense from 1
+    negs.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length) && g.length <= 3)
+    }
+  }
+
   test("q131 attribution: last touch only, within the 3600s window") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(

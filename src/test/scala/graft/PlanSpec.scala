@@ -117,6 +117,7 @@ class PlanSpec extends SparkSpec {
       "q95_semantic_dedup", // broadcast-K seed grid (K = max(minK, ⌈N/64⌉))
       "q125_knn_ivf_pq", // broadcast-K cell grid (K = nCells, routing)
       "q138_hybrid_rrf", // q39's broadcast-K centroid grid inside the dense branch
+      "q139_hard_negatives", // the same broadcast-K centroid grid (assignment + top-5 branches)
       "q127_curation_pass", // semanticDedup's broadcast seed/super grids
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
