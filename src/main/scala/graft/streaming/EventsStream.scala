@@ -23,6 +23,13 @@ case class Segment(k: Long, seg_start: java.sql.Timestamp,
 /** One emitted adjacent-pair transition. */
 case class Transition(user_id: Long, from_type: String, to_type: String)
 
+/** Carried last non-purchase touch per user for
+  * [[EventsStream.attribution]] (floor-second event time + type). */
+case class LastTouch(sec: Long, touchType: String)
+
+/** One emitted attributed conversion. */
+case class Attributed(event_id: Long, touch_type: String, value_c: Long)
+
 /** Emitted closed session. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
                    session_end: java.sql.Timestamp, n_events: Long,
@@ -191,6 +198,56 @@ object EventsStream {
     events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"))
       .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Streaming twin of q131's last-touch attribution: per-user carried
+    * (floor-second, type) of the most recent NON-purchase event via
+    * `flatMapGroupsWithState`; each purchase emits its attributed touch —
+    * the carried type if it lies within 3600 s, else 'none' — and value
+    * cents (HALF_UP on the double, exactly the batch `cents` recipe).
+    * Within a batch the group's events sort by the full microsecond
+    * instant then event_id — the identical total order q131's window
+    * uses — so for any batch split respecting per-user event-time order
+    * the emitted conversion multiset equals the batch twin's (pinned in
+    * EventsStreamSpec against Curation.q131Attribution on the same rows,
+    * split mid-user across triggers). State is ONE small struct per
+    * active user; the per-touch-type rollup downstream is an ordinary
+    * streaming aggregate. */
+  def attribution(events: DataFrame): Dataset[Attributed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(uid: Long,
+               it: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+               state: GroupState[LastTouch]): Iterator[Attributed] = {
+      val evs = it.toSeq.sortBy { e =>
+        val i = e._2.toInstant; (i.getEpochSecond, i.getNano, e._3)
+      }
+      var touch = state.getOption
+      val out = Seq.newBuilder[Attributed]
+      evs.foreach { case (_, ts, eid, et, v) =>
+        val sec = ts.toInstant.getEpochSecond
+        if (et == "purchase") {
+          val vc = java.math.BigDecimal.valueOf(v * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          val t = touch match {
+            case Some(lt) if sec - lt.sec <= 3600L => lt.touchType
+            case _ => "none"
+          }
+          out += Attributed(eid, t, vc)
+        } else touch = Some(LastTouch(sec, et))
+      }
+      touch.foreach(state.update)
+      out.result().iterator
+    }
+
+    events.select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

@@ -187,6 +187,62 @@ class EventsStreamSpec extends SparkSpec {
       s"stream ${streamed.mkString(",")} != batch ${batch.mkString(",")}")
   }
 
+  test("attribution: multi-batch stream rollup equals the batch q131") {
+    import sqlImplicits._
+    import org.apache.spark.sql.functions._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
+    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+      xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+    // user 7: touch chain split across triggers (view, click in b1;
+    // purchase in b2 attributes to the CARRIED click); user 8's touch is
+    // stale (> 3600 s) -> none; user 9 purchases with no touch -> none;
+    // user 10's view and purchase share one timestamp, event_id order
+    // makes the view a valid preceding touch
+    val b1 = rows(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(5), 7L, "click", 1.0, "{}"),
+      (3L, ts(0), 8L, "click", 1.0, "{}"))
+    val b2 = rows(
+      (4L, ts(10), 7L, "purchase", 10.005, "{}"),
+      (5L, ts(70), 8L, "purchase", 5.5, "{}"),
+      (6L, ts(15), 9L, "purchase", 2.25, "{}"),
+      (7L, ts(20), 10L, "view", 1.0, "{}"),
+      (8L, ts(20), 10L, "purchase", 1.0, "{}"))
+    val src = tmpDir("attr-src")
+    stageFile(b1, src, "b1.parquet", 1000000L)
+    stageFile(b2, src, "b2.parquet", 2000000L)
+
+    val out = tmpDir("attr-out")
+    val q = EventsStream.attribution(
+        spark.readStream.schema(rows().schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", tmpDir("attr-ckpt"))
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_c")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    // the fixture must land one row in each attribution arm
+    assert(streamed.map(_._1).toSeq == Seq("click", "none", "view"))
+
+    val dir = tmpDir("attr-batch")
+    b1.unionAll(b2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.queries.Curation.q131Attribution(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream ${streamed.mkString(",")} != batch ${batch.mkString(",")}")
+  }
+
   test("transitions: same-millisecond microsecond ordering matches batch") {
     // ADVICE r12: the stream sort keyed on Timestamp.getTime (millis) while
     // the batch q130 window orders by the FULL microsecond instant — two
