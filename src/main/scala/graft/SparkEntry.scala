@@ -157,7 +157,8 @@ object SparkEntry {
     "q136_sparse_retrieval"   -> (Curation.q136SparseRetrieval _),
     "q137_random_walks"       -> (Curation.q137RandomWalks _),
     "q138_hybrid_rrf"         -> (Curation.q138HybridRrf _),
-    "q139_hard_negatives"     -> (Curation.q139HardNegatives _)
+    "q139_hard_negatives"     -> (Curation.q139HardNegatives _),
+    "q140_personalized_pagerank" -> (Curation.q140PersonalizedPagerank _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

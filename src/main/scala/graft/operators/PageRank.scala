@@ -47,4 +47,38 @@ object PageRank {
             .as("r"))
     }
   }
+
+  /** Personalized PageRank (seed-restart): identical integer recurrence,
+    * but rank mass restarts ONLY to `seeds(id)` — r₀(v) = scale for seeds
+    * else 0, and the per-iteration base term lands on seeds only. The
+    * proximity-to-seed-set score graph-based data selection runs (rank a
+    * crawl by closeness to a trusted seed set); at convergence it's the
+    * random-walk-with-restart stationary mass. Same per-iteration scale
+    * shape as [[iterate]]: one co-partitioned rank⋈edges join, one
+    * map-side-combining sum to dst, one left join back — the seed flag
+    * rides the node set, so personalization adds NO extra shuffle. */
+  def personalized(edges: DataFrame, nodes: DataFrame, seeds: DataFrame,
+                   iters: Int, dampingPct: Int, scale: Long): DataFrame = {
+    require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
+    val base = (100L - dampingPct) * scale / 100L
+    val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val seeded = nodes
+      .join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    val baseCol = when(col("is_seed") === 1, lit(base)).otherwise(lit(0L))
+    val ranked0 = seeded.select(col("id"), col("is_seed"),
+      when(col("is_seed") === 1, lit(scale)).otherwise(lit(0L)).as("r"))
+    (1 to iters).foldLeft(ranked0) { (ranks, _) =>
+      val contrib = edges
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .join(out, Seq("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      seeded.join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          (baseCol +
+            expr(s"$dampingPct * coalesce(s, 0L) div 100").cast("long"))
+            .as("r"))
+    }.select(col("id"), col("r"))
+  }
 }

@@ -1161,15 +1161,22 @@ object Analytics {
   // See PageRank.iterate for the per-iteration scale shape.
   def q103PageRank(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    graft.operators.PageRank.iterate(linkEdges(docs), docs, iters = 3,
+        dampingPct = 85, scale = 1000000L)
+      .orderBy(col("id"))
+  }
+
+  /** The q103/q109/q140 directed link-graph synthesis (3 modular
+    * out-links per doc — the corpus has no real link column; the max-id
+    * derivation rides a single-row broadcast, the q92 scalar pattern).
+    * ONE definition; its oracle twin is the shared linkGraphCtes text. */
+  private[graft] def linkEdges(docs: DataFrame): DataFrame = {
     val m = docs.agg((max(col("id")) + 1).as("m"))
-    val edges = docs.crossJoin(broadcast(m))
+    docs.crossJoin(broadcast(m))
       .select(col("id").as("src"), explode(array(
         (col("id") * 7 + 3) % col("m"),
         (col("id") * 13 + 5) % col("m"),
         (col("id") + 1) % col("m"))).as("dst"))
-    graft.operators.PageRank.iterate(edges, docs, iters = 3,
-        dampingPct = 85, scale = 1000000L)
-      .orderBy(col("id"))
   }
 
   // Per-dimension robust-scaling stats (the feature-normalization prep
@@ -1459,13 +1466,7 @@ object Analytics {
   // out. The integer counts hash-match the DuckDB twin exactly.
   def q109Triangles(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
-    val m = docs.agg((max(col("id")) + 1).as("m"))
-    val edges = docs.crossJoin(broadcast(m))
-      .select(col("id").as("src"), explode(array(
-        (col("id") * 7 + 3) % col("m"),
-        (col("id") * 13 + 5) % col("m"),
-        (col("id") + 1) % col("m"))).as("dst"))
-    graft.operators.Graphs.triangleStats(edges)
+    graft.operators.Graphs.triangleStats(linkEdges(docs))
   }
 
   // BPE-style merge-candidate counting (the inner loop of tokenizer
@@ -1905,12 +1906,7 @@ object Analytics {
   def q119Kcore(s: SparkSession, dir: String): DataFrame = {
     val k = 3; val rounds = 4
     val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
-    val m = docs.agg((max(col("id")) + 1).as("m"))
-    val raw = docs.crossJoin(broadcast(m))
-      .select(col("id").as("src"), explode(array(
-        (col("id") * 7 + 3) % col("m"),
-        (col("id") * 13 + 5) % col("m"),
-        (col("id") + 1) % col("m"))).as("dst"))
+    val raw = linkEdges(docs)
     var edges = raw.where(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))

@@ -49,6 +49,34 @@ object AnalyticsOracles {
       |SELECT qid, rank, nid, sim FROM ranked
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
+  /** The q103/q140 link-graph synthesis + out-degrees (Analytics.
+    * linkEdges' twin — 3 modular out-links per doc). */
+  private[queries] val linkGraphCtes: String =
+    """nodes AS (SELECT doc_id AS id FROM documents),
+      |mm AS (SELECT max(id) + 1 AS m FROM nodes),
+      |edges AS (
+      |  SELECT id AS src, unnest([
+      |    (id * 7 + 3) % mm.m, (id * 13 + 5) % mm.m, (id + 1) % mm.m])
+      |    AS dst
+      |  FROM nodes, mm),
+      |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""".stripMargin
+
+  /** One fixed-point PageRank round (damping 85, the catalog's): contrib
+    * sum into c<idx>, then r<idx> with the restart term `baseExpr` (a
+    * constant for q103's uniform teleport, a seed-conditional CASE for
+    * q140's personalized restart over `nodesRel`). Generated so the six
+    * rounds across the two queries cannot drift. */
+  private[queries] def prRound(prev: String, idx: Int, nodesRel: String,
+                               baseExpr: String): String =
+    s"""c$idx AS (
+       |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
+       |  FROM edges JOIN $prev ON $prev.id = edges.src
+       |  JOIN outd ON outd.src = edges.src GROUP BY dst),
+       |r$idx AS (
+       |  SELECT n.id,
+       |    CAST($baseExpr + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
+       |  FROM $nodesRel n LEFT JOIN c$idx ON c$idx.dst = n.id)""".stripMargin
+
   /** The portable-IVF index build (md5-picked seed cells, nearest-cell
     * assignment with smallest-cid ties) ending in `asg(vec_id, cid)` —
     * the twin of Similarity.ivfIndex, shared by q39/q138 (via
@@ -1178,39 +1206,11 @@ object AnalyticsOracles {
     // divisions (// ≡ Spark div on non-negative longs), same damping
     // arithmetic, contributions to id-gaps dropped identically
     "q103_pagerank" ->
-      """WITH nodes AS (SELECT doc_id AS id FROM documents),
-        |mm AS (SELECT max(id) + 1 AS m FROM nodes),
-        |edges AS (
-        |  SELECT id AS src, unnest([
-        |    (id * 7 + 3) % mm.m, (id * 13 + 5) % mm.m, (id + 1) % mm.m])
-        |    AS dst
-        |  FROM nodes, mm),
-        |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+      s"""WITH $linkGraphCtes,
         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-        |c1 AS (
-        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
-        |  FROM edges JOIN r0 ON r0.id = edges.src
-        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
-        |r1 AS (
-        |  SELECT n.id,
-        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c1 ON c1.dst = n.id),
-        |c2 AS (
-        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
-        |  FROM edges JOIN r1 ON r1.id = edges.src
-        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
-        |r2 AS (
-        |  SELECT n.id,
-        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c2 ON c2.dst = n.id),
-        |c3 AS (
-        |  SELECT dst, CAST(sum(r // outdeg) AS BIGINT) AS s
-        |  FROM edges JOIN r2 ON r2.id = edges.src
-        |  JOIN outd ON outd.src = edges.src GROUP BY dst),
-        |r3 AS (
-        |  SELECT n.id,
-        |    CAST(150000 + (85 * coalesce(s, 0)) // 100 AS BIGINT) AS r
-        |  FROM nodes n LEFT JOIN c3 ON c3.dst = n.id)
+        |${prRound("r0", 1, "nodes", "150000")},
+        |${prRound("r1", 2, "nodes", "150000")},
+        |${prRound("r2", 3, "nodes", "150000")}
         |SELECT id, r FROM r3 ORDER BY id""".stripMargin,
 
     // robust-scale stats replayed: same millibin quantization, same

@@ -475,4 +475,20 @@ object Curation {
       .select(col("qid"), col("rank"), col("nid"), col("cid"))
       .orderBy(col("qid"), col("rank"))
   }
+
+  // Personalized PageRank over the q103 link graph (PageRank.
+  // personalized): rank mass restarts ONLY to the doc_id % 97 == 0 seed
+  // set — proximity-to-trusted-seeds, the graph-based data-selection
+  // score (rank a crawl by closeness to curated roots). 3 iterations of
+  // the same integer recurrence as q103, so the full vector hash-matches
+  // the generated-round twin; the seed flag rides the node set and adds
+  // no shuffle.
+  def q140PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    graft.operators.PageRank.personalized(
+        Analytics.linkEdges(docs), docs,
+        docs.where(col("id") % 97 === 0),
+        iters = 3, dampingPct = 85, scale = 1000000L)
+      .orderBy(col("id"))
+  }
 }

@@ -515,6 +515,25 @@ object CurationOracles {
              "'neg:' || CAST(qid AS VARCHAR) || ':' || CAST(nid AS VARCHAR)")},
         |      nid) AS rank
         |  FROM negs) x
-        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
+    // personalized PageRank replayed: the shared link-graph text and the
+    // SAME generated rounds as q103, with the restart term confined to
+    // the seed set
+    "q140_personalized_pagerank" -> {
+      val seedBase = "CASE WHEN n.is_seed = 1 THEN 150000 ELSE 0 END"
+      s"""WITH ${AnalyticsOracles.linkGraphCtes},
+        |sd AS (
+        |  SELECT id, CASE WHEN id % 97 = 0 THEN 1 ELSE 0 END AS is_seed
+        |  FROM nodes),
+        |r0 AS (
+        |  SELECT id, CASE WHEN id % 97 = 0 THEN CAST(1000000 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS r
+        |  FROM nodes),
+        |${AnalyticsOracles.prRound("r0", 1, "sd", seedBase)},
+        |${AnalyticsOracles.prRound("r1", 2, "sd", seedBase)},
+        |${AnalyticsOracles.prRound("r2", 3, "sd", seedBase)}
+        |SELECT id, r FROM r3 ORDER BY id""".stripMargin
+    }
   )
 }

@@ -44,4 +44,26 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) == 433333L && got(2L) == 433333L && got(3L) == 433333L)
     assert(got(0L) == 150000L) // no in-links → damped floor only
   }
+
+  test("personalized: mass flows only from seeds; all-seeds ≡ uniform") {
+    // path 0 → 1 → 2 plus isolated-from-seed node 3 → 0; seed = {0}.
+    // i1: r(0) = 150000 + 85·⌊r(3)/1⌋/100 = 150000 (r0(3) = 0);
+    //     r(1) = 0 + 85·1000000/100 = 850000; r(2) = 0; r(3) = 0.
+    // i2: r(1) = 85·150000/100 = 127500; r(2) = 85·850000/100 = 722500.
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("id")
+    val it2 = PageRank.personalized(edges, nodes, seeds, iters = 2,
+        dampingPct = 85, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(it2 == Map(0L -> 150000L, 1L -> 127500L,
+      2L -> 722500L, 3L -> 0L))
+
+    // personalization over the FULL node set degenerates to iterate
+    val all = PageRank.personalized(edges, nodes, nodes, 3, 85, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uni = PageRank.iterate(edges, nodes, 3, 85, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == uni)
+  }
 }

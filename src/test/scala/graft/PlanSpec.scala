@@ -120,6 +120,7 @@ class PlanSpec extends SparkSpec {
       "q139_hard_negatives", // the same broadcast-K centroid grid (assignment + top-5 branches)
       "q127_curation_pass", // semanticDedup's broadcast seed/super grids
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
+      "q140_personalized_pagerank", // the same link-synthesis max-id scalar
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
       "q115_tv_drift", // broadcast single-row token-totals + tvd scalars
