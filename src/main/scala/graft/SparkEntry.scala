@@ -158,7 +158,8 @@ object SparkEntry {
     "q137_random_walks"       -> (Curation.q137RandomWalks _),
     "q138_hybrid_rrf"         -> (Curation.q138HybridRrf _),
     "q139_hard_negatives"     -> (Curation.q139HardNegatives _),
-    "q140_personalized_pagerank" -> (Curation.q140PersonalizedPagerank _)
+    "q140_personalized_pagerank" -> (Curation.q140PersonalizedPagerank _),
+    "q141_phash_neardup"      -> (Curation.q141PhashNearDup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -486,9 +486,32 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           maxHamming: Int = 3,
                           maxBucket: Int = Int.MaxValue,
-                          portable: Boolean = false): DataFrame = {
-    val banded =
-      simhashBanded(df, idCol, textCol, maxHamming, maxBucket, portable)
+                          portable: Boolean = false): DataFrame =
+    bandedPairs(
+      simhashBanded(df, idCol, textCol, maxHamming, maxBucket, portable),
+      maxHamming)
+
+  /** Banded Hamming near-dup pairs over an ARBITRARY pre-hashed frame
+    * `hashed(id, simhash)` — the simhash pair machinery with the 64-bit
+    * hash supplied by the caller (q141 feeds [[Multimodal.dhash63]]'s
+    * perceptual image hash; any signature with the
+    * small-Hamming ⇒ near-duplicate property plugs in). Identical
+    * pigeonhole banding, bucket capping and xor verify as the text
+    * path — ONE join implementation ([[bandedPairs]]). */
+  def hammingNearDupPairs(hashed: DataFrame, maxHamming: Int = 3,
+                          maxBucket: Int = Int.MaxValue): DataFrame =
+    bandedPairs(
+      cappedBuckets(
+        hashed.select(col("id"), col("simhash"),
+          explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
+          .select(col("id"), col("simhash"),
+            col("e.band").as("band"), col("e.bv").as("bv")),
+        Seq("band", "bv"), maxBucket),
+      maxHamming)
+
+  /** Band-collision self-join + exact xor verify shared by the text and
+    * generic Hamming pair operators. */
+  private def bandedPairs(banded: DataFrame, maxHamming: Int): DataFrame =
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -497,5 +520,4 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-  }
 }

@@ -491,4 +491,31 @@ object Curation {
         iters = 3, dampingPct = 85, scale = 1000000L)
       .orderBy(col("id"))
   }
+
+  // Perceptual-hash near-dup over binary payloads (image-dedup shape):
+  // Multimodal.dhash63 over the media corpus PLUS re-encode clones of
+  // every 7th payload (first byte perturbed — the same content with a
+  // one-sample brightness change; the corpus's own payloads are all
+  // byte-distant, so the clones make the gate non-vacuous), then
+  // Dedup.hammingNearDupPairs' pigeonhole banding at Hamming ≤ 3 with
+  // the posting-list cap at 400: stress corpora CLUSTER (perturbed
+  // copies share band values — measured Σbucket² 2.7e8 at 100×, the
+  // uncapped join failed outright at 1000×), and the cap bounds the
+  // band join at cap·N. The oracle replays the SAME banding + cap, so
+  // the gate stays exact under the cappedBuckets contract (a pair whose
+  // every shared band is over-cap is out of scope for both engines).
+  // Clone ids ride max(doc_id)+1 (the q127 offset recipe).
+  def q141PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val cloneOff = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val media = docs
+      .select(col("doc_id").as("id"), encode(col("text"), "UTF-8").as("b"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + cloneOff).as("id"),
+          encode(expr("'x' || substring(text, 2)"), "UTF-8").as("b")))
+    graft.operators.Dedup.hammingNearDupPairs(
+        graft.operators.Multimodal.dhash63(media, "id", "b"),
+        maxHamming = 3, maxBucket = 400)
+      .orderBy(col("id1"), col("id2"))
+  }
 }

@@ -534,6 +534,52 @@ object CurationOracles {
         |${AnalyticsOracles.prRound("r1", 2, "sd", seedBase)},
         |${AnalyticsOracles.prRound("r2", 3, "sd", seedBase)}
         |SELECT id, r FROM r3 ORDER BY id""".stripMargin
-    }
+    },
+
+    // perceptual-hash near-dup replayed: same 9×8 byte grid, same 63-bit
+    // derivative hash, and the SAME pigeonhole banding (4 × 16-bit
+    // chunks, the simhashBandStructs layout for h ≤ 3) with the SAME
+    // 400-cap — the cap changes which pairs are in scope, so the twin
+    // must replay it, not brute-force all pairs
+    "q141_phash_neardup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+        |    'x' || substring(text, 2)
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |media AS (
+        |  SELECT id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM corpus),
+        |grid AS (SELECT CAST(unnest(range(63)) AS BIGINT) AS bit),
+        |samples AS (
+        |  SELECT id, bit,
+        |    ('0x' || substring(hx,
+        |      CAST(2 * (((bit // 7) * 8 + bit % 7) * (n - 1) // 71) + 1
+        |           AS INT), 2))::BIGINT AS g1,
+        |    ('0x' || substring(hx,
+        |      CAST(2 * (((bit // 7) * 8 + bit % 7 + 1) * (n - 1) // 71) + 1
+        |           AS INT), 2))::BIGINT AS g2
+        |  FROM media CROSS JOIN grid),
+        |dh AS (
+        |  SELECT id,
+        |    CAST(sum(CASE WHEN g1 > g2 THEN (1::BIGINT << bit) ELSE 0 END)
+        |         AS BIGINT) AS h
+        |  FROM samples GROUP BY id),
+        |bands AS (
+        |  SELECT id, h, b, (h >> CAST(16 * b AS INT)) & 65535 AS bv
+        |  FROM dh CROSS JOIN
+        |    (SELECT CAST(unnest(range(4)) AS BIGINT) AS b) bb),
+        |keep AS (
+        |  SELECT b, bv FROM bands GROUP BY b, bv HAVING count(*) <= 400),
+        |kb AS (
+        |  SELECT bands.id, bands.h, bands.b, bands.bv
+        |  FROM bands JOIN keep USING (b, bv))
+        |SELECT DISTINCT x.id AS id1, y.id AS id2,
+        |  CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+        |FROM kb x JOIN kb y ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
+        |WHERE bit_count(xor(x.h, y.h)) <= 3
+        |ORDER BY id1, id2""".stripMargin
   )
 }

@@ -228,4 +228,40 @@ class TextMultimodalSpec extends SparkSpec {
     assert(files.toSeq == Seq("part-uuidB.parquet"),
       s"stale uuidA must not survive the re-backup: ${files.toSeq}")
   }
+
+  test("dhash63: derivative hash survives brightness shift, flags edits") {
+    def hashes(payloads: Seq[Array[Byte]]): Map[Long, Long] =
+      graft.operators.Multimodal.dhash63(
+          payloads.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+            .toDF("id", "b"), "id", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = Array.tabulate[Byte](144)(i => ((i * 37 + 11) % 120).toByte)
+    val brighter = base.map(b => (b + 100).toByte)     // +100, still ≤ 255
+    val oneEdit = base.clone(); oneEdit(0) = (base(0) + 90).toByte
+    val reversed = base.reverse
+    val h = hashes(Seq(base, brighter, oneEdit, reversed))
+    // uniform brightness shift preserves every byte ORDERING → same hash
+    // (the property that makes dHash a perceptual hash, not a checksum)
+    assert(h(1L) == h(0L), "brightness shift must not change the hash")
+    // a single-sample edit flips at most the 2 bits that read it
+    assert(java.lang.Long.bitCount(h(0L) ^ h(2L)) <= 2 && h(2L) != h(0L))
+    // reversing the payload flips (almost) every comparison
+    assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 20)
+    // top bit never set: 63-bit hashes stay non-negative on every engine
+    assert(h.values.forall(_ >= 0L))
+  }
+
+  test("hammingNearDupPairs over supplied hashes ≡ brute-force xor") {
+    import org.apache.spark.sql.functions._
+    val hs = Seq(0L -> 0x0F0FL, 1L -> 0x0F0EL, 2L -> 0x0F0CL,
+      3L -> 0xFFFF00L, 4L -> 0xFFFF01L)
+    val got = graft.operators.Dedup.hammingNearDupPairs(
+        hs.toDF("id", "simhash"), maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(brute.nonEmpty && got == brute)
+  }
 }
