@@ -91,6 +91,31 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("labelPropagation/randomWalks: reliable mode survives block loss") {
+    // the CC/BFS eviction-injection contract applied to the round-13
+    // iterative operators: file-backed rounds survive losing every
+    // executor-local block between operations; checkpointDir is threaded
+    // through the same IterativeCheckpointer, so one spec per operator
+    // keeps the property from silently regressing
+    val evictAll = () => spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 21L).toDF("id")
+    val lp = Graphs.labelPropagation(pathGraph, nodes, rounds = 2,
+      checkpointDir = Some(tmpDir("lp-ckpt")))
+    evictAll()
+    assert(lp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .view.filterKeys(_ <= 5L).toMap ==
+      Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 2, 5L -> 3))
+
+    val walks = Graphs.randomWalks(pathGraph, Seq(0L, 20L).toDF("id"),
+      steps = 3, checkpointDir = Some(tmpDir("rw-ckpt")))
+    evictAll()
+    val got = walks.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 20L).map(_._3).toSeq == Seq(20L, 21L, 20L, 21L))
+    assert(got.count(_._1 == 0L) == 4)
+  }
+
   test("bfsReleasable: release() reclaims every reliable delta file after use") {
     // ADVICE r12: repeated reliable-mode invocations against one dir must
     // not accumulate per-invocation delta files for the app's lifetime —
