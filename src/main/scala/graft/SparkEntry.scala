@@ -159,7 +159,8 @@ object SparkEntry {
     "q138_hybrid_rrf"         -> (Curation.q138HybridRrf _),
     "q139_hard_negatives"     -> (Curation.q139HardNegatives _),
     "q140_personalized_pagerank" -> (Curation.q140PersonalizedPagerank _),
-    "q141_phash_neardup"      -> (Curation.q141PhashNearDup _)
+    "q141_phash_neardup"      -> (Curation.q141PhashNearDup _),
+    "q142_leakage_safe_split" -> (Curation.q142LeakageSafeSplit _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

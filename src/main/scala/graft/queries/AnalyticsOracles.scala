@@ -1731,11 +1731,7 @@ object AnalyticsOracles {
     // recompute (same proof shape as q108/q117)
     "q121_cc_incremental" ->
       s"""WITH RECURSIVE ${OracleUtil.blockGraphCtes},
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT sym.b AS id, reach.r FROM reach JOIN sym ON sym.a = reach.id),
-        |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |${OracleUtil.ccClosureCtes}
         |SELECT cluster, CAST(count(*) AS BIGINT) AS size
         |FROM cl GROUP BY cluster ORDER BY cluster""".stripMargin,
 

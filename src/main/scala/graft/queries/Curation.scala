@@ -518,4 +518,33 @@ object Curation {
         maxHamming = 3, maxBucket = 400)
       .orderBy(col("id1"), col("id2"))
   }
+
+  // Leakage-safe train/val/test split (the contamination mode
+  // benchmark-aware pipelines guard hardest): near-dup CLUSTERS — not
+  // documents — draw the split, so two near-duplicates can never
+  // straddle train and val. Clusters come from the q121 link graph's
+  // connected components (min-id reps, isolated docs their own
+  // singleton); the split is the q52/q128 deterministic-md5 recipe on
+  // 'split:' + the cluster REP, 80/10/10. Readout: per-split doc count,
+  // cluster count, id checksum — hash-sensitive to every assignment.
+  // Scale shape: CC (the log-rounds star operator) + one broadcast-free
+  // keyed join + a pure-map draw; nothing quadratic anywhere.
+  def q142LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents").select(col("doc_id").as("id"))
+    val cc = graft.operators.Dedup.connectedComponents(
+      Analytics.blockEdges(docs))
+    val withCluster = docs.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val bucket = pmod(graft.functions.PortableHash.md5Head60(
+      concat(lit("split:"), col("cluster").cast("string"))), lit(10L))
+    withCluster
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("cluster")).as("n_clusters"),
+        sum(col("id")).as("sum_id"))
+      .orderBy(col("split"))
+  }
 }

@@ -580,6 +580,25 @@ object CurationOracles {
         |  CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
         |FROM kb x JOIN kb y ON x.b = y.b AND x.bv = y.bv AND x.id < y.id
         |WHERE bit_count(xor(x.h, y.h)) <= 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // leakage-safe split replayed: the SHARED recursive CC closure gives
+    // every doc's cluster rep, the md5 split draw rides the rep
+    "q142_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${OracleUtil.blockGraphCtes},
+        |${OracleUtil.ccClosureCtes},
+        |sp AS (
+        |  SELECT id, cluster,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT id, cluster,
+        |      ${OracleUtil.md5Head60("'split:' || CAST(cluster AS VARCHAR)")} % 10
+        |        AS b
+        |    FROM cl) x)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin
   )
 }

@@ -107,6 +107,18 @@ private[queries] object OracleUtil {
        |dups AS (
        |  SELECT id2 AS id, count(*) AS n_dups_lower FROM near GROUP BY id2)""".stripMargin
 
+  /** Connected components over the blockGraph `sym` edges as a recursive
+    * closure ending in `cl(id, cluster)` — min reachable id per doc,
+    * isolated docs their own singleton. Shared by q121 (refresh ≡
+    * recompute proof) and q142 (leakage-safe split assignment). Requires
+    * WITH RECURSIVE and [[blockGraphCtes]] in scope. */
+  val ccClosureCtes: String =
+    """reach AS (
+      |  SELECT doc_id AS id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT sym.b AS id, reach.r FROM reach JOIN sym ON sym.a = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)""".stripMargin
+
   val blockGraphCtes: String =
     """e0 AS (
       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b

@@ -289,6 +289,38 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("q142 split: no near-dup cluster ever straddles two splits") {
+    // recompute per-doc assignments with the engine's own pieces and
+    // assert the leakage guarantee directly (the catalog readout only
+    // exposes the rollup), plus totals consistency with the rollup
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables(spark, dir, "documents")
+      .select(col("doc_id").as("id"))
+    val cc = graft.operators.Dedup.connectedComponents(
+      Analytics.blockEdges(docs))
+    val perDoc = docs.join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"))
+      .withColumn("b", pmod(PortableHash.md5Head60(
+        concat(lit("split:"), col("cluster").cast("string"))), lit(10L)))
+      .withColumn("split", when(col("b") < 8, "train")
+        .when(col("b") === 8, "val").otherwise("test"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // the guarantee: one split per cluster
+    perDoc.groupBy(_._2).values.foreach { members =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster ${members.head._2} straddles splits")
+    }
+    // a multi-doc cluster must exist or the guarantee is vacuous here
+    assert(perDoc.groupBy(_._2).values.exists(_.size > 1))
+    val rollup = graft.queries.Curation.q142LeakageSafeSplit(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expect = perDoc.groupBy(_._3).map { case (s, m) =>
+      s -> (m.size.toLong, m.map(_._2).distinct.size.toLong)
+    }
+    assert(rollup == expect)
+  }
+
   test("q131 attribution: last touch only, within the 3600s window") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
     val rows = Seq(
