@@ -21,13 +21,25 @@ object Bench {
     val f = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.exists(f)) return None
     val s = java.nio.file.Files.readString(f)
-    val sf = """"sf":"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+    // `:\s*` on BOTH regexes: the baseline file has flip-flopped between the
+    // harness's compact form (`"q01":0.64`) and pretty-printed hand merges
+    // (`"q01": 0.64`). The colon-tight r10 regexes silently matched nothing
+    // against the pretty form, so parseBaseline returned None and the
+    // regression gate printed vacuous "no flags" for three rounds. Both
+    // formats are pinned in BenchSpec.
+    val sf = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
     // value pattern must cover Double.toString's scientific notation
     // (8.53E-4) — truncating at the mantissa would inflate the baseline
-    val qs = """"(q\d+[a-z0-9_]*)":([0-9.Ee+\-]+)""".r.findAllMatchIn(s)
+    val qs = """"(q\d+[a-z0-9_]*)":\s*([0-9.Ee+\-]+)""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     sf.map(_ -> qs)
   }
+
+  /** The regression-flag predicate, factored out so BenchSpec can pin the
+    * formula itself: ≥2× the baseline AND ≥0.5 s absolute growth.
+    */
+  private[graft] def isRegression(t: Double, base: Double): Boolean =
+    t >= base * 2.0 && t - base >= 0.5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,17 +169,24 @@ object Bench {
       "bench_baseline.json")
     val regressions = parseBaseline(baselinePath) match {
       case Some((baseSf, base)) if baseSf == sfDir =>
+        // liveness receipt: how many timed queries the gate actually
+        // compared. 0 (or an absent field) means the gate did NOT run —
+        // the r10–r13 failure mode was an unparseable baseline making
+        // "no regressions" indistinguishable from "didn't look".
+        val matched = results.count { case (name, _) => base.contains(name) }
         val slow = results.collect {
-          case (name, t) if base.get(name).exists(b =>
-            t >= b * 2.0 && t - b >= 0.5) =>
+          case (name, t) if base.get(name).exists(isRegression(t, _)) =>
             // Locale.ROOT: a comma-decimal default locale would emit
             // "q22":1,53 and break the JSON line
             String.format(java.util.Locale.ROOT, """"%s":%.2f""",
               name, Double.box(t / base(name)))
         }
-        // omit when empty — every byte counts against the capture window
-        if (slow.isEmpty) ""
-        else s""","regressions":${slow.mkString("{", ",", "}")}"""
+        // regressions map omitted when empty — every byte counts against
+        // the capture window — but the matched count always rides
+        val flags =
+          if (slow.isEmpty) ""
+          else s""","regressions":${slow.mkString("{", ",", "}")}"""
+        s""","baseline_matched":$matched$flags"""
       case _ => ""
     }
     val failures = failed.result() match {

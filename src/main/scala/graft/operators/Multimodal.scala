@@ -164,6 +164,13 @@ object Multimodal {
     media
       .select(col(idCol).as("id"), hex(col(bytesCol)).as("hx"),
         length(col(bytesCol)).cast("long").as("n"))
+      // n >= 1: a zero-length payload has no gradient to hash, and the
+      // degenerate n-1 = -1 index diverges across engines (Spark's
+      // truncating `div` lands substring(hx, 1) on the empty string →
+      // conv('') → hash 0, while a floor-division twin computes a negative
+      // index and errors). Empty payloads are dropped — no hash row —
+      // and the q141 oracle replays the same guard.
+      .where(col("n") >= 1)
       .select(col("id"), col("hx"), col("n"),
         explode(sequence(lit(0L), lit(62L))).as("bit"))
       .select(col("id"), bitVal.as("bv"))

@@ -62,8 +62,13 @@ object PageRank {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val base = (100L - dampingPct) * scale / 100L
     val out = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // distinct: a duplicated seed id would fan out the node set through
+    // this left join, duplicating rank rows and double-counting that
+    // node's contributions every iteration. The operator is public — it
+    // cannot assume callers pre-deduplicate the way q140 happens to.
     val seeded = nodes
-      .join(seeds.select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
+      .join(seeds.select(col("id")).distinct()
+        .select(col("id"), lit(1).as("is_seed")), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
     val baseCol = when(col("is_seed") === 1, lit(base)).otherwise(lit(0L))
     val ranked0 = seeded.select(col("id"), col("is_seed"),

@@ -44,11 +44,25 @@ object Quantiles {
     if (head.isNullAt(0))
       return Seq.empty[(Int, Long, Long)].toDF("p_bp", "rank", "value")
     val (lo, hi, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
-    val width = math.max(1L, (hi - lo) / nBins + 1L)
-    // true integer division (Column./ on longs is DOUBLE division, whose
-    // half-ulp rounding could flip a value across a bin boundary at
-    // 2^50-range quotients)
-    def binOf: Column = expr(s"(v - ${lo}L) div ${width}L")
+    // BigInt range: hi - lo overflows Long when the domain spans more than
+    // half the long line (lo near Long.MinValue, hi positive) — the naive
+    // subtraction went negative, width collapsed to 1, and the pass-2
+    // histogram collect became unbounded (driver OOM) instead of nBins
+    // rows. Width is exact for ANY long domain and capped at Long.MaxValue
+    // (one all-covering bin is still correct, just unrefined).
+    val width = ((BigInt(hi) - BigInt(lo)) / nBins + 1)
+      .max(1).min(BigInt(Long.MaxValue)).toLong
+    // floorDiv bins ALIGNED AT MULTIPLES OF WIDTH, not offset by lo:
+    // `(v - lo) div width` re-introduces the same subtraction overflow
+    // inside the expression (silently wrapping, non-monotonic bins).
+    // floorDiv(v, width) never overflows, stays monotonic, and spans at
+    // most nBins + 1 buckets over [lo, hi]. True integer division
+    // (Column./ on longs is DOUBLE division, whose half-ulp rounding could
+    // flip a value across a bin boundary at 2^50-range quotients); the
+    // CASE term converts Spark's truncating `div` into floor division.
+    def binOf: Column = expr(
+      s"(v div ${width}L) + (CASE WHEN v < 0 AND v % ${width}L != 0 " +
+        "THEN -1 ELSE 0 END)")
     // pass 2: fixed-width histogram; nBins rows to the driver — bounded
     // cardinality by construction (the annotated-collect contract)
     val hist = v.groupBy(binOf.as("bin"))
@@ -65,8 +79,15 @@ object Quantiles {
     // pass 3: refine ONLY the target bins — the bin ranges push down to
     // the scan as value-range filters; the within-bin sort is partitioned
     // by bin (never an unpartitioned window)
+    // bin b covers [b·width, (b+1)·width − 1] under floorDiv; boundaries
+    // computed in BigInt and clamped into the long line (a straddling
+    // boundary clamps to MinValue/MaxValue — every long passes, still
+    // exact) so b·width cannot overflow either
+    def clampLong(x: BigInt): Long =
+      x.max(BigInt(Long.MinValue)).min(BigInt(Long.MaxValue)).toLong
     val binFilter = targets.map { case (_, _, b, _) =>
-      $"v" >= lo + b * width && $"v" < lo + (b + 1L) * width
+      $"v" >= clampLong(BigInt(b) * width) &&
+        $"v" <= clampLong(BigInt(b) * width + width - 1)
     }.reduce(_ || _)
     val want = targets.toDF("p_bp", "rank", "tbin", "kb")
     v.where(binFilter)

@@ -551,7 +551,8 @@ object CurationOracles {
         |media AS (
         |  SELECT id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
-        |  FROM corpus),
+        |  FROM corpus
+        |  WHERE octet_length(encode(text)) >= 1),
         |grid AS (SELECT CAST(unnest(range(63)) AS BIGINT) AS bit),
         |samples AS (
         |  SELECT id, bit,

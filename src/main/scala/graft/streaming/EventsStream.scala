@@ -28,7 +28,12 @@ case class Transition(user_id: Long, from_type: String, to_type: String)
 case class LastTouch(sec: Long, touchType: String)
 
 /** One emitted attributed conversion. */
-case class Attributed(event_id: Long, touch_type: String, value_c: Long)
+// value_c is Option: the batch twin's `cents(value)` maps a NULL purchase
+// value to NULL (downstream sums skip it) — a non-nullable Long here would
+// instead kill the stream with a null-in-non-nullable-field decode error
+// on the first null-valued purchase, diverging from batch.
+case class Attributed(event_id: Long, touch_type: String,
+                      value_c: Option[Long])
 
 /** Emitted closed session. */
 case class Session(user_id: Long, session_start: java.sql.Timestamp,
@@ -222,7 +227,8 @@ object EventsStream {
     import spark.implicits._
 
     def update(uid: Long,
-               it: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+               it: Iterator[(Long, java.sql.Timestamp, Long, String,
+                 Option[Double])],
                state: GroupState[LastTouch]): Iterator[Attributed] = {
       val evs = it.toSeq.sortBy { e =>
         val i = e._2.toInstant; (i.getEpochSecond, i.getNano, e._3)
@@ -232,8 +238,11 @@ object EventsStream {
       evs.foreach { case (_, ts, eid, et, v) =>
         val sec = ts.toInstant.getEpochSecond
         if (et == "purchase") {
-          val vc = java.math.BigDecimal.valueOf(v * 100)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+          // Option decode + Option cents: a null-valued purchase still
+          // ATTRIBUTES (the touch lookup is value-independent) but carries
+          // value_c = null, exactly the batch cents(null) behaviour
+          val vc = v.map(d => java.math.BigDecimal.valueOf(d * 100)
+            .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
           val t = touch match {
             case Some(lt) if sec - lt.sec <= 3600L => lt.touchType
             case _ => "none"
@@ -247,7 +256,7 @@ object EventsStream {
 
     events.select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
-      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .as[(Long, java.sql.Timestamp, Long, String, Option[Double])]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)

@@ -28,4 +28,45 @@ class BenchBaselineSpec extends AnyFunSuite {
     // a file without an sf marker must not produce a comparable baseline
     assert(Bench.parseBaseline(write("""{"queries":{"q01":1.0}}""")).isEmpty)
   }
+
+  test("parseBaseline reads the pretty-printed (space-after-colon) format") {
+    // The r10–r13 silent-gate bug: hand-merged baselines were written
+    // `"q01_grouped_sum": 0.6414` (space after every colon) and the tight
+    // regexes matched nothing, so the gate never ran. Both formats are
+    // load-bearing forever.
+    val path = write(
+      """{
+        |  "queries": {
+        |    "q01_grouped_sum": 0.6414,
+        |    "q103_pagerank": 2.0982,
+        |    "q18_topk": 8.53E-4
+        |  },
+        |  "sf": "/root/testdata/sf0.1"
+        |}""".stripMargin)
+    val Some((sf, qs)) = Bench.parseBaseline(path)
+    assert(sf == "/root/testdata/sf0.1")
+    assert(qs("q01_grouped_sum") == 0.6414)
+    assert(qs("q103_pagerank") == 2.0982)
+    assert(qs("q18_topk") == 8.53e-4)
+    assert(qs.size == 3)
+  }
+
+  test("parseBaseline on the repo's actual baseline file yields the catalog") {
+    // the live file must stay parseable no matter which format it's in —
+    // this is the tripwire that would have caught the r10 regression-gate
+    // outage the day it happened
+    val live = "bench_baseline.json"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(live)))
+    val Some((sf, qs)) = Bench.parseBaseline(live)
+    assert(sf.nonEmpty)
+    assert(qs.size >= 100, s"expected the full catalog, parsed ${qs.size}")
+  }
+
+  test("isRegression pins the flag formula: >=2x AND >=0.5s absolute") {
+    assert(Bench.isRegression(t = 1.2, base = 0.5)) // 2.4x and +0.7s
+    assert(!Bench.isRegression(t = 0.9, base = 0.5)) // 1.8x — ratio short
+    assert(!Bench.isRegression(t = 0.4, base = 0.1)) // 4x but only +0.3s
+    assert(Bench.isRegression(t = 1.0, base = 0.5)) // boundary: exactly both
+    assert(!Bench.isRegression(t = 0.99, base = 0.5)) // just under absolute
+  }
 }

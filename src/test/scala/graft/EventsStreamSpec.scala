@@ -192,14 +192,18 @@ class EventsStreamSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
     def ts(minOffset: Long) = new java.sql.Timestamp(t0 + minOffset * 60000L)
-    def rows(xs: (Long, java.sql.Timestamp, Long, String, Double, String)*) =
+    def rows(
+        xs: (Long, java.sql.Timestamp, Long, String, java.lang.Double,
+          String)*) =
       xs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
     // user 7: touch chain split across triggers (view, click in b1;
     // purchase in b2 attributes to the CARRIED click); user 8's touch is
     // stale (> 3600 s) -> none; user 9 purchases with no touch -> none;
     // user 10's view and purchase share one timestamp, event_id order
-    // makes the view a valid preceding touch
+    // makes the view a valid preceding touch; user 11's purchase carries a
+    // NULL value — it must still attribute (value_c null, sums skip it),
+    // not kill the stream with a null-in-non-nullable decode error
     val b1 = rows(
       (1L, ts(0), 7L, "view", 1.0, "{}"),
       (2L, ts(5), 7L, "click", 1.0, "{}"),
@@ -209,7 +213,9 @@ class EventsStreamSpec extends SparkSpec {
       (5L, ts(70), 8L, "purchase", 5.5, "{}"),
       (6L, ts(15), 9L, "purchase", 2.25, "{}"),
       (7L, ts(20), 10L, "view", 1.0, "{}"),
-      (8L, ts(20), 10L, "purchase", 1.0, "{}"))
+      (8L, ts(20), 10L, "purchase", 1.0, "{}"),
+      (9L, ts(25), 11L, "view", 1.0, "{}"),
+      (10L, ts(30), 11L, "purchase", null, "{}"))
     val src = tmpDir("attr-src")
     stageFile(b1, src, "b1.parquet", 1000000L)
     stageFile(b2, src, "b2.parquet", 2000000L)

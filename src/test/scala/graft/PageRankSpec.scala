@@ -65,5 +65,12 @@ class PageRankSpec extends SparkSpec {
     val uni = PageRank.iterate(edges, nodes, 3, 85, 1000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(all == uni)
+
+    // the operator is public: a DUPLICATED seed id must not fan out the
+    // node set (duplicate rank rows double-counting contributions)
+    val dupSeeds = Seq(0L, 0L, 0L).toDF("id")
+    val dup = PageRank.personalized(edges, nodes, dupSeeds, 2, 85, 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup == it2, s"duplicate seeds changed the ranks: $dup")
   }
 }

@@ -46,6 +46,17 @@ class QuantilesSpec extends SparkSpec {
     check(vals, nBins = 16)
   }
 
+  test("full-long-line domain: hi - lo overflow must not collapse width") {
+    // lo near Long.MinValue with positive hi: the naive (hi - lo) wraps
+    // negative, width collapses to 1, and pass 2 tries to collect ~2^64
+    // histogram rows. BigInt width + floorDiv bins keep the histogram at
+    // ≤ nBins+1 rows and the answers exact.
+    val vals = Seq(Long.MinValue + 7L, -5000000000L, -1L, 0L, 1L,
+      42L, 5000000000L, Long.MaxValue - 3L, Long.MaxValue)
+    check(vals, nBins = 16)
+    check(vals, nBins = 1) // one all-covering bin, width at the Long cap
+  }
+
   test("empty and all-null inputs produce an empty frame") {
     assert(Quantiles.exactQuantiles(
       Seq.empty[Long].toDF("x"), col("x"), Seq(5000)).count() == 0L)

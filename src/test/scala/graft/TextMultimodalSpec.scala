@@ -249,6 +249,10 @@ class TextMultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(h(0L) ^ h(3L)) > 20)
     // top bit never set: 63-bit hashes stay non-negative on every engine
     assert(h.values.forall(_ >= 0L))
+    // empty payload: no gradient to hash → the row is DROPPED, never a
+    // degenerate hash-0 row (the n-1 = -1 index diverges across engines)
+    val withEmpty = hashes(Seq(base, Array.empty[Byte]))
+    assert(withEmpty.keySet == Set(0L) && withEmpty(0L) == h(0L))
   }
 
   test("hammingNearDupPairs over supplied hashes ≡ brute-force xor") {
