@@ -160,7 +160,10 @@ object SparkEntry {
     "q139_hard_negatives"     -> (Curation.q139HardNegatives _),
     "q140_personalized_pagerank" -> (Curation.q140PersonalizedPagerank _),
     "q141_phash_neardup"      -> (Curation.q141PhashNearDup _),
-    "q142_leakage_safe_split" -> (Curation.q142LeakageSafeSplit _)
+    "q142_leakage_safe_split" -> (Curation.q142LeakageSafeSplit _),
+    "q143_ivf_build_stored"   -> (Analytics.q143IvfBuildStored _),
+    "q144_ivf_search_stored"  -> (Analytics.q144IvfSearchStored _),
+    "q145_ivf_extend_stored"  -> (Analytics.q145IvfExtendStored _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -209,19 +209,28 @@ object Similarity {
               portable: Boolean = false): DataFrame = {
     val (base, centroids, assigned) =
       ivfIndex(emb, idCol, vecCol, nCentroids, kmeansIters, portable)
-
-    // Each query probes its nProbe nearest cells. This window is over q·K
-    // rows where K = nCentroids (a broadcast-bounded grid, not the corpus) —
-    // acceptable; the corpus-sized rankings below use rankTopK. The window
-    // ranks (qid, cid, csim) ONLY — the query vectors are projected away
-    // before the exchange and rejoined by qid afterward, the same ids-only
-    // shuffle discipline lshTopK applies to its band join (vectors riding
-    // the probe window would copy every query embedding K times through
-    // the sort).
-    val probeW = Window.partitionBy(col("qid"))
-      .orderBy(col("csim").desc, col("cid"))
     val qVecs = base.where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    probeRerank(qVecs, centroids, assigned, nProbe, k)
+  }
+
+  /** The online half of every IVF search: probe the nProbe nearest cells
+    * per query, exact-rerank only those cells' members — shared verbatim
+    * by the build-inline path ([[ivfTopK]]) and the stored-index path
+    * ([[ivfSearchStored]]) so the two cannot drift.
+    *
+    * The probe window is over q·K rows where K = nCentroids (a
+    * broadcast-bounded grid, not the corpus) — acceptable; the
+    * corpus-sized ranking uses rankTopK. The window ranks (qid, cid, csim)
+    * ONLY — query vectors are projected away before the exchange and
+    * rejoined by qid afterward, the same ids-only shuffle discipline
+    * lshTopK applies to its band join (vectors riding the probe window
+    * would copy every query embedding K times through the sort). */
+  private def probeRerank(qVecs: DataFrame, centroids: DataFrame,
+                          assigned: DataFrame, nProbe: Int,
+                          k: Int): DataFrame = {
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
     val probes = qVecs
       .crossJoin(broadcast(centroids))
       .select(col("qid"), col("cid"),
@@ -271,31 +280,9 @@ object Similarity {
       .orderBy(col("h"), col("id"))
       .limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val centroidSim = dotFast(col("v"), col("cv")) / (col("nrm") * col("cn"))
-
-    // Assign every vector to its nearest centroid (broadcast K centroids)
-    // via the DECIMAL-PACKED argmax (q95/q79/q88's lesson applied to a
-    // FLOAT ordering): the old max_by(struct(cid, v, nrm), struct(csim,
-    // -cid)) carried the vector in an immutable struct buffer, which
-    // silently plans SortAggregateExec — all n·K assignment rows sorted
-    // WITH their vectors. double_sort_key (order-preserving IEEE-754 bit
-    // map, NaN greatest like Spark's comparator) makes csim packable:
-    // max((key(csim)+2⁶³)·M + (M−1−cid)) is the identical lexicographic
-    // (csim desc, cid asc) argmax in a mutable 16-byte decimal buffer —
-    // a map-side-combining HashAggregate — and the vector re-joins by id
-    // afterwards. M = max(id)+1, one plan-time scalar job.
     val mEx = idRadix(base)
-    val keyOffset = lit(new java.math.BigDecimal("9223372036854775808"))
     def assign(centroids: DataFrame): DataFrame =
-      base.crossJoin(broadcast(centroids))
-        .select(col("id"),
-          ((call_function("double_sort_key", centroidSim).cast("decimal(38,0)")
-            + keyOffset) * lit(mEx) + (lit(mEx - 1) - col("cid"))).as("pd"))
-        .groupBy(col("id"))
-        .agg(max(col("pd")).as("pd"))
-        .select(col("id"),
-          (lit(mEx - 1) - (col("pd") % lit(mEx))).cast("long").as("cid"))
-        .join(base.select(col("id"), col("v"), col("nrm")), Seq("id"))
+      assignToCells(base, centroids, mEx)
 
     // Spherical k-means step: per-cell element-wise mean (posexplode →
     // partial-agg avg on (cid, pos) → re-pack ordered array). The cell id
@@ -314,6 +301,125 @@ object Similarity {
       case (cs, _) => recenter(assign(cs))
     }
     (base, centroids, assign(centroids))
+  }
+
+  /** Assign every `base` vector (id, v, nrm) to its nearest `centroids`
+    * cell (broadcast K centroids) via the DECIMAL-PACKED argmax
+    * (q95/q79/q88's lesson applied to a FLOAT ordering): a
+    * max_by(struct(cid, v, nrm), struct(csim, -cid)) would carry the
+    * vector in an immutable struct buffer, which silently plans
+    * SortAggregateExec — all n·K assignment rows sorted WITH their
+    * vectors. double_sort_key (order-preserving IEEE-754 bit map, NaN
+    * greatest like Spark's comparator) makes csim packable:
+    * max((key(csim)+2⁶³)·M + (M−1−cid)) is the identical lexicographic
+    * (csim desc, cid asc) argmax in a mutable 16-byte decimal buffer —
+    * a map-side-combining HashAggregate — and the vector re-joins by id
+    * afterwards. M = max(id)+1 (`mEx`, [[idRadix]] — one plan-time scalar
+    * job at each call site). Shared by the inline build ([[ivfIndex]])
+    * and the incremental extend ([[ivfExtendStored]]). */
+  private def assignToCells(base: DataFrame, centroids: DataFrame,
+                            mEx: Long): DataFrame = {
+    val centroidSim = dotFast(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val keyOffset = lit(new java.math.BigDecimal("9223372036854775808"))
+    base.crossJoin(broadcast(centroids))
+      .select(col("id"),
+        ((call_function("double_sort_key", centroidSim).cast("decimal(38,0)")
+          + keyOffset) * lit(mEx) + (lit(mEx - 1) - col("cid"))).as("pd"))
+      .groupBy(col("id"))
+      .agg(max(col("pd")).as("pd"))
+      .select(col("id"),
+        (lit(mEx - 1) - (col("pd") % lit(mEx))).cast("long").as("cid"))
+      .join(base.select(col("id"), col("v"), col("nrm")), Seq("id"))
+  }
+
+  /** Build fingerprint for a stored index: corpus cardinality + id
+    * checksum + every build parameter. Cheap (one aggregate over the id
+    * column) relative to a build or a search — the online path pays it as
+    * its freshness check. */
+  private def indexMeta(emb: DataFrame, idCol: String, nCentroids: Int,
+                        kmeansIters: Int, portable: Boolean): String = {
+    val r = emb.agg(count(lit(1)), sum(col(idCol))).first()
+    s"ivf1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|K=$nCentroids|iters=$kmeansIters|portable=$portable"
+  }
+
+  /** OFFLINE index build: run the [[ivfIndex]] pipeline and persist its
+    * two structures (centroid grid, cid-clustered posting lists carrying
+    * the member vectors) into `index`, fingerprinted against the corpus
+    * and the build params. This is the production 100 TB ANN split —
+    * k-means rounds and the corpus-wide assignment run once as a batch
+    * job; [[ivfSearchStored]] then serves queries with a plan free of any
+    * build stage. Returns the per-cell census read BACK from the stored
+    * posting lists (gating what is actually on disk, not the in-flight
+    * frames). */
+  def ivfBuildStored(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, index: graft.sources.VectorIndex,
+                     kmeansIters: Int = 0,
+                     portable: Boolean = false): DataFrame = {
+    val (_, centroids, assigned) =
+      ivfIndex(emb, idCol, vecCol, nCentroids, kmeansIters, portable)
+    index.writeIndex(
+      centroids.select(col("cid"), col("cv"), col("cn")),
+      assigned.select(col("cid"), col("id"), col("v"), col("nrm")),
+      indexMeta(emb, idCol, nCentroids, kmeansIters, portable))
+    index.readPostings()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("cid"))
+  }
+
+  /** ONLINE search over a stored index: identical probe + rerank to
+    * [[ivfTopK]] (ONE implementation — [[probeRerank]]) but the centroid
+    * grid and posting lists come from `index`'s parquet, so the executed
+    * plan contains scans + the probe window + the rerank join and NO
+    * k-means/seed/assignment stages. A missing or stale index (corpus or
+    * params changed, or a build crashed pre-fingerprint) triggers one
+    * synchronous [[ivfBuildStored]] — the self-healing default; a
+    * production deployment would page instead. Queries are drawn from
+    * `emb` by `queryPred` (post-rename: `col("id")`). */
+  def ivfSearchStored(emb: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, nProbe: Int, queryPred: Column,
+                      k: Int, index: graft.sources.VectorIndex,
+                      kmeansIters: Int = 0,
+                      portable: Boolean = false): DataFrame = {
+    ivfEnsureStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
+      portable)
+    val qVecs = prepared(emb, idCol, vecCol).where(queryPred)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    probeRerank(qVecs, index.readCentroids(), index.readPostings(),
+      nProbe, k)
+  }
+
+  /** Build `index` from `emb` iff its fingerprint does not match the
+    * corpus + params (missing, stale, or crashed pre-fingerprint). The
+    * fresh path costs one id-column aggregate. */
+  def ivfEnsureStored(emb: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, index: graft.sources.VectorIndex,
+                      kmeansIters: Int = 0,
+                      portable: Boolean = false): Unit =
+    if (!index.isFresh(
+        indexMeta(emb, idCol, nCentroids, kmeansIters, portable)))
+      ivfBuildStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
+        portable).collect()
+
+  /** INCREMENTAL index maintenance: assign `newEmb`'s vectors to the
+    * STORED centroid grid (no re-seed, no k-means — exactly how a
+    * production IVF absorbs an ingest batch between rebuilds) and upsert
+    * them into the posting lists keyed on id. Cost is |batch| × K
+    * broadcast work plus one postings rewrite — independent of corpus
+    * size until the rewrite, which a partitioned store would confine to
+    * touched cells. Returns the updated per-cell census read back from
+    * disk. */
+  def ivfExtendStored(newEmb: DataFrame, idCol: String, vecCol: String,
+                      index: graft.sources.VectorIndex): DataFrame = {
+    val base = prepared(newEmb, idCol, vecCol)
+    val assigned = assignToCells(base, index.readCentroids(), idRadix(base))
+    index.upsertPostings(
+      assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
+    index.readPostings()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("cid"))
   }
 
   /** Banding parameters (bitsPerTable, tables) for [[cosineNearDupPairs]],

@@ -96,6 +96,64 @@ object Analytics {
       kmeansIters = 2)
       .orderBy(col("qid"), col("rank"))
 
+  /** Index roots for the stored-ANN trio, derived from the data dir so
+    * every sf/stress dir gets its own index (and a regenerated dir fails
+    * the fingerprint and rebuilds). `role` separates the build/search
+    * pair's base index from the extend query's — q145 mutates its posting
+    * lists, and sharing would let a filtered run (e.g. compare.py q144
+    * alone after a q145 run) search an extended index against a
+    * base-corpus oracle. */
+  private def vindex(s: SparkSession, dir: String, role: String) =
+    new graft.sources.VectorIndex(s,
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$role")
+
+  // OFFLINE half of the production ANN split: build the portable IVF
+  // index (md5-seeded cells, decimal-packed nearest-cell assignment) and
+  // PERSIST centroids + cid-clustered posting lists via the swap-write
+  // VectorIndex store. Readout is the per-cell census read back from the
+  // stored lists — the gate verifies the bytes on disk, and the DuckDB
+  // twin replays the same assignment from the raw corpus.
+  def q143IvfBuildStored(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfBuildStored(t(s, dir)("embeddings"), "vec_id", "embedding",
+      nCentroids = 16, index = vindex(s, dir, "base"), portable = true)
+
+  // ONLINE half: search the PREBUILT index — the executed plan is parquet
+  // scans (centroids broadcast, postings row-group-pruned by cid) + probe
+  // window + rerank join, with NO k-means/seed/assignment stages (pinned
+  // in PlanSpec). Shares the "base" index with q143 (whose build always
+  // rewrites it from the raw corpus, so it never drifts); a missing/stale
+  // index self-heals with one synchronous build, which min-of-2 benching
+  // keeps out of the recorded time (the second attempt hits the
+  // fresh-index path). Distinct query set and probe width from q39 so the
+  // two gates are independent.
+  def q144IvfSearchStored(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfSearchStored(t(s, dir)("embeddings"), "vec_id", "embedding",
+      nCentroids = 16, nProbe = 12,
+      queryPred = col("id") >= 8 && col("id") < 16, k = 5,
+      index = vindex(s, dir, "base"), portable = true)
+      .orderBy(col("qid"), col("rank"))
+
+  // INCREMENTAL maintenance: a deterministic ingest batch (every 13th
+  // vector, elements negated — cosine-distant from its source — ids offset
+  // by max+1, the q127 clone recipe) is assigned to the STORED centroid
+  // grid and upserted into the posting lists; no re-seed, no k-means.
+  // Readout: the updated per-cell census from disk. Idempotent: re-running
+  // upserts the same keyed rows. Uses its OWN index root ("extendable"):
+  // the clone rows it plants must never surface as candidates in q143's
+  // build census or q144's search rerank, whose oracles replay the base
+  // corpus only.
+  def q145IvfExtendStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = vindex(s, dir, "extendable")
+    Similarity.ivfEnsureStored(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
+    val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val batch = emb.where(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.ivfExtendStored(batch, "vec_id", "embedding", idx)
+  }
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")

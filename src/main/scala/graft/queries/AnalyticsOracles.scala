@@ -96,10 +96,11 @@ object AnalyticsOracles {
        |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s)
        |  WHERE rn = 1)""".stripMargin
 
-  /** The q39 portable-IVF candidate pipeline ([[ivfAsgCtes]] + 14-of-16
-    * probed cells) ending in `cand(qid, nid)` — shared verbatim with
-    * q138. */
-  private[queries] val ivfCandCtes: String =
+  /** The portable-IVF candidate pipeline ([[ivfAsgCtes]] + nProbe probed
+    * cells for queries matching `pred`) ending in `cand(qid, nid)` —
+    * parameterized so the stored-index search (q144) replays the same
+    * recipe at its own pred/nProbe without duplicating the text. */
+  private[queries] def ivfCandCtesFor(pred: String, nProbe: Int): String =
     s"""$ivfAsgCtes,
        |probes AS (
        |  SELECT qid, cid FROM (
@@ -108,12 +109,17 @@ object AnalyticsOracles {
        |        ORDER BY list_dot_product(vv, cv) / (nrm * cn) DESC, s.cid)
        |        AS rn
        |    FROM v JOIN n ON n.vec_id = v.vec_id CROSS JOIN seeds s
-       |    WHERE v.vec_id < 8)
-       |  WHERE rn <= 14),
+       |    WHERE $pred)
+       |  WHERE rn <= $nProbe),
        |cand AS (
        |  SELECT DISTINCT p.qid, a.vec_id AS nid
        |  FROM probes p JOIN asg a ON a.cid = p.cid
        |  WHERE a.vec_id <> p.qid)""".stripMargin
+
+  /** The q39 instantiation (queries vec_id < 8, 14-of-16 probed cells) —
+    * shared verbatim with q138. */
+  private[queries] val ivfCandCtes: String =
+    ivfCandCtesFor("v.vec_id < 8", 14)
 
   /** Shared CTE list: exact all-pairs n-gram jaccard over a doc universe.
     * Tokens are exploded with positions (zip-unnest), trigrams built by
@@ -219,6 +225,55 @@ object AnalyticsOracles {
       s"""WITH $vecCtes,
          |$ivfCandCtes,
          |$rerankTail""".stripMargin,
+
+    // stored-index build census: the engine persists the IVF structures
+    // and reads its per-cell census BACK from disk; the twin replays the
+    // same seed + assignment recipe from the raw corpus — equality proves
+    // the stored posting lists hold exactly the assignment
+    "q143_ivf_build_stored" ->
+      s"""WITH $vecCtes,
+         |$ivfAsgCtes
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // stored-index search: same candidate recipe as q39 at q144's own
+    // query set (ids 8..15) and probe width (12-of-16) — the engine reads
+    // the PREBUILT structures, the twin recomputes them, equal output
+    // proves the offline/online split loses nothing
+    "q144_ivf_search_stored" ->
+      s"""WITH $vecCtes,
+         |${ivfCandCtesFor("v.vec_id >= 8 AND v.vec_id < 16", 12)},
+         |$rerankTail""".stripMargin,
+
+    // incremental extend: the ingest batch (every 13th vector, elements
+    // negated, ids offset by max+1) is assigned to the SAME seed grid —
+    // no re-seed — and unioned into the census
+    "q145_ivf_extend_stored" ->
+      s"""WITH $vecCtes,
+         |$ivfAsgCtes,
+         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+         |newv AS (
+         |  SELECT vec_id + o AS vec_id,
+         |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings, off WHERE vec_id % 13 = 0),
+         |newn AS (
+         |  SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM newv),
+         |nasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT nv.vec_id, s.cid,
+         |      row_number() OVER (PARTITION BY nv.vec_id
+         |        ORDER BY list_dot_product(nv.vv, cv) / (nn.nrm * cn) DESC,
+         |                 s.cid) AS rn
+         |    FROM newv nv JOIN newn nn ON nn.vec_id = nv.vec_id
+         |    CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |allasg AS (
+         |  SELECT vec_id, cid FROM asg
+         |  UNION ALL SELECT vec_id, cid FROM nasg)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin,
 
     "q24_knn_brute" ->
       """WITH el AS (

@@ -100,6 +100,30 @@ class PlanSpec extends SparkSpec {
       s"SortAggregate crept back into the assignment:\n$p39")
   }
 
+  test("q144 stored-index search: plan reads the prebuilt index, no build stages") {
+    // The offline/online ANN split's whole point: the search plan must
+    // scan the persisted centroid grid + posting lists and touch the raw
+    // corpus ONLY for the query vectors — no seed draw, no corpus-wide
+    // assignment, no k-means anywhere in the executed plan.
+    val p = graft.queries.Analytics.q144IvfSearchStored(spark, dir)
+      .queryExecution.executedPlan
+    val scans = walkPlan(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        (s.relation.location.rootPaths.mkString(","),
+          s.metadata.getOrElse("PushedFilters", ""))
+    }
+    assert(scans.count(_._1.contains("graft_vindex")) >= 2,
+      s"expected stored centroid + posting scans, got: $scans")
+    // the corpus appears exactly twice, BOTH times as the pred-pushed
+    // query side (probe ranks ids-only, vectors rejoin by qid — the
+    // ids-only shuffle discipline): never an unfiltered corpus-wide scan,
+    // which would mean a build stage leaked into the online plan
+    val corpus = scans.filter(_._1.contains("embeddings"))
+    assert(corpus.size == 2 &&
+      corpus.forall(_._2.contains("GreaterThanOrEqual(vec_id,8)")),
+      s"corpus scans must all be the pushed-pred query side, got: $scans")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where intended") {
     // The 100 TB safety sweep: a cartesian product anywhere means a join
     // lost its equi-condition; a BroadcastNestedLoopJoin is only acceptable
@@ -121,6 +145,9 @@ class PlanSpec extends SparkSpec {
       "q127_curation_pass", // semanticDedup's broadcast seed/super grids
       "q103_pagerank", // broadcast single-row max-id scalar (link synthesis)
       "q140_personalized_pagerank", // the same link-synthesis max-id scalar
+      "q143_ivf_build_stored", // broadcast-K centroid grid (assignment)
+      "q144_ivf_search_stored", // broadcast-K STORED centroid grid (probe)
+      "q145_ivf_extend_stored", // broadcast-K stored grid (batch assignment)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
       "q115_tv_drift", // broadcast single-row token-totals + tvd scalars
