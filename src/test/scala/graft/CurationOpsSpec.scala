@@ -235,6 +235,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("sparse retrieval: maxscore pruning is score-safe (on ≡ off)") {
+    // A corpus where the prune actually FIRES: queries share one strong
+    // rare term with their true neighbors and only weak/common terms with
+    // the rest, k = 1 so θ (the best lower bound) is high and the weak
+    // candidates' upper bounds fall below it. Safety is structural (a
+    // pruned pair's true score is strictly below the k-th best — see the
+    // operator scaladoc), but this pins the implementation: identical
+    // output rows either way, on a shape where survivors ≠ all.
+    val docs = Seq(
+      (0L, "alpha beta common1 common2 common3"),
+      (1L, "alpha beta common1 common2 common3"), // strong match for 0
+      (2L, "gamma common1 common2 common3"),      // weak candidates: only
+      (3L, "gamma delta common1 common2 common3"), // chained rare overlaps
+      (4L, "delta epsilon common1 common2 common3"),
+      (5L, "epsilon zeta common1 common2 common3"),
+      (6L, "zeta eta common1 common2 common3")
+    ).toDF("doc_id", "text")
+    def run(p: Boolean) = graft.operators.TfIdf.sparseCosineTopK(
+        docs, "doc_id", "text", queryPred = col("id") < 2, k = 1,
+        maxDf = 2L, prune = p)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val off = run(false)
+    val on = run(true)
+    assert(off.nonEmpty && on == off,
+      s"pruning changed the ranking: on=$on off=$off")
+  }
+
   test("q138 fusion: rrf recomposes from the two constituent rankings") {
     // run the hybrid AND its two branches standalone on the real sf0.001
     // tables; every fused score must equal the recomputed coalesced
