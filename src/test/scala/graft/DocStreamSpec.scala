@@ -231,4 +231,129 @@ class DocStreamSpec extends SparkSpec {
       .map(_.getLong(0)).sorted
     assert(admitted.toSeq == Seq(5L, 21L))
   }
+
+  // ---- curation admission (the q127 streaming twin) -------------------
+
+  // gate-passing corpus-style texts forming a simhash CHAIN at h ≤ 3:
+  // A~B (3), B~C (3), A¬~C (6) — the shape that distinguishes the greedy
+  // maximal-independent-set policy (C survives: its only collider B was
+  // itself rejected) from admitBatch's conservative reject-on-any policy
+  private val curBase = "the fast key order sort table scan merge part " +
+    "window small hash scan join order batch batch batch stream spark " +
+    "window window"
+  private val chainA = s"$curBase line"
+  private val chainB = s"$curBase vector"
+  private val chainC = s"$curBase customer"
+  private val lowQuality = // en but quality below the 5000 gate
+    "the quick brown fox jumps over the lazy dog again and again today ok"
+
+  private def verdicts(rows: Seq[(Long, String)], stateDir: String,
+                       splits: Seq[Seq[Long]]): Map[Long, String] =
+    splits.flatMap { ids =>
+      val keep = ids.toSet
+      DocStream.curateBatch(spark,
+          rows.filter(r => keep(r._1)).toDF("doc_id", "text"), stateDir)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+    }.toMap
+
+  test("curateBatch: multi-batch ≡ single-batch on an id-ordered split") {
+    val rows = Seq(
+      (1L, lowQuality),  // quality_drop
+      (2L, chainA),      // kept
+      (3L, chainA),      // exact_dup of 2
+      (4L, chainB),      // near_dup (collides with admitted 2)
+      (5L, chainC),      // KEPT — its only collider 4 was itself rejected
+      (6L, "completely different content about spark query engines and " +
+        "shuffles here today with more words than the quality gate needs " +
+        "to pass the corpus style threshold"))
+    val expected = Map(1L -> "quality_drop", 2L -> "kept", 3L -> "exact_dup",
+      4L -> "near_dup", 5L -> "kept", 6L -> "kept")
+    val single = verdicts(rows, tmpDir("cur-single") + "/st",
+      Seq(rows.map(_._1)))
+    val multi = verdicts(rows, tmpDir("cur-multi") + "/st",
+      Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L, 6L)))
+    assert(single == expected, s"single-batch: $single")
+    assert(multi == single,
+      s"multi-batch diverged: $multi vs $single")
+  }
+
+  test("curateBatch: retry repeats its decisions without duplicating state") {
+    val st = tmpDir("cur-retry") + "/st"
+    val b = Seq((2L, chainA), (4L, chainB), (6L, chainC))
+      .toDF("doc_id", "text")
+    val first = DocStream.curateBatch(spark, b, st)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val retry = DocStream.curateBatch(spark, b, st)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(retry == first)
+    val fp = spark.read.parquet(s"$st/fp")
+    val sh = spark.read.parquet(s"$st/sh")
+    assert(fp.count() == fp.distinct().count())
+    assert(sh.count() == sh.distinct().count())
+    // the state still gates a later batch
+    val next = DocStream.curateBatch(spark,
+        Seq((10L, chainA)).toDF("doc_id", "text"), st)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(10L -> "exact_dup"))
+  }
+
+  test("streaming curation stage-partitions like batch q127 on its corpus") {
+    // Run the streaming ladder over q127's own composed corpus (docs +
+    // re-crawl clones) in three id-ordered batches and pin the stage
+    // alignment: quality and exact verdicts are IDENTICAL; the third
+    // stage judges text (simhash) where q127 judges embeddings
+    // (SemDeDup), so those partitions match as UNIONS — a doc reaches
+    // stage 3 streaming iff it reaches stage 3 in the batch pass.
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, max}
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val cloneOff = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + cloneOff).as("doc_id"), col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val cut1 = corpus(corpus.size / 3)._1
+    val cut2 = corpus(2 * corpus.size / 3)._1
+    val streamed = verdicts(corpus, tmpDir("cur-q127") + "/st", Seq(
+      corpus.map(_._1).filter(_ <= cut1),
+      corpus.map(_._1).filter(id => id > cut1 && id <= cut2),
+      corpus.map(_._1).filter(_ > cut2)))
+    val batch = graft.queries.Curation.q127CurationPass(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.keySet == batch.keySet)
+    def ids(m: Map[Long, String], ss: Set[String]) =
+      m.collect { case (id, s) if ss(s) => id }.toSet
+    assert(ids(streamed, Set("quality_drop")) == ids(batch, Set("quality_drop")))
+    assert(ids(streamed, Set("exact_dup")) == ids(batch, Set("exact_dup")))
+    assert(ids(streamed, Set("kept", "near_dup")) ==
+      ids(batch, Set("kept", "semantic_dup")))
+    // the fixture must exercise every streaming arm
+    assert(Set("quality_drop", "exact_dup", "kept")
+      .subsetOf(streamed.values.toSet))
+  }
+
+  test("runCuration: verdicts land per batch through staging + checkpoint") {
+    val staging = tmpDir("cur-staging")
+    val st = tmpDir("cur-state") + "/st"
+    val out = tmpDir("cur-out")
+    val ckpt = tmpDir("cur-ckpt")
+    def stage(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = tmpDir(s"cur-wave-$name")
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").json(tmp)
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { s =>
+        s.filter(_.toString.endsWith(".json")).forEachOrdered(p =>
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(staging, s"$name.json")))
+      }
+    }
+    stage("w1", Seq((2L, chainA), (3L, lowQuality)))
+    DocStream.runCuration(spark, staging, st, out, ckpt)
+    stage("w2", Seq((10L, chainA), (11L, chainB)))
+    DocStream.runCuration(spark, staging, st, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "kept", 3L -> "quality_drop",
+      10L -> "exact_dup", 11L -> "near_dup"))
+  }
 }
