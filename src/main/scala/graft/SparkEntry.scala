@@ -163,7 +163,9 @@ object SparkEntry {
     "q142_leakage_safe_split" -> (Curation.q142LeakageSafeSplit _),
     "q143_ivf_build_stored"   -> (Analytics.q143IvfBuildStored _),
     "q144_ivf_search_stored"  -> (Analytics.q144IvfSearchStored _),
-    "q145_ivf_extend_stored"  -> (Analytics.q145IvfExtendStored _)
+    "q145_ivf_extend_stored"  -> (Analytics.q145IvfExtendStored _),
+    "q146_ivf_pq_build_stored" -> (Curation.q146IvfPqBuildStored _),
+    "q147_ivf_pq_search_stored" -> (Curation.q147IvfPqSearchStored _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -702,6 +702,30 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, nProbe: Int, m: Int, kCodes: Int, scale: Long,
                 queryPred: Column, rerank: Int, k: Int): DataFrame = {
+    val (q, cells, assigned, subC, codes, sd) =
+      ivfPqIndex(emb, idCol, vecCol, nCells, m, kCodes, scale)
+    val codesCid = codes.join(assigned.select(col("id"), col("cid")),
+      Seq("id"))
+    val qVecs = q.where(queryPred).select(col("id").as("qid"), col("qv"))
+    pqSearch(q, qVecs, cells, subC, codesCid, m, sd, nProbe, rerank, k)
+  }
+
+  /** Slice `df.vec` into the m per-subspace arrays (`s`, `out`). */
+  private def subspaces(df: DataFrame, vec: String, out: String,
+                        m: Int, sd: Int): DataFrame =
+    df.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
+      .drop(vec)
+
+  /** The IVF-PQ index build — fixed-point corpus, md5-seeded integer cell
+    * grid + per-vector assignment, md5-seeded subspace codebooks +
+    * per-(vector, subspace) code argmin. Shared by the inline
+    * [[ivfPqTopK]] and the stored [[ivfPqBuildStored]] so the two cannot
+    * drift. Returns (corpus q, cells, assigned, subspace codebooks,
+    * codes, subspace dim). */
+  private def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         nCells: Int, m: Int, kCodes: Int, scale: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
@@ -729,8 +753,30 @@ object Similarity {
     val cells = mdSeeds("ivf:", nCells, "cid")
     val assigned = argminTo(q.crossJoin(broadcast(cells)), "id",
       call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
+    // PQ encode (whole corpus — the index-build cost)
+    val seeds = mdSeeds("pq:", kCodes, "ccid")
+    val subC = subspaces(seeds, "cv", "csub", m, sd)
+    val d2sub = call_function("long_sq_dist", col("sub"), col("csub"))
+    val codes = argminTo(
+      subspaces(q, "qv", "sub", m, sd).join(broadcast(subC), "s")
+        .withColumn("ik", col("id") * m + col("s")), // (id, s) packed for the argmin
+      "ik", d2sub, "ccid", "code")
+      .select(expr(s"ik div $m").as("id"),
+        pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
+    (q, cells, assigned, subC, codes, sd)
+  }
+
+  /** The online IVF-PQ search: probe nProbe integer-L2-nearest cells, ADC
+    * only the probed cells' code rows against the per-query distance
+    * table, integer-exact rerank of the shortlist. `codesCid` carries
+    * (cid, id, s, code) — the stored-index layout; the inline path derives
+    * it by joining codes to the assignment. ONE implementation behind
+    * [[ivfPqTopK]] and [[ivfPqSearchStored]]. */
+  private def pqSearch(q: DataFrame, qVecs: DataFrame, cells: DataFrame,
+                       subC: DataFrame, codesCid: DataFrame, m: Int,
+                       sd: Int, nProbe: Int, rerank: Int,
+                       k: Int): DataFrame = {
     // queries probe their nProbe nearest cells — a q×nCells grid window
-    val qVecs = q.where(queryPred).select(col("id").as("qid"), col("qv"))
     val probeW = Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))
     val probes = qVecs.crossJoin(broadcast(cells))
       .select(col("qid"), col("cid"),
@@ -738,31 +784,15 @@ object Similarity {
       .withColumn("rn", row_number().over(probeW))
       .where(col("rn") <= nProbe)
       .select(col("qid"), col("cid"))
-
-    // PQ encode (whole corpus — the index build) + per-query ADC tables
-    val seeds = mdSeeds("pq:", kCodes, "ccid")
-    def subspaces(df: DataFrame, vec: String, out: String) =
-      df.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
-        .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
-        .drop(vec)
-    val subC = subspaces(seeds, "cv", "csub")
-    val d2sub = call_function("long_sq_dist", col("sub"), col("csub"))
-    val codes = argminTo(
-      subspaces(q, "qv", "sub").join(broadcast(subC), "s")
-        .withColumn("ik", col("id") * m + col("s")), // (id, s) packed for the argmin
-      "ik", d2sub, "ccid", "code")
-      .select(expr(s"ik div $m").as("id"),
-        pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
     val table = subspaces(qVecs.withColumnRenamed("qid", "id")
-        .withColumnRenamed("qv", "tv"), "tv", "sub")
+        .withColumnRenamed("qv", "tv"), "tv", "sub", m, sd)
       .join(broadcast(subC), "s")
       .select(col("id").as("qid"), col("s"), col("ccid").as("code"),
         call_function("long_sq_dist", col("sub"), col("csub")).as("td2"))
 
     // ADC confined to probed-cell members — the IVF win over q88
-    val members = assigned.join(probes, "cid").select(col("qid"), col("id"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
-    val shortlist = members.join(codes, "id")
+    val shortlist = probes.join(codesCid, "cid")
       .join(broadcast(table), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("td2")).as("adc"))
@@ -779,6 +809,60 @@ object Similarity {
       .withColumn("rank", row_number().over(wEx))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
+  }
+
+  private def pqMeta(emb: DataFrame, idCol: String, nCells: Int, m: Int,
+                     kCodes: Int, scale: Long): String = {
+    val r = emb.agg(count(lit(1)), sum(col(idCol))).first()
+    s"ivfpq1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|cells=$nCells|m=$m|codes=$kCodes|scale=$scale"
+  }
+
+  /** OFFLINE IVF-PQ build: persist the integer cell grid, the subspace
+    * codebooks, and the cid-clustered code rows into `index` — the
+    * compressed production index ([[ivfBuildStored]] stores raw vectors in
+    * its posting lists; this stores m codes per vector, the dim/m ×
+    * smaller footprint that makes 100 TB ANN memory-feasible). Returns the
+    * per-cell code census read back from disk. */
+  def ivfPqBuildStored(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, m: Int, kCodes: Int, scale: Long,
+                       index: graft.sources.PqIndex): DataFrame = {
+    val (_, cells, assigned, subC, codes, _) =
+      ivfPqIndex(emb, idCol, vecCol, nCells, m, kCodes, scale)
+    index.writeIndex(
+      cells.select(col("cid"), col("cv")),
+      subC.select(col("s"), col("ccid"), col("csub")),
+      codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+        .select(col("cid"), col("id"), col("s"), col("code")),
+      pqMeta(emb, idCol, nCells, m, kCodes, scale))
+    index.readCodes()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_ids"),
+        sum(col("code")).as("sum_codes"))
+      .orderBy(col("cid"))
+  }
+
+  /** ONLINE IVF-PQ search over a stored index: the [[pqSearch]] pipeline
+    * reading the prebuilt cell grid + codebooks (broadcast) and the
+    * cid-clustered code rows (row-group-pruned to the probed cells) — no
+    * encode or assignment stages in the plan; the raw corpus is touched
+    * only for the query vectors and the k-bounded exact rerank. Missing or
+    * stale index self-heals with one synchronous build. */
+  def ivfPqSearchStored(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, nProbe: Int, m: Int, kCodes: Int,
+                        scale: Long, queryPred: Column, rerank: Int, k: Int,
+                        index: graft.sources.PqIndex): DataFrame = {
+    if (!index.isFresh(pqMeta(emb, idCol, nCells, m, kCodes, scale)))
+      ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
+        .collect()
+    graft.plans.VectorExpressions.register(emb.sparkSession)
+    val q = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
+    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val qVecs = q.where(queryPred).select(col("id").as("qid"), col("qv"))
+    pqSearch(q, qVecs, index.readCells(), index.readCodebooks(),
+      index.readCodes(), m, dim / m, nProbe, rerank, k)
   }
 
   /** The all-pairs reference implementation — spec-only, kept as ground

@@ -135,6 +135,35 @@ object Curation {
       scale = 1000000L, queryPred = col("id") < 8, rerank = 30, k = 5)
       .orderBy(col("qid"), col("rank"))
 
+  // per-data-dir PQ index root (the Analytics.vindex recipe): regenerated
+  // data fails the fingerprint and rebuilds
+  private def pqIndex(s: SparkSession, dir: String) =
+    new graft.sources.PqIndex(s,
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/pq")
+
+  // OFFLINE IVF-PQ build (q125's index half persisted): integer cell
+  // grid + subspace codebooks + cid-clustered code rows through the
+  // swap-write PqIndex store — the COMPRESSED production index (m codes
+  // per vector instead of the vector; q143 stores raw postings, this
+  // stores what a 100 TB deployment can actually hold in memory).
+  // Readout: per-cell code census read back from disk; the twin replays
+  // the build from the raw corpus.
+  def q146IvfPqBuildStored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfPqBuildStored(t(s, dir)("embeddings"),
+      "vec_id", "embedding", nCells = 16, m = 16, kCodes = 16,
+      scale = 1000000L, index = pqIndex(s, dir))
+
+  // ONLINE IVF-PQ search over the stored index: plan = broadcast scans of
+  // the prebuilt cells/codebooks + cid-pruned code scan + probe window +
+  // ADC + k-bounded exact rerank, NO encode/assignment stages (pinned in
+  // PlanSpec). Distinct query set from q125 so the gates are independent.
+  def q147IvfPqSearchStored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfPqSearchStored(t(s, dir)("embeddings"),
+      "vec_id", "embedding", nCells = 16, nProbe = 4, m = 16, kCodes = 16,
+      scale = 1000000L, queryPred = col("id") >= 8 && col("id") < 16,
+      rerank = 30, k = 5, index = pqIndex(s, dir))
+      .orderBy(col("qid"), col("rank"))
+
   // Composed curation pass (q67 extended with the dedup ladder a training
   // corpus actually runs): re-crawl simulation (every 7th doc duplicated
   // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →

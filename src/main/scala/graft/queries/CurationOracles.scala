@@ -30,6 +30,107 @@ object CurationOracles {
        |    FROM $prev w JOIN sym s ON s.a = w.node) x
        |  WHERE rn = 1)""".stripMargin
 
+  /** The IVF-PQ index build (the q125 recipe): fixed-point vectors,
+    * md5-seeded cells + integer-L2 assignment, md5-seeded codebooks +
+    * per-subspace argmin encode — ends in `codes(id, s, code)` with
+    * `asg(id, cid)`, `cd`, `elf`, `dist` available. ONE text behind
+    * q125/q146/q147. */
+  private val pqIndexCtes: String =
+    s"""q AS (
+       |  SELECT vec_id AS id,
+       |    ${OracleUtil.fixedPointVec()} AS qv
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |cells AS (
+       |  SELECT id AS cid, qv AS cv FROM q
+       |  ORDER BY ${OracleUtil.md5Head60("'ivf:' || CAST(id AS VARCHAR)")}, id
+       |  LIMIT 16),
+       |elf AS (
+       |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+       |    unnest(qv) AS v
+       |  FROM q),
+       |clf AS (
+       |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
+       |    unnest(cv) AS v
+       |  FROM cells),
+       |cd AS (
+       |  SELECT elf.id, clf.cid,
+       |    CAST(sum((elf.v - clf.v) * (elf.v - clf.v)) AS BIGINT) AS d2
+       |  FROM elf JOIN clf ON clf.pos = elf.pos
+       |  GROUP BY elf.id, clf.cid),
+       |asg AS (
+       |  SELECT id, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM cd) x
+       |  WHERE rn = 1),
+       |seeds AS (
+       |  SELECT id AS ccid, qv AS cv FROM q
+       |  ORDER BY ${OracleUtil.md5Head60("'pq:' || CAST(id AS VARCHAR)")}, id
+       |  LIMIT 16),
+       |sub_q AS (
+       |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
+       |  FROM q CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+       |sub_c AS (
+       |  SELECT ccid, s, cv[s*4+1 : s*4+4] AS csub
+       |  FROM seeds CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+       |els AS (
+       |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
+       |    unnest(sub) AS v
+       |  FROM sub_q),
+       |cels AS (
+       |  SELECT ccid, s, CAST(unnest(range(len(csub))) AS INTEGER) AS pos,
+       |    unnest(csub) AS v
+       |  FROM sub_c),
+       |dist AS (
+       |  SELECT els.id, cels.ccid, els.s,
+       |    CAST(sum((els.v - cels.v) * (els.v - cels.v)) AS BIGINT) AS d2
+       |  FROM els JOIN cels ON els.pos = cels.pos AND els.s = cels.s
+       |  GROUP BY els.id, cels.ccid, els.s),
+       |codes AS (
+       |  SELECT id, s, ccid AS code FROM (
+       |    SELECT id, s, ccid,
+       |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
+       |    FROM dist) x
+       |  WHERE rn = 1)""".stripMargin
+
+  /** [[pqIndexCtes]] + probe/ADC/rerank for queries matching `pred` at
+    * `nProbe` probed cells — the full q125-shaped search readout. */
+  private def pqSearchSql(pred: String, nProbe: Int): String =
+    s"""WITH $pqIndexCtes,
+       |probes AS (
+       |  SELECT id AS qid, cid FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+       |    FROM cd WHERE $pred) x
+       |  WHERE rn <= $nProbe),
+       |members AS (
+       |  SELECT p.qid, a.id FROM asg a JOIN probes p ON p.cid = a.cid),
+       |adc AS (
+       |  SELECT m.qid, m.id, CAST(sum(t.d2) AS BIGINT) AS adc
+       |  FROM members m JOIN codes c ON c.id = m.id
+       |  JOIN dist t ON t.id = m.qid AND t.s = c.s AND t.ccid = c.code
+       |  GROUP BY m.qid, m.id),
+       |shortlist AS (
+       |  SELECT qid, id, adc FROM (
+       |    SELECT qid, id, adc,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS arank
+       |    FROM adc) x
+       |  WHERE arank <= 30),
+       |ex AS (
+       |  SELECT sl.qid, sl.id, sl.adc,
+       |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
+       |  FROM shortlist sl
+       |  JOIN elf a ON a.id = sl.qid
+       |  JOIN elf b ON b.id = sl.id AND b.pos = a.pos
+       |  GROUP BY sl.qid, sl.id, sl.adc),
+       |rr AS (
+       |  SELECT qid, id, adc, d2,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY d2, id) AS INTEGER) AS rank
+       |  FROM ex)
+       |SELECT qid, rank, id, adc, d2 FROM rr
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
   /** The sparse-retrieval scoring pipeline (TfIdf.sparseCosineTopK's
     * twin): integer reciprocal-df weights, df-capped candidacy for query
     * docs satisfying `pred` (over alias `q`), exact HUGEINT dot/norm
@@ -106,97 +207,26 @@ object CurationOracles {
     // cells ('ivf:') and codebooks ('pq:'), integer-L2 cell assignment and
     // probe ranking, per-subspace argmin encode, ADC restricted to probed-
     // cell members, exact integer rerank — q88's oracle with the routing
-    // CTEs in front
-    "q125_knn_ivf_pq" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS id,
-         |    ${OracleUtil.fixedPointVec()} AS qv
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |cells AS (
-         |  SELECT id AS cid, qv AS cv FROM q
-         |  ORDER BY ${OracleUtil.md5Head60("'ivf:' || CAST(id AS VARCHAR)")}, id
-         |  LIMIT 16),
-         |elf AS (
-         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
-         |    unnest(qv) AS v
-         |  FROM q),
-         |clf AS (
-         |  SELECT cid, CAST(unnest(range(len(cv))) AS INTEGER) AS pos,
-         |    unnest(cv) AS v
-         |  FROM cells),
-         |cd AS (
-         |  SELECT elf.id, clf.cid,
-         |    CAST(sum((elf.v - clf.v) * (elf.v - clf.v)) AS BIGINT) AS d2
-         |  FROM elf JOIN clf ON clf.pos = elf.pos
-         |  GROUP BY elf.id, clf.cid),
-         |asg AS (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM cd) x
-         |  WHERE rn = 1),
-         |probes AS (
-         |  SELECT id AS qid, cid FROM (
-         |    SELECT id, cid,
-         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM cd WHERE id < 8) x
-         |  WHERE rn <= 4),
-         |seeds AS (
-         |  SELECT id AS ccid, qv AS cv FROM q
-         |  ORDER BY ${OracleUtil.md5Head60("'pq:' || CAST(id AS VARCHAR)")}, id
-         |  LIMIT 16),
-         |sub_q AS (
-         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
-         |  FROM q CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
-         |sub_c AS (
-         |  SELECT ccid, s, cv[s*4+1 : s*4+4] AS csub
-         |  FROM seeds CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
-         |els AS (
-         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
-         |    unnest(sub) AS v
-         |  FROM sub_q),
-         |cels AS (
-         |  SELECT ccid, s, CAST(unnest(range(len(csub))) AS INTEGER) AS pos,
-         |    unnest(csub) AS v
-         |  FROM sub_c),
-         |dist AS (
-         |  SELECT els.id, cels.ccid, els.s,
-         |    CAST(sum((els.v - cels.v) * (els.v - cels.v)) AS BIGINT) AS d2
-         |  FROM els JOIN cels ON els.pos = cels.pos AND els.s = cels.s
-         |  GROUP BY els.id, cels.ccid, els.s),
-         |codes AS (
-         |  SELECT id, s, ccid AS code FROM (
-         |    SELECT id, s, ccid,
-         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
-         |    FROM dist) x
-         |  WHERE rn = 1),
-         |members AS (
-         |  SELECT p.qid, a.id FROM asg a JOIN probes p ON p.cid = a.cid),
-         |adc AS (
-         |  SELECT m.qid, m.id, CAST(sum(t.d2) AS BIGINT) AS adc
-         |  FROM members m JOIN codes c ON c.id = m.id
-         |  JOIN dist t ON t.id = m.qid AND t.s = c.s AND t.ccid = c.code
-         |  GROUP BY m.qid, m.id),
-         |shortlist AS (
-         |  SELECT qid, id, adc FROM (
-         |    SELECT qid, id, adc,
-         |      row_number() OVER (PARTITION BY qid ORDER BY adc, id) AS arank
-         |    FROM adc) x
-         |  WHERE arank <= 30),
-         |ex AS (
-         |  SELECT sl.qid, sl.id, sl.adc,
-         |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2
-         |  FROM shortlist sl
-         |  JOIN elf a ON a.id = sl.qid
-         |  JOIN elf b ON b.id = sl.id AND b.pos = a.pos
-         |  GROUP BY sl.qid, sl.id, sl.adc),
-         |rr AS (
-         |  SELECT qid, id, adc, d2,
-         |    CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY d2, id) AS INTEGER) AS rank
-         |  FROM ex)
-         |SELECT qid, rank, id, adc, d2 FROM rr
-         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // CTEs in front; parameterized so the stored-index twins (q146 census,
+    // q147 search) replay the identical build without duplicating text
+    "q125_knn_ivf_pq" -> pqSearchSql("id < 8", nProbe = 4),
+
+    // stored-PQ build census: the engine persists cells/codebooks/codes
+    // and reads its per-cell census BACK from disk; the twin recomputes
+    // the identical build from the raw corpus — equality proves the
+    // stored code rows hold exactly the encode + assignment
+    "q146_ivf_pq_build_stored" ->
+      s"""WITH $pqIndexCtes
+         |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(c.id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(c.code) AS BIGINT) AS sum_codes
+         |FROM codes c JOIN asg a USING (id)
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+
+    // stored-PQ search at q147's own query set — the engine reads the
+    // prebuilt structures, the twin recomputes them
+    "q147_ivf_pq_search_stored" ->
+      pqSearchSql("id >= 8 AND id < 16", nProbe = 4),
 
     // composed curation ladder replayed: the q67 quality gate over the
     // cloned corpus, min-id exact dedup, then the SHARED SemDeDup CTEs

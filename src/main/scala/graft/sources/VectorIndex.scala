@@ -5,44 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-/** Parquet-directory store for a prebuilt IVF vector index — the offline
-  * half of the production ANN architecture (build once, search many): the
-  * index-build pipeline (seed/refine centroids + assign every corpus
-  * vector to its cell) runs as a batch job and persists here; the online
-  * search path reads these structures and never replays k-means.
-  *
-  * Layout under `root/`:
-  *   - `centroids/`  (cid, cv array<double>, cn) — K rows, broadcast-sized.
-  *   - `postings/`   (cid, id, v array<double>, nrm) — the inverted lists:
-  *     each cell's member vectors stored WITH the cell id, repartitioned
-  *     and sorted by cid so a probe of p cells row-group-prunes to ~p/K of
-  *     the file bytes (at 100 TB this layout would be bucketed by cid; the
-  *     parquet min/max sort gives the same pruning single-node).
-  *   - `_meta` — one-line build fingerprint (corpus count + id checksum +
-  *     build params). Written LAST, atomically: a crash anywhere in the
-  *     build leaves a missing/stale fingerprint, and [[isFresh]] reports
-  *     the index unusable rather than serving half-written lists.
-  *
-  * Writes follow the [[TableStore]] swap discipline (write `.tmp-*`,
-  * rename dest aside, rename tmp in) so a reader never sees a partially
-  * rewritten table and a crashed swap is recoverable from the `.old-*`.
-  */
-final class VectorIndex(spark: SparkSession, root: String) {
+/** Shared parquet-directory machinery for prebuilt ANN index stores — the
+  * offline half of the production architecture (build once, search many).
+  * Tables swap in atomically ([[TableStore]]'s write-temp + two-rename
+  * discipline, crash-recoverable); the build fingerprint (`_meta`) lands
+  * LAST, so a freshness probe can only see it once every byte it vouches
+  * for is durable. */
+private[sources] abstract class IndexStore(spark: SparkSession,
+                                           root: String) {
 
-  private val centroidSchema = StructType.fromDDL(
-    "cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
-  private val postingSchema = StructType.fromDDL(
-    "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
-
-  private def path(table: String) = s"$root/$table"
-  private def fs = new Path(root)
+  protected def path(table: String) = s"$root/$table"
+  protected def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** [[TableStore.recoverSwap]]'s contract, restated for the index dirs:
     * a kill between the two renames leaves the table absent with the
     * complete pre-swap copy in `.old-*` — restore it; leftover tmp/old
     * dirs from post-swap crashes are garbage — swept. */
-  private def recoverSwap(table: String): Unit = {
+  protected def recoverSwap(table: String): Unit = {
     val glob = fs.globStatus(new Path(path(table) + ".{old,tmp}-*"))
     if (glob == null || glob.isEmpty) return
     if (!fs.exists(new Path(path(table)))) {
@@ -55,8 +35,8 @@ final class VectorIndex(spark: SparkSession, root: String) {
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  private def swapIn(table: String, df: DataFrame,
-                     schema: StructType): Unit = {
+  protected def swapIn(table: String, df: DataFrame,
+                       schema: StructType): Unit = {
     val dest = new Path(path(table))
     val tmp = new Path(path(table) + ".tmp-" + java.util.UUID.randomUUID())
     df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
@@ -71,19 +51,16 @@ final class VectorIndex(spark: SparkSession, root: String) {
     fs.delete(old, true)
   }
 
-  private def read(table: String, schema: StructType): DataFrame = {
+  protected def read(table: String, schema: StructType): DataFrame = {
     recoverSwap(table)
     require(fs.exists(new Path(path(table))),
       s"index table $table missing under $root — build the index first")
     spark.read.schema(schema).parquet(path(table))
   }
 
-  def readCentroids(): DataFrame = read("centroids", centroidSchema)
-  def readPostings(): DataFrame = read("postings", postingSchema)
-
   /** True iff a complete index built under exactly `meta` is present —
     * the online path's freshness gate (corpus changed, params changed, or
-    * build crashed before the fingerprint landed → false). */
+    * build crashed pre-fingerprint → false). */
   def isFresh(meta: String): Boolean = {
     val m = new Path(path("_meta"))
     fs.exists(m) && {
@@ -94,24 +71,52 @@ final class VectorIndex(spark: SparkSession, root: String) {
     }
   }
 
+  protected def clearMeta(): Unit =
+    fs.delete(new Path(path("_meta")), false)
+
+  protected def publishMeta(meta: String): Unit = {
+    val tmp = new Path(path("_meta.tmp-" + java.util.UUID.randomUUID()))
+    val outS = fs.create(tmp, true)
+    try outS.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outS.close()
+    require(fs.rename(tmp, new Path(path("_meta"))),
+      "publishMeta: publishing fingerprint failed")
+  }
+}
+
+/** Stored IVF index — see [[graft.operators.Similarity.ivfBuildStored]].
+  *
+  * Layout under `root/`:
+  *   - `centroids/`  (cid, cv array<double>, cn) — K rows, broadcast-sized.
+  *   - `postings/`   (cid, id, v array<double>, nrm) — the inverted lists:
+  *     each cell's member vectors stored WITH the cell id, repartitioned
+  *     and sorted by cid so a probe of p cells row-group-prunes to ~p/K of
+  *     the file bytes (at 100 TB this layout would be bucketed by cid; the
+  *     parquet min/max sort gives the same pruning single-node).
+  */
+final class VectorIndex(spark: SparkSession, root: String)
+    extends IndexStore(spark, root) {
+
+  private val centroidSchema = StructType.fromDDL(
+    "cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
+  private val postingSchema = StructType.fromDDL(
+    "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
+
+  def readCentroids(): DataFrame = read("centroids", centroidSchema)
+  def readPostings(): DataFrame = read("postings", postingSchema)
+
   /** Persist a full build: both tables swap in first, the fingerprint
-    * lands last (atomic create-new + rename), so [[isFresh]] can only see
-    * `meta` once every byte it vouches for is durable. */
+    * lands last. */
   def writeIndex(centroids: DataFrame, postings: DataFrame,
                  meta: String): Unit = {
-    fs.delete(new Path(path("_meta")), false)
+    clearMeta()
     swapIn("centroids", centroids, centroidSchema)
     // one sorted file per shuffle partition: cid min/max stats per row
     // group make a p-of-K probe skip the other cells' bytes
     swapIn("postings",
       postings.repartition(col("cid")).sortWithinPartitions(col("cid")),
       postingSchema)
-    val tmp = new Path(path("_meta.tmp-" + java.util.UUID.randomUUID()))
-    val outS = fs.create(tmp, true)
-    try outS.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally outS.close()
-    require(fs.rename(tmp, new Path(path("_meta"))),
-      s"writeIndex: publishing fingerprint failed")
+    publishMeta(meta)
   }
 
   /** Incremental maintenance: upsert `incoming` (cid, id, v, nrm) rows
@@ -130,5 +135,44 @@ final class VectorIndex(spark: SparkSession, root: String) {
           col("nrm")))
         .repartition(col("cid")).sortWithinPartitions(col("cid")),
       postingSchema)
+  }
+}
+
+/** Stored IVF-PQ index — see
+  * [[graft.operators.Similarity.ivfPqBuildStored]]. The compressed
+  * production layout: raw vectors never leave the corpus; the index holds
+  * the integer cell grid, the per-subspace codebooks (both
+  * broadcast-sized), and the m-byte-shaped code rows clustered by cell so
+  * an nProbe-cell search row-group-prunes the code scan.
+  *
+  * Layout under `root/`:
+  *   - `cells/`     (cid, cv array<bigint>) — fixed-point cell centers.
+  *   - `codebooks/` (s, ccid, csub array<bigint>) — m × kCodes sub-vectors.
+  *   - `codes/`     (cid, id, s, code) — one row per (vector, subspace),
+  *     repartitioned + sorted by cid.
+  */
+final class PqIndex(spark: SparkSession, root: String)
+    extends IndexStore(spark, root) {
+
+  private val cellSchema = StructType.fromDDL(
+    "cid BIGINT, cv ARRAY<BIGINT>")
+  private val codebookSchema = StructType.fromDDL(
+    "s INT, ccid BIGINT, csub ARRAY<BIGINT>")
+  private val codeSchema = StructType.fromDDL(
+    "cid BIGINT, id BIGINT, s INT, code BIGINT")
+
+  def readCells(): DataFrame = read("cells", cellSchema)
+  def readCodebooks(): DataFrame = read("codebooks", codebookSchema)
+  def readCodes(): DataFrame = read("codes", codeSchema)
+
+  def writeIndex(cells: DataFrame, codebooks: DataFrame, codes: DataFrame,
+                 meta: String): Unit = {
+    clearMeta()
+    swapIn("cells", cells, cellSchema)
+    swapIn("codebooks", codebooks, codebookSchema)
+    swapIn("codes",
+      codes.repartition(col("cid")).sortWithinPartitions(col("cid")),
+      codeSchema)
+    publishMeta(meta)
   }
 }

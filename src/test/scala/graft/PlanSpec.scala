@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
       s"corpus scans must all be the pushed-pred query side, got: $scans")
   }
 
+  test("q147 stored-PQ search: plan reads prebuilt structures, no encode") {
+    // the offline/online PQ split: cells, codebooks, and cid-clustered
+    // codes come from the store; the ONLY corpus work is the query
+    // vectors and the k-bounded exact rerank. The build's signature — the
+    // md5 seed draw — must be absent from the online plan entirely.
+    val p = graft.queries.Curation.q147IvfPqSearchStored(spark, dir)
+      .queryExecution.executedPlan
+    val scans = walkPlan(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("graft_vindex")) >= 3,
+      s"expected stored cells + codebooks + codes scans, got: $scans")
+    assert(!p.toString.contains("md5("),
+      "md5 seed draw (a build stage) leaked into the online search plan")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where intended") {
     // The 100 TB safety sweep: a cartesian product anywhere means a join
     // lost its equi-condition; a BroadcastNestedLoopJoin is only acceptable
@@ -148,6 +165,8 @@ class PlanSpec extends SparkSpec {
       "q143_ivf_build_stored", // broadcast-K centroid grid (assignment)
       "q144_ivf_search_stored", // broadcast-K STORED centroid grid (probe)
       "q145_ivf_extend_stored", // broadcast-K stored grid (batch assignment)
+      "q146_ivf_pq_build_stored", // broadcast-K cell grid (routing/encode)
+      "q147_ivf_pq_search_stored", // broadcast-K STORED cell grid (probe)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
       "q115_tv_drift", // broadcast single-row token-totals + tvd scalars

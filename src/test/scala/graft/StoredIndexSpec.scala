@@ -92,6 +92,27 @@ class StoredIndexSpec extends SparkSpec {
     assert(idx.readPostings().count() == 44)
   }
 
+  test("stored PQ search ≡ inline ivfPqTopK at identical parameters") {
+    val idx = new graft.sources.PqIndex(spark, tmpDir("pqidx-eq"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+    val stored = rows(graft.operators.Similarity.ivfPqSearchStored(
+      emb, "vec_id", "embedding", nCells = 5, nProbe = 2, m = 4, kCodes = 6,
+      scale = 1000000L, queryPred = col("id") < 4, rerank = 8, k = 3,
+      index = idx))
+    val inline = rows(graft.operators.Similarity.ivfPqTopK(
+      emb, "vec_id", "embedding", nCells = 5, nProbe = 2, m = 4, kCodes = 6,
+      scale = 1000000L, queryPred = col("id") < 4, rerank = 8, k = 3))
+    assert(stored.nonEmpty && stored == inline)
+    // census gate over what's on disk: m code rows per vector
+    val census = graft.operators.Similarity.ivfPqBuildStored(
+      emb, "vec_id", "embedding", nCells = 5, m = 4, kCodes = 6,
+      scale = 1000000L, index = idx)
+    assert(census.collect().map(_.getLong(1)).sum == 40 * 4)
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
