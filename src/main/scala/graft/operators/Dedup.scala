@@ -520,4 +520,67 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+
+  /** Cross-document repeated-span coverage — the EXACT-SUBSTRING dedup
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for each doc, how much of it is covered by an
+    * n-token window that appears VERBATIM in some OTHER document. The
+    * doc-level and near-dup passes can't see this regime (a boilerplate
+    * paragraph pasted into thousands of otherwise-distinct pages); span
+    * coverage is the per-doc filter signal a curation pass thresholds on.
+    *
+    * Pipeline, all keyed joins/aggs:
+    *   - per doc, build ALL n-token windows in ONE row (transform over
+    *     the token array, the q85 chunk recipe — the array never rides
+    *     the explode) and emit (id, pos, gramKey); the key is
+    *     md5Head60(gram text), 8 B through every exchange instead of the
+    *     gram string (the production shape at corpus scale; the oracle
+    *     replays the same hash so the gate stays exact);
+    *   - a gram is CROSS-DOC iff its occurrences span ≥ 2 distinct docs —
+    *     min(id) ≠ max(id) per key, two cheap partial aggs instead of a
+    *     count_distinct;
+    *   - per-doc covered-token count = the union length of the shared
+    *     windows' [pos, pos+n) intervals: sort shared starts per doc and
+    *     sum least(n, pos − lag(pos)) — the q124 sweep, partitioned by
+    *     doc (never an unpartitioned window).
+    *
+    * Returns (id, n_tokens, n_shared_starts, covered_tokens,
+    * coverage_ppm) for EVERY doc (zero rows for docs shorter than n or
+    * with no shared window). */
+  def crossDocSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                           n: Int): DataFrame = {
+    require(n >= 1, s"window length must be >= 1, got $n")
+    val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("a"))
+      .select(col("id"), col("a"), size(col("a")).as("n_tokens"))
+    val occ = toks.where(col("n_tokens") >= n)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), col("n_tokens") - n),
+        i => graft.functions.PortableHash.md5Head60(
+          concat_ws(" ", slice(col("a"), i + lit(1), lit(n))))))
+        .as(Seq("pos", "gk")))
+    val crossDoc = occ.groupBy(col("gk"))
+      .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .select(col("gk"))
+    val shared = occ.join(crossDoc, Seq("gk"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val perDoc = shared
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .select(col("id"),
+        when(col("gap").isNull, lit(n)).otherwise(least(lit(n), col("gap")))
+          .as("cov"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared_starts"),
+        sum(col("cov")).as("covered_tokens"))
+    toks.select(col("id"), col("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_shared_starts"), lit(0L)).as("n_shared_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage_ppm",
+        // the coalesce is the empty-doc guard: 0 div 0 is NULL, and an
+        // empty doc is 0-covered, not null-covered
+        coalesce(expr("covered_tokens * 1000000L div n_tokens"), lit(0L)))
+  }
 }

@@ -154,6 +154,17 @@ object Analytics {
     Similarity.ivfExtendStored(batch, "vec_id", "embedding", idx)
   }
 
+  // Exact-substring dedup signal (Dedup.crossDocSpanCoverage): per doc,
+  // the token mass covered by 5-gram windows appearing verbatim in OTHER
+  // docs — the boilerplate-paragraph regime doc-level q20 and chunk-level
+  // q85 can't see (q85's chunks are aligned to 8-token boundaries; a
+  // sliding window catches spans at any offset). Planted dup/near-dup docs
+  // land near full coverage, the random background near zero.
+  def q148SpanCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossDocSpanCoverage(t(s, dir)("documents"), "doc_id", "text",
+      n = 5)
+      .orderBy(col("id"))
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")

@@ -159,6 +159,54 @@ object AnalyticsOracles {
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
 
+    // exact-substring span coverage replayed: positional 5-way self-join
+    // builds the sliding 5-gram, the SAME md5 key, cross-doc = min≠max
+    // doc per key, interval-union coverage via the lag sweep
+    "q148_span_coverage" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER)
+         |      AS pos,
+         |    unnest(string_split(text,' ')) AS w
+         |  FROM documents),
+         |tl AS (
+         |  SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT)
+         |    AS n_tokens
+         |  FROM documents),
+         |gram AS (
+         |  SELECT a.doc_id, a.pos,
+         |    ${OracleUtil.md5Head60(
+              "a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' ' || e.w")}
+         |      AS gk
+         |  FROM tok a
+         |  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |  JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         |  JOIN tok d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+         |  JOIN tok e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+         |xd AS (
+         |  SELECT gk FROM gram GROUP BY gk
+         |  HAVING min(doc_id) <> max(doc_id)),
+         |sh AS (SELECT g.doc_id, g.pos FROM gram g JOIN xd USING (gk)),
+         |cov AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |              IS NULL THEN 5
+         |         ELSE least(5,
+         |           pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos))
+         |    END AS cv
+         |  FROM sh),
+         |pd AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared_starts,
+         |    CAST(sum(cv) AS BIGINT) AS covered_tokens
+         |  FROM cov GROUP BY doc_id)
+         |SELECT t.doc_id AS id, t.n_tokens,
+         |  coalesce(n_shared_starts, 0) AS n_shared_starts,
+         |  coalesce(covered_tokens, 0) AS covered_tokens,
+         |  CAST(coalesce(covered_tokens, 0) * 1000000 // t.n_tokens
+         |       AS BIGINT) AS coverage_ppm
+         |FROM tl t LEFT JOIN pd USING (doc_id)
+         |ORDER BY id""".stripMargin,
+
     "q21_ngram_jaccard" -> jaccardSql("doc_id < 200", "0.2"),
 
     "q22_minhash_lsh" -> jaccardSql("true", "0.8"),

@@ -44,6 +44,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact._3 == 1000000) // identical docs → jaccard 1
   }
 
+  test("cross-doc span coverage: interval union of shared sliding windows") {
+    // doc 0: 10 tokens; tokens 0-5 ("a b c d e f") reappear verbatim in
+    // doc 1 at an UNALIGNED offset — three overlapping shared 4-gram
+    // starts (0, 1, 2) whose interval union covers tokens 0..5 = 6.
+    // doc 2 repeats a 4-gram TWICE within itself only → not cross-doc.
+    // doc 3 is too short for any window.
+    val docs = Seq(
+      (0L, "a b c d e f p q r s"),
+      (1L, "x y a b c d e f z w"),
+      (2L, "k l m n o k l m n o"),
+      (3L, "u v")
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanCoverage(docs, "doc_id", "text", n = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(0L) == (10L, 3L, 6L, 600000L), s"doc0: ${got(0L)}")
+    assert(got(1L) == (10L, 3L, 6L, 600000L), s"doc1: ${got(1L)}")
+    assert(got(2L) == (10L, 0L, 0L, 0L), "in-doc repeats are not cross-doc")
+    assert(got(3L) == (2L, 0L, 0L, 0L), "short docs report zero coverage")
+  }
+
   test("minhash LSH finds the same pairs as exact jaccard at high threshold") {
     val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
       shingleSize = 3, numPerms = 64, bands = 16, threshold = 0.5)
