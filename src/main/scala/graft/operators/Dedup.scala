@@ -530,12 +530,17 @@ object Dedup {
     * coverage is the per-doc filter signal a curation pass thresholds on.
     *
     * Pipeline, all keyed joins/aggs:
-    *   - per doc, build ALL n-token windows in ONE row (transform over
-    *     the token array, the q85 chunk recipe — the array never rides
-    *     the explode) and emit (id, pos, gramKey); the key is
-    *     md5Head60(gram text), 8 B through every exchange instead of the
-    *     gram string (the production shape at corpus scale; the oracle
-    *     replays the same hash so the gate stays exact);
+    *   - per doc, explode the window-start grid and hash each window in
+    *     CODEGEN (slice + concat + md5 per exploded row). The
+    *     build-windows-in-one-row transform-lambda alternative (the q85
+    *     chunk recipe) avoids carrying the token array through the
+    *     explode but pays ~T interpreted md5 lambda evaluations per doc —
+    *     the dhash63 lesson again; one-JVM A/B at 100×: transform
+    *     17.4–18.3 s vs explode 9.6–17.3 s, explode ≤ in every round.
+    *     The emitted key is md5Head60(gram text), 8 B through every
+    *     exchange instead of the gram string (the production shape at
+    *     corpus scale; the oracle replays the same hash so the gate
+    *     stays exact);
     *   - a gram is CROSS-DOC iff its occurrences span ≥ 2 distinct docs —
     *     min(id) ≠ max(id) per key, two cheap partial aggs instead of a
     *     count_distinct;
@@ -553,11 +558,12 @@ object Dedup {
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("a"))
       .select(col("id"), col("a"), size(col("a")).as("n_tokens"))
     val occ = toks.where(col("n_tokens") >= n)
-      .select(col("id"), posexplode(transform(
-        sequence(lit(0), col("n_tokens") - n),
-        i => graft.functions.PortableHash.md5Head60(
-          concat_ws(" ", slice(col("a"), i + lit(1), lit(n))))))
-        .as(Seq("pos", "gk")))
+      .select(col("id"), col("a"),
+        explode(sequence(lit(0), col("n_tokens") - n)).as("pos"))
+      .select(col("id"), col("pos"),
+        graft.functions.PortableHash.md5Head60(
+          concat_ws(" ", slice(col("a"), col("pos") + lit(1), lit(n))))
+          .as("gk"))
     val crossDoc = occ.groupBy(col("gk"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .where(col("lo") =!= col("hi"))
