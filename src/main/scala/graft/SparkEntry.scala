@@ -166,7 +166,8 @@ object SparkEntry {
     "q145_ivf_extend_stored"  -> (Analytics.q145IvfExtendStored _),
     "q146_ivf_pq_build_stored" -> (Curation.q146IvfPqBuildStored _),
     "q147_ivf_pq_search_stored" -> (Curation.q147IvfPqSearchStored _),
-    "q148_span_coverage"      -> (Analytics.q148SpanCoverage _)
+    "q148_span_coverage"      -> (Analytics.q148SpanCoverage _),
+    "q149_ivf_delete_stored"  -> (Analytics.q149IvfDeleteStored _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -332,6 +332,21 @@ object Similarity {
       .join(base.select(col("id"), col("v"), col("nrm")), Seq("id"))
   }
 
+  /** INDEX DELETION: remove `ids` from the stored posting lists and
+    * return the updated per-cell census from disk — with
+    * [[ivfBuildStored]]/[[ivfSearchStored]]/[[ivfExtendStored]] this
+    * completes the index lifecycle (build / search / ingest / forget).
+    * Physical removal, not tombstones: a deleted vector can never
+    * surface as a search candidate, the GDPR-shaped contract. */
+  def ivfDeleteStored(ids: DataFrame,
+                      index: graft.sources.VectorIndex): DataFrame = {
+    index.deletePostings(ids)
+    index.readPostings()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("cid"))
+  }
+
   /** Build fingerprint for a stored index: corpus cardinality + id
     * checksum + every build parameter. Cheap (one aggregate over the id
     * column) relative to a build or a search — the online path pays it as

@@ -154,6 +154,22 @@ object Analytics {
     Similarity.ivfExtendStored(batch, "vec_id", "embedding", idx)
   }
 
+  // INDEX DELETION (the lifecycle's forget path): every 11th corpus
+  // vector is removed from its posting list — physically, not
+  // tombstoned — and the census read back from disk proves it. Own index
+  // root ("deletable"): the build/search pair's base index must keep the
+  // full corpus. Idempotent: an already-deleted id is a no-op, so
+  // re-running reproduces the same census.
+  def q149IvfDeleteStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = vindex(s, dir, "deletable")
+    Similarity.ivfEnsureStored(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
+    Similarity.ivfDeleteStored(
+      emb.where(col("vec_id") % 11 === 0).select(col("vec_id").as("id")),
+      idx)
+  }
+
   // Exact-substring dedup signal (Dedup.crossDocSpanCoverage): per doc,
   // the token mass covered by 5-gram windows appearing verbatim in OTHER
   // docs — the boilerplate-paragraph regime doc-level q20 and chunk-level

@@ -285,6 +285,16 @@ object AnalyticsOracles {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
+    // deletion census: the base assignment minus the deleted ids — the
+    // engine physically removed them from the stored posting lists
+    "q149_ivf_delete_stored" ->
+      s"""WITH $vecCtes,
+         |$ivfAsgCtes
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM asg WHERE vec_id % 11 <> 0
+         |GROUP BY cid ORDER BY cid""".stripMargin,
+
     // stored-index search: same candidate recipe as q39 at q144's own
     // query set (ids 8..15) and probe width (12-of-16) — the engine reads
     // the PREBUILT structures, the twin recomputes them, equal output

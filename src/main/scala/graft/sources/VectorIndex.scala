@@ -136,6 +136,21 @@ final class VectorIndex(spark: SparkSession, root: String)
         .repartition(col("cid")).sortWithinPartitions(col("cid")),
       postingSchema)
   }
+
+  /** Remove `ids` (one column, `id`) from the posting lists — the
+    * right-to-be-forgotten path: subsequent searches can never return a
+    * deleted id because its vector is physically gone from the inverted
+    * lists (not tombstoned). Centroids are untouched (they are summaries,
+    * not member data — exactly how production IVF handles deletes between
+    * rebuilds); absent ids are a no-op, so the call is idempotent. The
+    * fingerprint stays, like [[upsertPostings]]: the base build it
+    * vouches for is still the index's lineage. */
+  def deletePostings(ids: DataFrame): Unit =
+    swapIn("postings",
+      readPostings()
+        .join(ids.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .repartition(col("cid")).sortWithinPartitions(col("cid")),
+      postingSchema)
 }
 
 /** Stored IVF-PQ index — see

@@ -113,6 +113,26 @@ class StoredIndexSpec extends SparkSpec {
     assert(census.collect().map(_.getLong(1)).sum == 40 * 4)
   }
 
+  test("delete: physical removal, idempotent, search never returns the id") {
+    val idx = new VectorIndex(spark, tmpDir("vidx-del"))
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    val doomed = Seq(2L, 3L).toDF("id")
+    val c1 = census(Similarity.ivfDeleteStored(doomed, idx))
+    assert(c1.map(_._2).sum == 38)
+    assert(idx.readPostings().where(col("id").isin(2L, 3L)).count() == 0)
+    // idempotent: deleting again (plus a never-present id) is a no-op
+    val c2 = census(Similarity.ivfDeleteStored(
+      Seq(2L, 3L, 999L).toDF("id"), idx))
+    assert(c2 == c1)
+    // the deleted ids can never surface as search candidates
+    val got = Similarity.ivfSearchStored(emb, "vec_id", "embedding",
+        nCentroids = 5, nProbe = 5, queryPred = col("id") < 4, k = 10,
+        index = idx, portable = true)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.nonEmpty && !got.contains(2L) && !got.contains(3L))
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
