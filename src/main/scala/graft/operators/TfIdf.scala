@@ -156,6 +156,17 @@ object TfIdf {
       .localCheckpoint()
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    sparseRank(w, n2, queryPred, k, maxDf, prune)
+  }
+
+  /** The candidacy + rescore + rank tail of [[sparseCosineTopK]], over
+    * any (id, term, df, w) weight relation and (id, n2) norms — the
+    * inline path materializes them per query (localCheckpoint apex); the
+    * stored path ([[sparseSearchStored]]) reads them from the persisted
+    * inverted index. ONE implementation so the two cannot drift. */
+  private def sparseRank(w: DataFrame, n2: DataFrame,
+                         queryPred: org.apache.spark.sql.Column, k: Int,
+                         maxDf: Long, prune: Boolean): DataFrame = {
     // Candidates first, THEN the rescore — measured against the
     // "obvious" fusion (one postings join + a single (qid, nid) aggregate
     // carrying sum(wq·wn) and a max(df-in-range) candidacy flag): the
@@ -268,5 +279,62 @@ object TfIdf {
       .withColumn("rank", row_number().over(win))
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("sim2_ppm"))
+  }
+
+  private def textMeta(docs: DataFrame, idCol: String,
+                       idfScale: Long): String = {
+    val r = docs.agg(count(lit(1)), sum(col(idCol))).first()
+    s"text1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|idf=$idfScale"
+  }
+
+  /** OFFLINE inverted-index build: run the tokenize → tf → df → integer
+    * weight pipeline once and persist the weighted posting lists + per-doc
+    * norms into `index` — the sparse counterpart of the dense stored-ANN
+    * split (the inline [[sparseCosineTopK]] re-derives and
+    * localCheckpoints this relation on every query; the stored path pays
+    * it once per corpus version). The rare-band cap (`maxDf`) is NOT
+    * baked in: df rides every posting row, so searches choose their own
+    * band at scan time. Returns the per-df census read back from disk. */
+  def sparseBuildStored(docs: DataFrame, idCol: String, textCol: String,
+                        index: graft.sources.TextIndex,
+                        idfScale: Long = 10000L): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.termCounts(
+          tokens(col(textCol)))).as("tc"))
+      .select(col("id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term")
+      .select(col("term"), col("id"), col("df"),
+        (col("tf") * expr(s"$idfScale div df")).as("w"))
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    index.writeIndex(w, n2, textMeta(docs, idCol, idfScale))
+    index.readPostings()
+      .groupBy(col("df"))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"), sum(col("w")).as("sum_w"))
+      .orderBy(col("df"))
+  }
+
+  /** ONLINE sparse search over a stored inverted index: the identical
+    * candidacy + rescore + rank tail as [[sparseCosineTopK]] (ONE
+    * implementation — [[sparseRank]]), but the weight relation and norms
+    * come from `index`'s parquet — the executed plan contains index scans
+    * and keyed joins, no tokenize/df stages, and never touches document
+    * text. Queries are the stored docs matching `queryPred` (over the
+    * posting `id` column). A missing or stale index self-heals with one
+    * synchronous build. */
+  def sparseSearchStored(docs: DataFrame, idCol: String, textCol: String,
+                         queryPred: org.apache.spark.sql.Column, k: Int,
+                         index: graft.sources.TextIndex,
+                         maxDf: Long = 100L, idfScale: Long = 10000L,
+                         prune: Boolean = false): DataFrame = {
+    if (!index.isFresh(textMeta(docs, idCol, idfScale)))
+      sparseBuildStored(docs, idCol, textCol, index, idfScale).collect()
+    sparseRank(index.readPostings(), index.readNorms(), queryPred, k,
+      maxDf, prune)
   }
 }

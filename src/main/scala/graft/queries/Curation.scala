@@ -141,6 +141,29 @@ object Curation {
     new graft.sources.PqIndex(s,
       s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/pq")
 
+  private def textIndex(s: SparkSession, dir: String) =
+    new graft.sources.TextIndex(s,
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/text")
+
+  // OFFLINE inverted-index build: the tokenize → tf → df → weight
+  // pipeline q136 localCheckpoints per query runs ONCE and persists
+  // (term-clustered posting lists + per-doc norms) — the sparse
+  // counterpart of q143/q146's dense stores. Readout: per-df census read
+  // back from disk; the twin replays the weight build from the raw text.
+  def q150SparseBuildStored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.sparseBuildStored(t(s, dir)("documents"),
+      "doc_id", "text", index = textIndex(s, dir))
+
+  // ONLINE sparse search over the stored index: q136's exact candidacy +
+  // rescore + rank tail (ONE implementation) reading the prebuilt
+  // relations — the plan has NO tokenize/df stages and never touches
+  // document text (pinned in PlanSpec). Distinct query set from q136 so
+  // the gates are independent.
+  def q151SparseSearchStored(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.sparseSearchStored(t(s, dir)("documents"),
+      "doc_id", "text", queryPred = col("id") % 89 === 3, k = 5,
+      index = textIndex(s, dir), maxDf = 400L)
+
   // OFFLINE IVF-PQ build (q125's index half persisted): integer cell
   // grid + subspace codebooks + cid-clustered code rows through the
   // swap-write PqIndex store — the COMPRESSED production index (m codes

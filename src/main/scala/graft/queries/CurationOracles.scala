@@ -136,8 +136,11 @@ object CurationOracles {
     * docs satisfying `pred` (over alias `q`), exact HUGEINT dot/norm
     * rescore — ends in `sscored(qid, nid, sim2_ppm)`. ONE text shared by
     * q136 and q138's hybrid fusion so the recipes cannot drift. */
-  private def sparseScoredCtes(pred: String): String =
-    s"""stoks AS (
+  /** The tf → df → integer-weight prefix ending in `sw(id, term, df, w)`
+    * + `sn2(id, n2)` — split from the scoring so q150's stored-index
+    * census can replay the build alone. */
+  private val sparseWeightCtes: String =
+    """stoks AS (
        |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
        |  FROM documents),
        |stf AS (SELECT id, term, count(*) AS tf FROM stoks GROUP BY id, term),
@@ -146,7 +149,10 @@ object CurationOracles {
        |  SELECT id, stf.term, df, tf * (10000 // df) AS w
        |  FROM stf JOIN sdf ON stf.term = sdf.term),
        |sn2 AS (
-       |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM sw GROUP BY id),
+       |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM sw GROUP BY id)""".stripMargin
+
+  private def sparseScoredCtes(pred: String): String =
+    s"""$sparseWeightCtes,
        |srare AS (SELECT * FROM sw WHERE df BETWEEN 2 AND 400),
        |scand AS (
        |  SELECT DISTINCT q.id AS qid, c.id AS nid
@@ -227,6 +233,26 @@ object CurationOracles {
     // prebuilt structures, the twin recomputes them
     "q147_ivf_pq_search_stored" ->
       pqSearchSql("id >= 8 AND id < 16", nProbe = 4),
+
+    // stored inverted-index build census: per-df term/posting/weight
+    // totals of the persisted lists vs the recomputed weight build
+    "q150_sparse_build_stored" ->
+      s"""WITH $sparseWeightCtes
+         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(w) AS BIGINT) AS sum_w
+         |FROM sw GROUP BY df ORDER BY df""".stripMargin,
+
+    // stored sparse search at q151's own query set — the SHARED scoring
+    // text at a different pred
+    "q151_sparse_search_stored" ->
+      s"""WITH ${sparseScoredCtes("q.id % 89 = 3")}
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, sim2_ppm FROM (
+        |  SELECT qid, nid, sim2_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim2_ppm DESC, nid) AS rank
+        |  FROM sscored) x
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // composed curation ladder replayed: the q67 quality gate over the
     // cloned corpus, min-id exact dedup, then the SHARED SemDeDup CTEs

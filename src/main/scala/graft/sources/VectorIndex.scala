@@ -153,6 +153,43 @@ final class VectorIndex(spark: SparkSession, root: String)
       postingSchema)
 }
 
+/** Stored inverted text index — see
+  * [[graft.operators.TfIdf.sparseBuildStored]]. The sparse-retrieval
+  * counterpart of the dense stores: the tokenize → tf → df → weight
+  * pipeline (the inline path's localCheckpoint apex) runs once offline
+  * and persists; online searches join the prebuilt relations and never
+  * touch document text.
+  *
+  * Layout under `root/`:
+  *   - `postings/` (term, id, df, w) — the weighted inverted lists,
+  *     repartitioned on the term and sorted within partitions so a
+  *     narrow-term-set probe row-group-prunes; df rides each row (the
+  *     search-time rare-band filter is a scan-level predicate, not a
+  *     join).
+  *   - `norms/` (id, n2 decimal(38,0)) — per-doc squared weight norms.
+  */
+final class TextIndex(spark: SparkSession, root: String)
+    extends IndexStore(spark, root) {
+
+  private val postingSchema = StructType.fromDDL(
+    "term STRING, id BIGINT, df BIGINT, w BIGINT")
+  private val normSchema = StructType.fromDDL(
+    "id BIGINT, n2 DECIMAL(38,0)")
+
+  def readPostings(): DataFrame = read("postings", postingSchema)
+  def readNorms(): DataFrame = read("norms", normSchema)
+
+  def writeIndex(postings: DataFrame, norms: DataFrame,
+                 meta: String): Unit = {
+    clearMeta()
+    swapIn("postings",
+      postings.repartition(col("term")).sortWithinPartitions(col("term")),
+      postingSchema)
+    swapIn("norms", norms, normSchema)
+    publishMeta(meta)
+  }
+}
+
 /** Stored IVF-PQ index — see
   * [[graft.operators.Similarity.ivfPqBuildStored]]. The compressed
   * production layout: raw vectors never leave the corpus; the index holds

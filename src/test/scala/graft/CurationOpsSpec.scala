@@ -235,6 +235,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.length == 3)
   }
 
+  test("stored inverted index: search ≡ inline; stale corpus rebuilds") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b"), (2L, "c d"),
+      (3L, "a c"), (4L, "a x"), (5L, "y z")
+    ).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx") + "/t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("qid"), col("rank")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val stored = rows(graft.operators.TfIdf.sparseSearchStored(
+      docs, "doc_id", "text", queryPred = col("id") === 0, k = 5,
+      index = idx, maxDf = 3L))
+    val inline = rows(graft.operators.TfIdf.sparseCosineTopK(
+      docs, "doc_id", "text", queryPred = col("id") === 0, k = 5,
+      maxDf = 3L))
+    assert(stored.nonEmpty && stored == inline)
+    // a grown corpus must fail the fingerprint and rebuild: the new doc
+    // shifts df('a') so even old pairs' scores change
+    val grown = docs.unionByName(Seq((6L, "a q")).toDF("doc_id", "text"))
+    val after = rows(graft.operators.TfIdf.sparseSearchStored(
+      grown, "doc_id", "text", queryPred = col("id") === 0, k = 5,
+      index = idx, maxDf = 4L))
+    val afterInline = rows(graft.operators.TfIdf.sparseCosineTopK(
+      grown, "doc_id", "text", queryPred = col("id") === 0, k = 5,
+      maxDf = 4L))
+    assert(after == afterInline && after != stored)
+  }
+
   test("sparse retrieval: maxscore pruning is score-safe (on ≡ off)") {
     // A corpus where the prune actually FIRES: queries share one strong
     // rare term with their true neighbors and only weak/common terms with

@@ -141,6 +141,24 @@ class PlanSpec extends SparkSpec {
       "md5 seed draw (a build stage) leaked into the online search plan")
   }
 
+  test("q151 stored sparse search: index scans only, document text untouched") {
+    // the inverted-index split's whole point: candidacy, rescore, and
+    // norms all come from the persisted relations — the plan must contain
+    // ZERO scans of the documents table and no tokenize/term-count stages
+    val p = graft.queries.Curation.q151SparseSearchStored(spark, dir)
+      .queryExecution.executedPlan
+    val scans = walkPlan(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("graft_vindex")) >= 2,
+      s"expected stored postings + norms scans, got: $scans")
+    assert(!scans.exists(_.contains("documents")),
+      s"document text leaked into the online sparse plan: $scans")
+    assert(!p.toString.contains("token_counts"),
+      "tokenize stage leaked into the online sparse plan")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where intended") {
     // The 100 TB safety sweep: a cartesian product anywhere means a join
     // lost its equi-condition; a BroadcastNestedLoopJoin is only acceptable
