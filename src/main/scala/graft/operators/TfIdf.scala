@@ -319,6 +319,57 @@ object TfIdf {
       .orderBy(col("df"))
   }
 
+  /** Build `index` from `docs` iff its fingerprint does not match the
+    * corpus + idfScale (the [[graft.operators.Similarity.ivfEnsureStored]]
+    * contract for the text store). */
+  def sparseEnsureStored(docs: DataFrame, idCol: String, textCol: String,
+                         index: graft.sources.TextIndex,
+                         idfScale: Long = 10000L): Unit =
+    if (!index.isFresh(textMeta(docs, idCol, idfScale)))
+      sparseBuildStored(docs, idCol, textCol, index, idfScale).collect()
+
+  /** INCREMENTAL index ingest under the STALE-IDF contract — exactly how
+    * production lexical search absorbs documents between statistics
+    * refreshes (BM25/idf corpus stats are recomputed periodically, not
+    * per ingest): the batch's term weights are computed against the
+    * STORED df table (one aggregate over the index, no corpus re-scan);
+    * terms the index has never seen get df = 1 — maximum idf, the
+    * optimistic-rarity default — and existing posting rows keep their
+    * build-time weights (df drift is absorbed at the next full
+    * [[sparseBuildStored]]). Upsert is keyed on doc id: a re-ingested doc
+    * evicts its old rows from every term list. Returns the per-df census
+    * read back from disk. */
+  def sparseExtendStored(newDocs: DataFrame, idCol: String, textCol: String,
+                         index: graft.sources.TextIndex,
+                         idfScale: Long = 10000L): DataFrame = {
+    val tf = newDocs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.termCounts(
+          tokens(col(textCol)))).as("tc"))
+      .select(col("id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    // one row per term: every posting of a term carries the same build df
+    val storedDf = index.readPostings()
+      .groupBy(col("term")).agg(max(col("df")).as("df"))
+    // eager localCheckpoint: w's plan READS the stored postings (for the
+    // stale df); the upsert REPLACES that directory, and a lazy w
+    // re-executed by the second swap would read just-deleted part files.
+    // Batch-sized materialization severs the lineage before any swap.
+    val w = tf.join(storedDf, Seq("term"), "left")
+      .select(col("term"), col("id"),
+        coalesce(col("df"), lit(1L)).as("df"),
+        (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
+      .localCheckpoint(true)
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    index.upsert(w, n2)
+    index.readPostings()
+      .groupBy(col("df"))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"), sum(col("w")).as("sum_w"))
+      .orderBy(col("df"))
+  }
+
   /** ONLINE sparse search over a stored inverted index: the identical
     * candidacy + rescore + rank tail as [[sparseCosineTopK]] (ONE
     * implementation — [[sparseRank]]), but the weight relation and norms
@@ -332,8 +383,7 @@ object TfIdf {
                          index: graft.sources.TextIndex,
                          maxDf: Long = 100L, idfScale: Long = 10000L,
                          prune: Boolean = false): DataFrame = {
-    if (!index.isFresh(textMeta(docs, idCol, idfScale)))
-      sparseBuildStored(docs, idCol, textCol, index, idfScale).collect()
+    sparseEnsureStored(docs, idCol, textCol, index, idfScale)
     sparseRank(index.readPostings(), index.readNorms(), queryPred, k,
       maxDf, prune)
   }

@@ -154,6 +154,25 @@ object Curation {
     graft.operators.TfIdf.sparseBuildStored(t(s, dir)("documents"),
       "doc_id", "text", index = textIndex(s, dir))
 
+  // INCREMENTAL text-index ingest under the stale-IDF contract (the
+  // production BM25 shape: corpus stats refresh per rebuild, not per
+  // ingest): every 17th doc re-posted with two occurrences of an unseen
+  // sentinel token appended — exercising BOTH arms (stale stored df for
+  // known terms, df=1 optimistic-rarity for the unseen one) — ids offset
+  // by max+1. Own index root: the ingest must never pollute q150's
+  // census or q151's search. Readout: the updated per-df census.
+  def q152SparseExtendStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val idx = new graft.sources.TextIndex(s,
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/textx")
+    graft.operators.TfIdf.sparseEnsureStored(docs, "doc_id", "text", idx)
+    val off = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val batch = docs.where(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" xnewtok xnewtok")).as("text"))
+    graft.operators.TfIdf.sparseExtendStored(batch, "doc_id", "text", idx)
+  }
+
   // ONLINE sparse search over the stored index: q136's exact candidacy +
   // rescore + rank tail (ONE implementation) reading the prebuilt
   // relations — the plan has NO tokenize/df stages and never touches

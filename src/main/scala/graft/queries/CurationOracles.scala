@@ -243,6 +243,33 @@ object CurationOracles {
          |  CAST(sum(w) AS BIGINT) AS sum_w
          |FROM sw GROUP BY df ORDER BY df""".stripMargin,
 
+    // stale-IDF ingest census: the batch's weights computed against the
+    // BUILD df (unseen terms df=1), unioned into the per-df census —
+    // existing rows keep their build-time weights, the production
+    // between-refreshes contract
+    "q152_sparse_extend_stored" ->
+      s"""WITH $sparseWeightCtes,
+         |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+         |nstoks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text || ' xnewtok xnewtok', ' ')) AS term
+         |  FROM documents WHERE doc_id % 17 = 0),
+         |ntf AS (
+         |  SELECT s.doc_id + o.o AS id, term, count(*) AS tf
+         |  FROM nstoks s CROSS JOIN off o GROUP BY s.doc_id + o.o, term),
+         |bdf AS (SELECT term, max(df) AS df FROM sw GROUP BY term),
+         |nw AS (
+         |  SELECT ntf.term, id, coalesce(bdf.df, 1) AS df,
+         |    tf * (10000 // coalesce(bdf.df, 1)) AS w
+         |  FROM ntf LEFT JOIN bdf ON bdf.term = ntf.term),
+         |allw AS (
+         |  SELECT term, id, df, w FROM sw
+         |  UNION ALL SELECT term, id, df, w FROM nw)
+         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(w) AS BIGINT) AS sum_w
+         |FROM allw GROUP BY df ORDER BY df""".stripMargin,
+
     // stored sparse search at q151's own query set — the SHARED scoring
     // text at a different pred
     "q151_sparse_search_stored" ->

@@ -188,6 +188,32 @@ final class TextIndex(spark: SparkSession, root: String)
     swapIn("norms", norms, normSchema)
     publishMeta(meta)
   }
+
+  /** Keyed ingest: replace-or-add `postings` rows and `norms` rows by doc
+    * id (a re-ingested doc's old posting rows are evicted from every term
+    * list they lived in). Like [[VectorIndex.upsertPostings]], the build
+    * fingerprint is untouched — it vouches for the base build the
+    * extension rides on. */
+  def upsert(postings: DataFrame, norms: DataFrame): Unit = {
+    val ids = postings.select(col("id")).distinct()
+    // norms swap FIRST: an incoming norms plan typically derives from the
+    // postings (stale-df weights) — swapping postings first would leave
+    // that plan re-reading just-deleted part files when the norms swap
+    // executes it. The reverse dependency (postings derived from norms)
+    // does not occur.
+    swapIn("norms",
+      readNorms().join(norms.select(col("id")).distinct(),
+          Seq("id"), "left_anti")
+        .unionByName(norms.select(col("id"), col("n2"))),
+      normSchema)
+    swapIn("postings",
+      readPostings().join(ids, Seq("id"), "left_anti")
+        .select(col("term"), col("id"), col("df"), col("w"))
+        .unionByName(postings.select(col("term"), col("id"), col("df"),
+          col("w")))
+        .repartition(col("term")).sortWithinPartitions(col("term")),
+      postingSchema)
+  }
 }
 
 /** Stored IVF-PQ index — see
