@@ -437,6 +437,80 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** MMR (maximal-marginal-relevance) diverse top-k: per query, greedily
+    * select k results balancing relevance against redundancy —
+    * argmax_c [ λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s) ] — the
+    * diversity-aware sampling a training-data pipeline uses where plain
+    * top-k returns k near-copies of the same best match (Carbonell &
+    * Goldstein's MMR).
+    *
+    * Arithmetic is INTEGER once sims leave the kernel: sims are the
+    * rerank recipe's round(cos, 6) doubles, converted to exact ppm longs,
+    * and the MMR score is λpct·rel − (100−λpct)·penalty in longs — no
+    * float composition to drift cross-engine, so the full selection
+    * hash-matches a SQL twin.
+    *
+    * Scale shape: the relevance shortlist is [[bruteForceTopK]] (swap in
+    * an IVF/stored-index shortlist at corpus scale — the MMR stage only
+    * sees (qid, nid, rel)); candidate-pair sims are queries × shortlist²
+    * rows, keyed joins only; each of the k greedy rounds is one keyed
+    * anti-join + one keyed max + a WindowGroupLimit rn=1 pick over
+    * shortlist-bounded frames, with every round's pick eagerly
+    * localCheckpointed so round r does not re-execute rounds 1..r−1
+    * (shortlist and pair-sim relations are checkpointed once — the
+    * pay-the-upstream-once pattern; they are read k times). */
+  def mmrDiverseTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, shortlist: Int, k: Int,
+                     lambdaPct: Int): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    require(lambdaPct >= 0 && lambdaPct <= 100,
+      s"lambdaPct must be a percentage, got $lambdaPct")
+    def ppm(c: Column): Column = round(c * 1000000).cast("long")
+    val base = prepared(emb, idCol, vecCol)
+    val rel = bruteForceTopK(emb, idCol, vecCol, queryPred, shortlist)
+      .select(col("qid"), col("nid"), ppm(col("sim")).as("rel"))
+      .localCheckpoint()
+    val withV = rel.select(col("qid"), col("nid"))
+      .join(base.select(col("id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn")), "nid")
+    val pairSims = withV.as("x")
+      .join(withV.as("y"),
+        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.qid").as("qid"), col("x.nid").as("nid"),
+        col("y.nid").as("other"),
+        ppm(round(dotFast(col("x.nv"), col("y.nv"))
+          / (col("x.nn") * col("y.nn")), 6)).as("psim"))
+      .localCheckpoint()
+    val spark = emb.sparkSession
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "qid BIGINT, nid BIGINT, rank INT, score BIGINT"))
+    (1 to k).foldLeft(empty) { (sel, r) =>
+      val remaining = rel.join(sel.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+      val pen = remaining.select(col("qid"), col("nid"))
+        .join(pairSims, Seq("qid", "nid"))
+        .join(sel.select(col("qid"), col("nid").as("other")),
+          Seq("qid", "other"))
+        .groupBy(col("qid"), col("nid")).agg(max(col("psim")).as("pen"))
+      val pick = remaining
+        .join(pen, Seq("qid", "nid"), "left")
+        .select(col("qid"), col("nid"),
+          (lit(lambdaPct.toLong) * col("rel") -
+            lit((100 - lambdaPct).toLong) * coalesce(col("pen"), lit(0L)))
+            .as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("score").desc, col("nid"))))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("nid"), lit(r).as("rank"), col("score"))
+        .localCheckpoint()
+      sel.unionByName(pick)
+    }
+  }
+
   /** Banding parameters (bitsPerTable, tables) for [[cosineNearDupPairs]],
     * derived from the threshold via the hyperplane S-curve: a pair at
     * cosine exactly `threshold` agrees on one bit with probability

@@ -181,6 +181,18 @@ object Analytics {
       n = 5)
       .orderBy(col("id"))
 
+  // MMR diverse top-5 (Similarity.mmrDiverseTopK): greedy
+  // relevance-vs-redundancy selection over a brute-force top-12
+  // shortlist, λ = 70% — the diversity-aware sampling that keeps plain
+  // top-k from returning k near-copies. Integer ppm arithmetic after the
+  // rounded sims, so the full greedy trajectory hash-matches the
+  // generated-round DuckDB twin.
+  def q153MmrDiverse(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrDiverseTopK(t(s, dir)("embeddings"), "vec_id",
+      "embedding", queryPred = col("id") < 8, shortlist = 12, k = 5,
+      lambdaPct = 70)
+      .orderBy(col("qid"), col("rank"))
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")

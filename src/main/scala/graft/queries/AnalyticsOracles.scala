@@ -121,6 +121,31 @@ object AnalyticsOracles {
   private[queries] val ivfCandCtes: String =
     ivfCandCtesFor("v.vec_id < 8", 14)
 
+  /** One MMR greedy round: `selPrev` (qid, nid, rank, score) → pick the
+    * argmax of 70·rel − 30·max-sim-to-selected among unselected shortlist
+    * members, union into `selCur`. Generated so the five q153 rounds
+    * cannot drift from each other. */
+  private def mmrRound(selPrev: String, selCur: String, r: Int): String =
+    s"""pick$r AS (
+       |  SELECT qid, nid, $r AS rank, score FROM (
+       |    SELECT rl.qid, rl.nid,
+       |      70 * rl.rel - 30 * coalesce(mx.pen, 0) AS score,
+       |      row_number() OVER (PARTITION BY rl.qid
+       |        ORDER BY 70 * rl.rel - 30 * coalesce(mx.pen, 0) DESC,
+       |                 rl.nid) AS rn
+       |    FROM relp rl
+       |    LEFT JOIN $selPrev s ON s.qid = rl.qid AND s.nid = rl.nid
+       |    LEFT JOIN (
+       |      SELECT p.qid, p.nid, max(p.psim) AS pen
+       |      FROM ps p JOIN $selPrev t ON t.qid = p.qid AND t.nid = p.other
+       |      GROUP BY p.qid, p.nid) mx
+       |      ON mx.qid = rl.qid AND mx.nid = rl.nid
+       |    WHERE s.nid IS NULL) x
+       |  WHERE rn = 1),
+       |$selCur AS (
+       |  SELECT qid, nid, rank, score FROM $selPrev
+       |  UNION ALL SELECT qid, nid, rank, score FROM pick$r)""".stripMargin
+
   /** Shared CTE list: exact all-pairs n-gram jaccard over a doc universe.
     * Tokens are exploded with positions (zip-unnest), trigrams built by
     * positional self-join, then an inverted-index join counts intersections.
@@ -158,6 +183,57 @@ object AnalyticsOracles {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    // MMR greedy selection replayed: the q24 sims recipe shortlisted to
+    // 12, ppm-integer relevance and pair penalties, five generated
+    // argmax rounds (tie: smaller nid) — the full trajectory must match
+    "q153_mmr_diverse" ->
+      s"""WITH el AS (
+         |  SELECT vec_id,
+         |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+         |    CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM el GROUP BY vec_id),
+         |dots AS (
+         |  SELECT q.vec_id AS qid, d.vec_id AS nid, sum(q.v * d.v) AS dt
+         |  FROM el q JOIN el d ON q.pos = d.pos AND d.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 8
+         |  GROUP BY q.vec_id, d.vec_id),
+         |relp AS (
+         |  SELECT qid, nid,
+         |    CAST(round(sim * 1000000) AS BIGINT) AS rel
+         |  FROM (
+         |    SELECT qid, nid, round(dt / (nq.nrm * nd.nrm), 6) AS sim,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY round(dt / (nq.nrm * nd.nrm), 6) DESC, nid)
+         |        AS rank
+         |    FROM dots
+         |    JOIN nrm nq ON nq.vec_id = qid
+         |    JOIN nrm nd ON nd.vec_id = nid) x
+         |  WHERE rank <= 12),
+         |ps AS (
+         |  SELECT a.qid, a.nid, b.nid AS other,
+         |    CAST(round(round(pd.dt / (na.nrm * nb.nrm), 6) * 1000000)
+         |         AS BIGINT) AS psim
+         |  FROM relp a
+         |  JOIN relp b ON b.qid = a.qid AND b.nid <> a.nid
+         |  JOIN (
+         |    SELECT x.vec_id AS i, y.vec_id AS j, sum(x.v * y.v) AS dt
+         |    FROM el x JOIN el y ON x.pos = y.pos AND y.vec_id <> x.vec_id
+         |    WHERE x.vec_id IN (SELECT nid FROM relp)
+         |      AND y.vec_id IN (SELECT nid FROM relp)
+         |    GROUP BY x.vec_id, y.vec_id) pd
+         |    ON pd.i = a.nid AND pd.j = b.nid
+         |  JOIN nrm na ON na.vec_id = a.nid
+         |  JOIN nrm nb ON nb.vec_id = b.nid),
+         |sel0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+         |    0 AS rank, CAST(0 AS BIGINT) AS score
+         |  WHERE false),
+         |${(1 to 5).map(r => mmrRound(s"sel${r - 1}", s"sel$r", r))
+            .mkString(",\n")}
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, score
+         |FROM sel5 ORDER BY qid, rank""".stripMargin,
 
     // exact-substring span coverage replayed: positional 5-way self-join
     // builds the sliding 5-gram, the SAME md5 key, cross-doc = min≠max

@@ -235,6 +235,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR diverse top-k: redundancy penalized, plain top-k reordered") {
+    // query 0 at the x-axis; 1 and 2 are NEAR-COPIES of each other close
+    // to it (mutual cosine ≈ 0.999); 3 is moderately relevant in a
+    // DIFFERENT direction (cos to 1 ≈ 0.735). Plain top-3 by cosine is
+    // (1, 2, 3); MMR at λ=50 picks 1, then 3 (2's similarity to the
+    // already-selected 1 makes its marginal score negative), then 2.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.98f, 0.199f, 0f, 0f)),
+      (2L, Seq(0.97f, 0.243f, 0f, 0f)),
+      (3L, Seq(0.75f, 0f, 0.6614f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrDiverseTopK(emb, "vec_id", "embedding",
+        queryPred = col("id") === 0, shortlist = 3, k = 3, lambdaPct = 50)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(2), r.getLong(1))).toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), s"got $got")
+    // sanity: plain relevance order differs (2 beats 3 on raw cosine)
+    val plain = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryPred = col("id") === 0, k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(2)).toSeq
+    assert(plain == Seq(1L, 2L, 3L), s"plain $plain")
+  }
+
   test("embedding near-dup pairs: threshold filters correctly") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.99f, 0.01f)), (2L, Seq(0.0f, 1.0f))
