@@ -389,23 +389,35 @@ object DocStream {
     * [[recoverIndex]] crash recovery) — run periodically on a long-lived
     * index. */
   def compactIndex(spark: SparkSession, indexDir: String,
-                   targetPartitions: Int = 8): Unit = {
+                   targetPartitions: Int = 8,
+                   partCol: String = "bkt"): Unit = {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverIndex(spark, indexDir)
     if (!fs.exists(new Path(indexDir))) return
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID()
-    // hash-distribute on bkt so each directory partition is written by one
-    // task (one full file per dir), with targetPartitions bounding writer
-    // concurrency; partitionBy preserves the pruning layout
-    spark.read.parquet(indexDir).repartition(targetPartitions, col("bkt"))
-      .write.partitionBy("bkt").parquet(tmp)
+    // hash-distribute on the partition column so each directory partition
+    // is written by one task (one full file per dir), with
+    // targetPartitions bounding writer concurrency; partitionBy preserves
+    // the pruning layout
+    spark.read.parquet(indexDir).repartition(targetPartitions, col(partCol))
+      .write.partitionBy(partCol).parquet(tmp)
     val old = indexDir + ".old-" + java.util.UUID.randomUUID()
     require(fs.rename(new Path(indexDir), new Path(old)),
       s"compactIndex: rename $indexDir -> $old failed")
     require(fs.rename(new Path(tmp), new Path(indexDir)),
       s"compactIndex: rename $tmp -> $indexDir failed — index is in $old")
     fs.delete(new Path(old), true)
+  }
+
+  /** Fold [[curateBatch]]'s per-batch file accumulation back into full
+    * row groups — both state dirs, each under its own partition layout.
+    * Run periodically on a long-lived curation stream, like
+    * [[compactIndex]] for the admission index. */
+  def compactCurationState(spark: SparkSession, stateDir: String,
+                           targetPartitions: Int = 8): Unit = {
+    compactIndex(spark, s"$stateDir/fp", targetPartitions, partCol = "fbkt")
+    compactIndex(spark, s"$stateDir/sh", targetPartitions, partCol = "bkt")
   }
 
   /** Streaming wrapper: JSON-lines docs land in `stagingDir`; each

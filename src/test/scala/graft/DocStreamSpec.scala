@@ -297,6 +297,24 @@ class DocStreamSpec extends SparkSpec {
     assert(next == Map(10L -> "exact_dup"))
   }
 
+  test("curation state compaction preserves verdicts and row sets") {
+    val st = tmpDir("cur-compact") + "/st"
+    DocStream.curateBatch(spark,
+      Seq((2L, chainA), (6L, chainC)).toDF("doc_id", "text"), st).collect()
+    DocStream.curateBatch(spark,
+      Seq((10L, chainB)).toDF("doc_id", "text"), st).collect()
+    val fpBefore = spark.read.parquet(s"$st/fp").collect().toSet
+    val shBefore = spark.read.parquet(s"$st/sh").collect().toSet
+    DocStream.compactCurationState(spark, st, targetPartitions = 2)
+    assert(spark.read.parquet(s"$st/fp").collect().toSet == fpBefore)
+    assert(spark.read.parquet(s"$st/sh").collect().toSet == shBefore)
+    // the compacted state still gates: exact re-delivery rejected
+    val next = DocStream.curateBatch(spark,
+        Seq((20L, chainA)).toDF("doc_id", "text"), st)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(20L -> "exact_dup"))
+  }
+
   test("streaming curation stage-partitions like batch q127 on its corpus") {
     // Run the streaming ladder over q127's own composed corpus (docs +
     // re-crawl clones) in three id-ordered batches and pin the stage
