@@ -193,6 +193,47 @@ object Analytics {
       lambdaPct = 70)
       .orderBy(col("qid"), col("rank"))
 
+  // Vocabulary-growth audit (the Heaps-law diagnostic a corpus snapshot
+  // pipeline tracks between versions): each distinct BIGRAM is attributed
+  // to the ingest decile (doc_id-order) where it FIRST appears; per
+  // decile, the new-term count, its share of term occurrences, and the
+  // cumulative vocabulary. A collapsing tail (few new terms, high repeat
+  // mass) signals the crawl is exhausting its sources. Bigrams, not
+  // unigrams: the unigram vocabulary saturates in the first decile on
+  // any corpus with a bounded token set, which would make the decile
+  // machinery vacuous. All integer: decile = first_doc·10 div
+  // (max_id+1); bigrams via the q148 explode+codegen recipe; one
+  // min/count agg per term; the running total rides the ≤10-row decile
+  // rollup (allowlisted unpartitioned window — the frame is 10 rows by
+  // construction). At corpus scale the term would be the q126-style
+  // 60-bit hashed bigram; the audit's vocabulary semantics keep the
+  // string here.
+  def q154VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val firstSeen = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+      .withColumn("n", size(col("a")))
+      .where(col("n") >= 2)
+      .select(col("doc_id"), col("a"),
+        explode(sequence(lit(0), col("n") - 2)).as("pos"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("a"), col("pos") + lit(1), lit(2)))
+          .as("term"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("occurrences"))
+    val perDecile = firstSeen
+      .groupBy(expr(s"first_doc * 10 div ${maxId}L").as("decile"))
+      .agg(count(lit(1)).as("n_new_terms"),
+        sum(col("occurrences")).as("occ_of_new"))
+    perDecile
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("decile"))
+  }
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")
