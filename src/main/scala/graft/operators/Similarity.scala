@@ -341,20 +341,43 @@ object Similarity {
   def ivfDeleteStored(ids: DataFrame,
                       index: graft.sources.VectorIndex): DataFrame = {
     index.deletePostings(ids)
+    ivfCensus(index)
+  }
+
+  /** Per-cell census read BACK from the stored posting lists — the
+    * disk-verifying readout every IVF lifecycle op gates on. */
+  private def ivfCensus(index: graft.sources.VectorIndex): DataFrame =
     index.readPostings()
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
       .orderBy(col("cid"))
-  }
+
+  /** Per-cell census read BACK from the stored code rows ([[ivfCensus]]
+    * for the compressed store). */
+  private def pqCensus(index: graft.sources.PqIndex): DataFrame =
+    index.readCodes()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_ids"),
+        sum(col("code")).as("sum_codes"))
+      .orderBy(col("cid"))
 
   /** Build fingerprint for a stored index: corpus cardinality + id
-    * checksum + every build parameter. Cheap (one aggregate over the id
-    * column) relative to a build or a search — the online path pays it as
-    * its freshness check. */
-  private def indexMeta(emb: DataFrame, idCol: String, nCentroids: Int,
-                        kmeansIters: Int, portable: Boolean): String = {
-    val r = emb.agg(count(lit(1)), sum(col(idCol))).first()
-    s"ivf1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+    * checksum + CONTENT checksum + every build parameter. The content
+    * term is a commutative sum of per-row xxhash64(id, vector) — without
+    * it, a corpus whose vectors changed under unchanged ids (or with
+    * compensating id edits: delete 3, add 1+2) would pass the freshness
+    * gate and silently serve a stale index. One map-side-combined
+    * aggregate over (id, vector) — cheap relative to a build, real
+    * relative to a probed search at corpus scale; a production
+    * deployment substitutes a corpus version token for the scan, with
+    * identical semantics. */
+  private def indexMeta(emb: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int, kmeansIters: Int,
+                        portable: Boolean): String = {
+    val r = emb.agg(count(lit(1)), sum(col(idCol)),
+      sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)"))).first()
+    s"ivf2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}" +
       s"|K=$nCentroids|iters=$kmeansIters|portable=$portable"
   }
 
@@ -376,11 +399,8 @@ object Similarity {
     index.writeIndex(
       centroids.select(col("cid"), col("cv"), col("cn")),
       assigned.select(col("cid"), col("id"), col("v"), col("nrm")),
-      indexMeta(emb, idCol, nCentroids, kmeansIters, portable))
-    index.readPostings()
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
-      .orderBy(col("cid"))
+      indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable))
+    ivfCensus(index)
   }
 
   /** ONLINE search over a stored index: identical probe + rerank to
@@ -413,7 +433,7 @@ object Similarity {
                       kmeansIters: Int = 0,
                       portable: Boolean = false): Unit =
     if (!index.isFresh(
-        indexMeta(emb, idCol, nCentroids, kmeansIters, portable)))
+        indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable)))
       ivfBuildStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
         portable).collect()
 
@@ -428,13 +448,20 @@ object Similarity {
   def ivfExtendStored(newEmb: DataFrame, idCol: String, vecCol: String,
                       index: graft.sources.VectorIndex): DataFrame = {
     val base = prepared(newEmb, idCol, vecCol)
-    val assigned = assignToCells(base, index.readCentroids(), idRadix(base))
+    val centroids = index.readCentroids()
+    // the pack radix must cover the STORED grid's cids, not just the batch
+    // ids: cids are corpus vec_ids, and a batch of small ids (re-ingest of
+    // existing docs) under a large-id seed would send (M−1−cid) negative —
+    // the argmax ordering and the mod-M decode silently corrupt. Covering
+    // radix: max(idRadix(batch), max(cid)+1); any M > max(cid) decodes the
+    // same winner, so q145's offset-id batches hash identically.
+    val cMaxRow = centroids.agg(max(col("cid"))).first()
+    val mEx = math.max(idRadix(base),
+      (if (cMaxRow.isNullAt(0)) 0L else cMaxRow.getLong(0)) + 1L)
+    val assigned = assignToCells(base, centroids, mEx)
     index.upsertPostings(
       assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
-    index.readPostings()
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
-      .orderBy(col("cid"))
+    ivfCensus(index)
   }
 
   /** MMR (maximal-marginal-relevance) diverse top-k: per query, greedily
@@ -900,10 +927,15 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
   }
 
-  private def pqMeta(emb: DataFrame, idCol: String, nCells: Int, m: Int,
-                     kCodes: Int, scale: Long): String = {
-    val r = emb.agg(count(lit(1)), sum(col(idCol))).first()
-    s"ivfpq1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+  /** [[indexMeta]]'s contract for the PQ store — content checksum
+    * included for the same stale-index reason. */
+  private def pqMeta(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, m: Int, kCodes: Int,
+                     scale: Long): String = {
+    val r = emb.agg(count(lit(1)), sum(col(idCol)),
+      sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)"))).first()
+    s"ivfpq2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}" +
       s"|cells=$nCells|m=$m|codes=$kCodes|scale=$scale"
   }
 
@@ -923,12 +955,87 @@ object Similarity {
       subC.select(col("s"), col("ccid"), col("csub")),
       codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
         .select(col("cid"), col("id"), col("s"), col("code")),
-      pqMeta(emb, idCol, nCells, m, kCodes, scale))
-    index.readCodes()
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_ids"),
-        sum(col("code")).as("sum_codes"))
-      .orderBy(col("cid"))
+      pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale))
+    pqCensus(index)
+  }
+
+  /** INCREMENTAL IVF-PQ maintenance: encode `newEmb` against the STORED
+    * codebooks and assign it to the STORED cell grid — no re-train, no
+    * re-encode of existing rows; exactly how a production IVF-PQ absorbs
+    * an ingest batch between codebook refreshes (the stale-codebook
+    * analogy of [[graft.operators.TfIdf.sparseExtendStored]]'s stale-IDF
+    * contract: a batch vector is quantized by the BUILD's geometry, and
+    * codebook drift is absorbed at the next full [[ivfPqBuildStored]]).
+    * Upsert is keyed on id — a re-ingested vector's old code rows are
+    * evicted wherever they lived. Cost: |batch| × (nCells + m·kCodes)
+    * broadcast work + a touched-bands-only code rewrite. Returns the
+    * per-cell code census read back from disk. */
+  def ivfPqExtendStored(newEmb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, scale: Long,
+                        index: graft.sources.PqIndex): DataFrame = {
+    graft.plans.VectorExpressions.register(newEmb.sparkSession)
+    val q = newEmb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
+    val cells = index.readCells()
+    val subC = index.readCodebooks()
+    val sdHead = subC.select(size(col("csub")).as("sd")).take(1)
+    require(sdHead.nonEmpty,
+      "stored codebooks are empty — build the index before extending it")
+    val sd = sdHead(0).getInt(0)
+    // covering radix for BOTH decimal-packed argmins (cell cids and
+    // codebook ccids are corpus vec_ids from the BASE build — the
+    // ivfExtendStored lesson: a batch-derived radix under-covers them)
+    val kMax = cells.agg(max(col("cid"))).first().getLong(0)
+      .max(subC.agg(max(col("ccid"))).first().getLong(0))
+    val mEx = kMax + 1L
+    val bMin = q.agg(min(col("id"))).first()
+    if (!bMin.isNullAt(0))
+      require(bMin.getLong(0) >= 0,
+        s"non-negative ids required; saw min(id)=${bMin.getLong(0)}")
+    def argminTo(pairs: DataFrame, idC: String, distC: Column,
+                 keyC: String, outC: String): DataFrame =
+      pairs
+        .select(col(idC),
+          (distC.cast("decimal(38,0)") * lit(mEx) + col(keyC)).as("pd"))
+        .groupBy(col(idC))
+        .agg(min(col("pd")).as("pd"))
+        .select(col(idC), (col("pd") % lit(mEx)).cast("long").as(outC))
+    val assigned = argminTo(q.crossJoin(broadcast(cells)), "id",
+      call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
+    val codes = argminTo(
+      subspaces(q, "qv", "sub", m, sd).join(broadcast(subC), "s")
+        .withColumn("ik", col("id") * m + col("s")),
+      "ik", call_function("long_sq_dist", col("sub"), col("csub")),
+      "ccid", "code")
+      .select(expr(s"ik div $m").as("id"),
+        pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
+    index.upsertCodes(
+      codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+        .select(col("cid"), col("id"), col("s"), col("code")))
+    pqCensus(index)
+  }
+
+  /** Build `index` from `emb` iff its fingerprint does not match the
+    * corpus + params — the [[ivfEnsureStored]] contract for the
+    * compressed store. */
+  def ivfPqEnsureStored(emb: DataFrame, idCol: String, vecCol: String,
+                        nCells: Int, m: Int, kCodes: Int, scale: Long,
+                        index: graft.sources.PqIndex): Unit =
+    if (!index.isFresh(pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale)))
+      ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
+        .collect()
+
+  /** PQ INDEX DELETION — the compressed store's forget path, completing
+    * the lifecycle across all three stored families. No re-encode: codes
+    * are per-vector, so dropping `ids`' m rows each is complete physical
+    * removal (a forgotten vector can never be ADC-scored again); cells
+    * and codebooks are summaries, untouched between rebuilds, exactly
+    * like [[ivfDeleteStored]]'s centroids. Idempotent. Returns the
+    * per-cell code census read back from disk. */
+  def ivfPqDeleteStored(ids: DataFrame,
+                        index: graft.sources.PqIndex): DataFrame = {
+    index.deleteCodes(ids)
+    pqCensus(index)
   }
 
   /** ONLINE IVF-PQ search over a stored index: the [[pqSearch]] pipeline
@@ -941,17 +1048,20 @@ object Similarity {
                         nCells: Int, nProbe: Int, m: Int, kCodes: Int,
                         scale: Long, queryPred: Column, rerank: Int, k: Int,
                         index: graft.sources.PqIndex): DataFrame = {
-    if (!index.isFresh(pqMeta(emb, idCol, nCells, m, kCodes, scale)))
-      ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
-        .collect()
+    ivfPqEnsureStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
-    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
-    val qVecs = q.where(queryPred).select(col("id").as("qid"), col("qv"))
-    pqSearch(q, qVecs, index.readCells(), index.readCodebooks(),
-      index.readCodes(), m, dim / m, nProbe, rerank, k)
+    // subspace dim from the STORED codebooks (length of any csub): no
+    // corpus-wide aggregate job per search, and an empty/all-null corpus
+    // fails with a message instead of an NPE on a null aggregate row
+    val cbHead = index.readCodebooks()
+      .select(size(col("csub")).as("sd")).take(1)
+    require(cbHead.nonEmpty,
+      "stored codebooks are empty — the corpus has no vectors to search")
+    pqSearch(q, q.where(queryPred).select(col("id").as("qid"), col("qv")),
+      index.readCells(), index.readCodebooks(),
+      index.readCodes(), m, cbHead(0).getInt(0), nProbe, rerank, k)
   }
 
   /** The all-pairs reference implementation — spec-only, kept as ground

@@ -281,11 +281,17 @@ object TfIdf {
       .select(col("qid"), col("rank"), col("nid"), col("sim2_ppm"))
   }
 
-  private def textMeta(docs: DataFrame, idCol: String,
+  /** Build fingerprint: cardinality + id checksum + CONTENT checksum (a
+    * commutative sum of per-row xxhash64(id, text) — without it, edited
+    * text under unchanged ids would pass the freshness gate and silently
+    * serve a stale index) + params. A production deployment substitutes
+    * a corpus version token for the content scan. */
+  private def textMeta(docs: DataFrame, idCol: String, textCol: String,
                        idfScale: Long): String = {
-    val r = docs.agg(count(lit(1)), sum(col(idCol))).first()
-    s"text1|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
-      s"|idf=$idfScale"
+    val r = docs.agg(count(lit(1)), sum(col(idCol)),
+      sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)"))).first()
+    s"text2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
+      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}|idf=$idfScale"
   }
 
   /** OFFLINE inverted-index build: run the tokenize → tf → df → integer
@@ -311,12 +317,31 @@ object TfIdf {
         (col("tf") * expr(s"$idfScale div df")).as("w"))
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    index.writeIndex(w, n2, textMeta(docs, idCol, idfScale))
+    index.writeIndex(w, n2, textMeta(docs, idCol, textCol, idfScale))
+    sparseCensus(index)
+  }
+
+  /** Per-df census read BACK from the stored posting lists — the
+    * disk-verifying readout every text-index lifecycle op gates on. */
+  private def sparseCensus(index: graft.sources.TextIndex): DataFrame =
     index.readPostings()
       .groupBy(col("df"))
       .agg(count_distinct(col("term")).as("n_terms"),
         count(lit(1)).as("n_postings"), sum(col("w")).as("sum_w"))
       .orderBy(col("df"))
+
+  /** TEXT INDEX DELETION — the sparse store's forget path: a forgotten
+    * doc's posting rows vanish from every term list they lived in and its
+    * norm row is dropped, physically (a deleted doc can never be a
+    * candidate, never contributes a dot product). Surviving rows keep
+    * their build-time df/weights — the stale-df contract shared with
+    * [[sparseExtendStored]]; df drift is absorbed at the next full
+    * rebuild. Idempotent; returns the per-df census read back from
+    * disk. */
+  def sparseDeleteStored(ids: DataFrame,
+                         index: graft.sources.TextIndex): DataFrame = {
+    index.delete(ids)
+    sparseCensus(index)
   }
 
   /** Build `index` from `docs` iff its fingerprint does not match the
@@ -325,7 +350,7 @@ object TfIdf {
   def sparseEnsureStored(docs: DataFrame, idCol: String, textCol: String,
                          index: graft.sources.TextIndex,
                          idfScale: Long = 10000L): Unit =
-    if (!index.isFresh(textMeta(docs, idCol, idfScale)))
+    if (!index.isFresh(textMeta(docs, idCol, textCol, idfScale)))
       sparseBuildStored(docs, idCol, textCol, index, idfScale).collect()
 
   /** INCREMENTAL index ingest under the STALE-IDF contract — exactly how
@@ -363,11 +388,7 @@ object TfIdf {
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
     index.upsert(w, n2)
-    index.readPostings()
-      .groupBy(col("df"))
-      .agg(count_distinct(col("term")).as("n_terms"),
-        count(lit(1)).as("n_postings"), sum(col("w")).as("sum_w"))
-      .orderBy(col("df"))
+    sparseCensus(index)
   }
 
   /** ONLINE sparse search over a stored inverted index: the identical

@@ -103,7 +103,7 @@ object Analytics {
     * lists, and sharing would let a filtered run (e.g. compare.py q144
     * alone after a q145 run) search an extended index against a
     * base-corpus oracle. */
-  private def vindex(s: SparkSession, dir: String, role: String) =
+  private[queries] def vindex(s: SparkSession, dir: String, role: String) =
     new graft.sources.VectorIndex(s,
       s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$role")
 
@@ -219,6 +219,42 @@ object Analytics {
         explode(sequence(lit(0), col("n") - 2)).as("pos"))
       .select(col("doc_id"),
         concat_ws(" ", slice(col("a"), col("pos") + lit(1), lit(2)))
+          .as("term"))
+      .groupBy(col("term"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("occurrences"))
+    val perDecile = firstSeen
+      .groupBy(expr(s"first_doc * 10 div ${maxId}L").as("decile"))
+      .agg(count(lit(1)).as("n_new_terms"),
+        sum(col("occurrences")).as("occ_of_new"))
+    perDecile
+      .withColumn("cum_vocab", sum(col("n_new_terms")).over(
+        Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("decile"))
+  }
+
+  // q154's CORPUS-SCALE twin: identical vocabulary-growth semantics, but
+  // the groupBy key is the 60-bit portable hash of the bigram, not the
+  // string — 8-byte keys through the exchange instead of arbitrary-width
+  // text (the q126/q148 discipline q154's own scaladoc promises). The
+  // readout is the ≤10-row decile rollup, which never contained term
+  // strings, so the output is IDENTICAL to q154 whenever the hash is
+  // collision-free on the vocabulary — and the oracle replays the same
+  // hash, so even a collision is gated, not hidden. A/B vs q154 at the
+  // 100× decade recorded in NOTES_r15.
+  def q159VocabGrowthHashed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val firstSeen = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
+      .withColumn("n", size(col("a")))
+      .where(col("n") >= 2)
+      .select(col("doc_id"), col("a"),
+        explode(sequence(lit(0), col("n") - 2)).as("pos"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.md5Head60(
+          concat_ws(" ", slice(col("a"), col("pos") + lit(1), lit(2))))
           .as("term"))
       .groupBy(col("term"))
       .agg(min(col("doc_id")).as("first_doc"),

@@ -213,6 +213,36 @@ object AnalyticsOracles {
         |    AS cum_vocab
         |FROM pd ORDER BY decile""".stripMargin,
 
+    // q154's hashed-key twin: identical decile rollup with the bigram
+    // replaced by its 60-bit portable hash BEFORE the group-by — the
+    // oracle replays the same hash, so a vocabulary collision would be
+    // gated, not hidden
+    "q159_vocab_growth_hashed" ->
+      s"""WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(unnest(range(len(string_split(text,' ')))) AS INTEGER)
+        |      AS pos,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT a.doc_id, ${md5Head60("a.w || ' ' || b.w")} AS term
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+        |fs AS (
+        |  SELECT term, min(doc_id) AS first_doc,
+        |    CAST(count(*) AS BIGINT) AS occurrences
+        |  FROM tok GROUP BY term),
+        |pd AS (
+        |  SELECT CAST(first_doc * 10 // mx.m AS BIGINT) AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_new_terms,
+        |    CAST(sum(occurrences) AS BIGINT) AS occ_of_new
+        |  FROM fs, mx GROUP BY 1)
+        |SELECT decile, n_new_terms, occ_of_new,
+        |  CAST(sum(n_new_terms) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pd ORDER BY decile""".stripMargin,
+
     // MMR greedy selection replayed: the q24 sims recipe shortlisted to
     // 12, ppm-integer relevance and pair penalties, five generated
     // argmax rounds (tie: smaller nid) — the full trajectory must match

@@ -136,14 +136,16 @@ object Curation {
       .orderBy(col("qid"), col("rank"))
 
   // per-data-dir PQ index root (the Analytics.vindex recipe): regenerated
-  // data fails the fingerprint and rebuilds
-  private def pqIndex(s: SparkSession, dir: String) =
+  // data fails the fingerprint and rebuilds; `role` separates mutating
+  // queries' stores from the build/search pair's, like Analytics.vindex
+  private def pqIndex(s: SparkSession, dir: String, role: String = "pq") =
     new graft.sources.PqIndex(s,
-      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/pq")
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$role")
 
-  private def textIndex(s: SparkSession, dir: String) =
+  private def textIndex(s: SparkSession, dir: String,
+                        role: String = "text") =
     new graft.sources.TextIndex(s,
-      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/text")
+      s"target/graft_vindex/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}/$role")
 
   // OFFLINE inverted-index build: the tokenize → tf → df → weight
   // pipeline q136 localCheckpoints per query runs ONCE and persists
@@ -204,6 +206,72 @@ object Curation {
       "vec_id", "embedding", nCells = 16, nProbe = 4, m = 16, kCodes = 16,
       scale = 1000000L, queryPred = col("id") >= 8 && col("id") < 16,
       rerank = 30, k = 5, index = pqIndex(s, dir))
+      .orderBy(col("qid"), col("rank"))
+
+  // INCREMENTAL PQ ingest (the q145/q152 contract for the compressed
+  // store): the q145 clone batch (every 13th vector negated, ids offset
+  // by max+1) is encoded against the STORED codebooks and assigned to the
+  // STORED cell grid — no re-train, no re-encode of existing rows; only
+  // the touched code bands rewrite. Own index root ("pqx"): the clones
+  // must never pollute q146's census or q147's search. Readout: the
+  // per-cell code census read back from disk.
+  def q155IvfPqExtendStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = pqIndex(s, dir, "pqx")
+    graft.operators.Similarity.ivfPqEnsureStored(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, kCodes = 16, scale = 1000000L, index = idx)
+    val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val batch = emb.where(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    graft.operators.Similarity.ivfPqExtendStored(batch, "vec_id",
+      "embedding", m = 16, scale = 1000000L, index = idx)
+  }
+
+  // PQ INDEX DELETION (the forget path for the compressed store,
+  // mirroring q149): every 19th-mod-2 vector's code rows are physically
+  // dropped — no re-encode, codes are per-vector — and the census read
+  // back from disk proves it. Own root ("pqd"); idempotent.
+  def q156IvfPqDeleteStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = pqIndex(s, dir, "pqd")
+    graft.operators.Similarity.ivfPqEnsureStored(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, kCodes = 16, scale = 1000000L, index = idx)
+    graft.operators.Similarity.ivfPqDeleteStored(
+      emb.where(col("vec_id") % 19 === 2).select(col("vec_id").as("id")),
+      idx)
+  }
+
+  // TEXT INDEX DELETION (the sparse forget path, completing
+  // right-to-be-forgotten across all three stored families): every 13th
+  // doc's posting rows vanish from every term list plus its norm row —
+  // physically, wherever its terms hashed (found by an id-column scan of
+  // the bucket dirs) — surviving rows keep build-time df/weights (the
+  // stale-df contract). Own root ("textd"); idempotent.
+  def q157SparseDeleteStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val idx = textIndex(s, dir, "textd")
+    graft.operators.TfIdf.sparseEnsureStored(docs, "doc_id", "text", idx)
+    graft.operators.TfIdf.sparseDeleteStored(
+      docs.where(col("doc_id") % 13 === 0).select(col("doc_id").as("id")),
+      idx)
+  }
+
+  // HYBRID RETRIEVAL OVER STORED INDEXES — the production serving shape
+  // for q138's flagship fusion: dense arm reads q143's prebuilt "base"
+  // VectorIndex (nCentroids/portable match its fingerprint, so no build
+  // when q143/q144 ran first; self-heals otherwise), sparse arm reads
+  // q150/q151's "text" TextIndex — the online plan is index scans + keyed
+  // joins with NO k-means/tokenize/df stages on EITHER arm (pinned in
+  // PlanSpec). Distinct query set from q138/q144/q151 so the gates stay
+  // independent.
+  def q158HybridStoredRrf(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HybridRetrieval.rrfStored(
+      t(s, dir)("embeddings"), "vec_id", "embedding",
+      nCentroids = 16, nProbe = 12, Analytics.vindex(s, dir, "base"),
+      t(s, dir)("documents"), "doc_id", "text", textIndex(s, dir),
+      maxDf = 400L, queryPred = col("id") % 101 === 7, k = 5,
+      portable = true)
       .orderBy(col("qid"), col("rank"))
 
   // Composed curation pass (q67 extended with the dedup ladder a training

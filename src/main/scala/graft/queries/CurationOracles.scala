@@ -270,6 +270,116 @@ object CurationOracles {
          |  CAST(sum(w) AS BIGINT) AS sum_w
          |FROM allw GROUP BY df ORDER BY df""".stripMargin,
 
+    // incremental PQ ingest: the q145 clone batch (every 13th vector
+    // negated, ids offset by max+1) encoded against the BASE build's
+    // codebooks and assigned to its cell grid — no re-train — and
+    // unioned into the per-cell code census
+    "q155_ivf_pq_extend_stored" ->
+      s"""WITH $pqIndexCtes,
+         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+         |nq AS (
+         |  SELECT vec_id + o AS id,
+         |    ${OracleUtil.fixedPointVec("list_transform(embedding, y -> -y)")}
+         |      AS qv
+         |  FROM embeddings, off
+         |  WHERE embedding IS NOT NULL AND vec_id % 13 = 0),
+         |nelf AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM nq),
+         |ncd AS (
+         |  SELECT nelf.id, clf.cid,
+         |    CAST(sum((nelf.v - clf.v) * (nelf.v - clf.v)) AS BIGINT) AS d2
+         |  FROM nelf JOIN clf ON clf.pos = nelf.pos
+         |  GROUP BY nelf.id, clf.cid),
+         |nasg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM ncd) x
+         |  WHERE rn = 1),
+         |nsub AS (
+         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
+         |  FROM nq CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |nels AS (
+         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
+         |    unnest(sub) AS v
+         |  FROM nsub),
+         |ndist AS (
+         |  SELECT nels.id, cels.ccid, nels.s,
+         |    CAST(sum((nels.v - cels.v) * (nels.v - cels.v)) AS BIGINT) AS d2
+         |  FROM nels JOIN cels ON nels.pos = cels.pos AND nels.s = cels.s
+         |  GROUP BY nels.id, cels.ccid, nels.s),
+         |ncodes AS (
+         |  SELECT id, s, ccid AS code FROM (
+         |    SELECT id, s, ccid,
+         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
+         |    FROM ndist) x
+         |  WHERE rn = 1),
+         |allc AS (
+         |  SELECT a.cid, c.id, c.code FROM codes c JOIN asg a USING (id)
+         |  UNION ALL
+         |  SELECT na.cid, nc.id, nc.code
+         |  FROM ncodes nc JOIN nasg na USING (id))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(code) AS BIGINT) AS sum_codes
+         |FROM allc GROUP BY cid ORDER BY cid""".stripMargin,
+
+    // PQ deletion census: the base build's code rows minus the deleted
+    // ids — the engine physically dropped them from the stored bands
+    "q156_ivf_pq_delete_stored" ->
+      s"""WITH $pqIndexCtes
+         |SELECT a.cid, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(c.id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(c.code) AS BIGINT) AS sum_codes
+         |FROM codes c JOIN asg a USING (id)
+         |WHERE c.id % 19 <> 2
+         |GROUP BY a.cid ORDER BY a.cid""".stripMargin,
+
+    // text-index deletion census: the build's weight rows minus the
+    // forgotten docs' — surviving rows keep their build-time df/weights
+    // (the stale-df contract), so the twin just filters the build
+    "q157_sparse_delete_stored" ->
+      s"""WITH $sparseWeightCtes
+         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(w) AS BIGINT) AS sum_w
+         |FROM sw WHERE id % 13 <> 0
+         |GROUP BY df ORDER BY df""".stripMargin,
+
+    // stored-index hybrid fusion: q138's recipe — both arms replayed
+    // from the SHARED texts (dense: the q144-parameterized IVF candidate
+    // chain; sparse: sparseScoredCtes) at q158's own query set and probe
+    // width, fused by integer reciprocal-rank
+    "q158_hybrid_stored_rrf" ->
+      s"""WITH ${AnalyticsOracles.vecCtes},
+        |${AnalyticsOracles.ivfCandCtesFor("v.vec_id % 101 = 7", 12)},
+        |${AnalyticsOracles.rerankCtes},
+        |dense AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5),
+        |${sparseScoredCtes("q.id % 101 = 7")},
+        |sparse AS (
+        |  SELECT qid, nid, rank FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim2_ppm DESC, nid) AS rank
+        |    FROM sscored) x
+        |  WHERE rank <= 5),
+        |fused AS (
+        |  SELECT coalesce(d.qid, s.qid) AS qid,
+        |    coalesce(d.nid, s.nid) AS nid,
+        |    coalesce(1000000 // (60 + d.rank), 0)
+        |      + coalesce(1000000 // (60 + s.rank), 0) AS rrf_micro
+        |  FROM dense d
+        |  FULL OUTER JOIN sparse s ON s.qid = d.qid AND s.nid = d.nid)
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro FROM (
+        |  SELECT qid, nid, rrf_micro,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_micro DESC, nid) AS rank
+        |  FROM fused) x
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     // stored sparse search at q151's own query set — the SHARED scoring
     // text at a different pred
     "q151_sparse_search_stored" ->

@@ -1,16 +1,26 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Shared parquet-directory machinery for prebuilt ANN index stores — the
   * offline half of the production architecture (build once, search many).
   * Tables swap in atomically ([[TableStore]]'s write-temp + two-rename
   * discipline, crash-recoverable); the build fingerprint (`_meta`) lands
   * LAST, so a freshness probe can only see it once every byte it vouches
-  * for is durable. */
+  * for is durable.
+  *
+  * Large tables are PHYSICALLY PARTITIONED (`<table>/<col>=<n>/` dirs) so
+  * incremental maintenance rewrites only the partitions a batch touches —
+  * the production layout: an ingest/delete over a 100 TB index must cost
+  * ∝ touched cells, not ∝ corpus. Partition maintenance writes every
+  * replacement partition in ONE job into a dot-prefixed temp dir
+  * (invisible to Spark's file listing), then swaps each partition with
+  * the same two-rename discipline; a crash mid-swap leaves `.old-*`
+  * markers that [[recoverPartitions]] restores, and every maintenance op
+  * is keyed + idempotent, so a retry after a partial swap converges. */
 private[sources] abstract class IndexStore(spark: SparkSession,
                                            root: String) {
 
@@ -35,12 +45,13 @@ private[sources] abstract class IndexStore(spark: SparkSession,
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  protected def swapIn(table: String, df: DataFrame,
-                       schema: StructType): Unit = {
+  protected def swapIn(table: String, df: DataFrame, schema: StructType,
+                       partitionBy: Option[String] = None): Unit = {
     val dest = new Path(path(table))
     val tmp = new Path(path(table) + ".tmp-" + java.util.UUID.randomUUID())
-    df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      .write.mode("errorifexists").parquet(tmp.toString)
+    val w = df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("errorifexists")
+    partitionBy.fold(w)(w.partitionBy(_)).parquet(tmp.toString)
     val old = new Path(path(table) + ".old-" + java.util.UUID.randomUUID())
     // Hadoop rename reports failure by returning false — unchecked, a
     // failed rename silently drops the new index version
@@ -56,6 +67,79 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     require(fs.exists(new Path(path(table))),
       s"index table $table missing under $root — build the index first")
     spark.read.schema(schema).parquet(path(table))
+  }
+
+  // ------------------------------------------------------------------
+  // physically-partitioned tables
+
+  protected def withPart(schema: StructType, partCol: String): StructType =
+    StructType(schema.fields :+ StructField(partCol, IntegerType))
+
+  /** Read a whole partitioned table; the returned frame carries `partCol`
+    * from the directory names (callers filtering on it get partition
+    * pruning — only the named dirs' files are listed and read). */
+  protected def readPartitioned(table: String, partCol: String,
+                                schema: StructType): DataFrame = {
+    recoverSwap(table)
+    recoverPartitions(table, partCol)
+    require(fs.exists(new Path(path(table))),
+      s"index table $table missing under $root — build the index first")
+    spark.read.schema(withPart(schema, partCol)).parquet(path(table))
+  }
+
+  /** Per-partition crash recovery: a kill between a partition's two
+    * renames leaves `<table>/.old-<uuid>-<partCol>=<n>` with the live dir
+    * absent — restore it; any other `.old-*`/`.tmp-*` leftovers are
+    * post-swap garbage — swept. (Dot-prefixed names are invisible to
+    * Spark's file listing, so even unswept leftovers can't pollute a
+    * read.) */
+  protected def recoverPartitions(table: String, partCol: String): Unit = {
+    val glob = fs.globStatus(new Path(path(table) + "/.{old,tmp}-*"))
+    if (glob == null) return
+    glob.foreach { st =>
+      val nm = st.getPath.getName
+      val marker = nm.indexOf(s"-$partCol=")
+      if (nm.startsWith(".old-") && marker > 0) {
+        val live = new Path(path(table) + "/" + nm.substring(marker + 1))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"recoverPartitions($table): restoring $nm failed")
+        else fs.delete(st.getPath, true)
+      } else fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Replace ONLY the listed partitions of a partitioned table. `content`
+    * must hold the full replacement rows for exactly those partitions
+    * (including `partCol`); it may read the live partitions — the single
+    * write job executes the plan before any rename. A partition with no
+    * content rows is removed (its rows were all evicted). Maintenance
+    * cost is ∝ touched partitions: one job over their bytes + O(touched)
+    * renames — never a whole-table rewrite. */
+  protected def swapPartitions(table: String, partCol: String,
+                               parts: Seq[Int], schema: StructType,
+                               content: DataFrame): Unit = {
+    recoverPartitions(table, partCol)
+    if (parts.isEmpty) return
+    val uuid = java.util.UUID.randomUUID()
+    val tmp = new Path(s"${path(table)}/.tmp-$uuid")
+    val full = withPart(schema, partCol)
+    content.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("errorifexists").partitionBy(partCol).parquet(tmp.toString)
+    parts.foreach { b =>
+      val src = new Path(tmp, s"$partCol=$b")
+      val dest = new Path(s"${path(table)}/$partCol=$b")
+      val old = new Path(s"${path(table)}/.old-$uuid-$partCol=$b")
+      if (fs.exists(dest)) require(fs.rename(dest, old),
+        s"swapPartitions($table): rename $dest -> $old failed")
+      if (fs.exists(src)) require(fs.rename(src, dest),
+        s"swapPartitions($table): rename $src -> $dest failed — " +
+          s"pre-swap in $old")
+      // no src dir: every row of this partition was evicted — removing
+      // the old dir IS the new content
+      fs.delete(old, true)
+    }
+    fs.delete(tmp, true)
   }
 
   /** True iff a complete index built under exactly `meta` is present —
@@ -84,57 +168,95 @@ private[sources] abstract class IndexStore(spark: SparkSession,
   }
 }
 
+object VectorIndex {
+  /** Physical posting partitions (`cid_band = cid mod PostingBands`).
+    * Sized so single-node tests keep per-band files non-trivial; a
+    * 1000-executor deployment raises it (bands are independent, so the
+    * constant only trades maintenance granularity against file count). */
+  val PostingBands = 16
+}
+
 /** Stored IVF index — see [[graft.operators.Similarity.ivfBuildStored]].
   *
   * Layout under `root/`:
   *   - `centroids/`  (cid, cv array<double>, cn) — K rows, broadcast-sized.
-  *   - `postings/`   (cid, id, v array<double>, nrm) — the inverted lists:
-  *     each cell's member vectors stored WITH the cell id, repartitioned
-  *     and sorted by cid so a probe of p cells row-group-prunes to ~p/K of
-  *     the file bytes (at 100 TB this layout would be bucketed by cid; the
-  *     parquet min/max sort gives the same pruning single-node).
+  *   - `postings/cid_band=N/`  (cid, id, v array<double>, nrm) — the
+  *     inverted lists, directory-partitioned on cid mod
+  *     [[VectorIndex.PostingBands]] and cid-sorted within files, so a
+  *     probe of p cells row-group-prunes to ~p/K of the bytes AND an
+  *     ingest/delete batch rewrites only the bands holding its cells —
+  *     maintenance ∝ touched cells, not corpus (the q149/q152 lesson:
+  *     the round-14 flat layout measured corpus-linear at the 1000×
+  *     decade).
   */
 final class VectorIndex(spark: SparkSession, root: String)
     extends IndexStore(spark, root) {
+  import VectorIndex.PostingBands
 
   private val centroidSchema = StructType.fromDDL(
     "cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
   private val postingSchema = StructType.fromDDL(
     "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
 
+  private def band(c: Column): Column =
+    pmod(c, lit(PostingBands.toLong)).cast("int")
+
   def readCentroids(): DataFrame = read("centroids", centroidSchema)
-  def readPostings(): DataFrame = read("postings", postingSchema)
+  def readPostings(): DataFrame = postingsWithBand().drop("cid_band")
+
+  private def postingsWithBand(): DataFrame =
+    readPartitioned("postings", "cid_band", postingSchema)
 
   /** Persist a full build: both tables swap in first, the fingerprint
-    * lands last. */
+    * lands last. Postings hash-partition on cid (whole cells per task)
+    * and sort by (band, cid) within tasks — the band sort satisfies the
+    * dynamic-partition writer's ordering requirement (no extra sort node,
+    * which would be unstable and break the cid run lengths) and each
+    * band dir's files keep tight cid min/max row-group stats. */
   def writeIndex(centroids: DataFrame, postings: DataFrame,
                  meta: String): Unit = {
     clearMeta()
     swapIn("centroids", centroids, centroidSchema)
-    // one sorted file per shuffle partition: cid min/max stats per row
-    // group make a p-of-K probe skip the other cells' bytes
     swapIn("postings",
-      postings.repartition(col("cid")).sortWithinPartitions(col("cid")),
-      postingSchema)
+      postings.withColumn("cid_band", band(col("cid")))
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")),
+      withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
   }
 
   /** Incremental maintenance: upsert `incoming` (cid, id, v, nrm) rows
     * into the posting lists keyed on id — new vectors land in their
     * assigned cells, re-ingested ids replace their old rows (an id whose
-    * vector changed may MOVE cells; the anti-join evicts the stale row
-    * wherever it lived). The fingerprint is untouched: it vouches for the
-    * BASE build, and [[isFresh]] deliberately keeps answering true — the
+    * vector changed may MOVE cells; the eviction finds the stale row
+    * wherever it lived). Touched partitions = the batch's own bands ∪ the
+    * bands holding prior rows of its ids (found by an (id, band)-only
+    * column scan — parquet prunes every other column); ONLY those bands
+    * are rewritten. The fingerprint is untouched: it vouches for the BASE
+    * build, and [[isFresh]] deliberately keeps answering true — the
     * extension is additive, not staleness. */
   def upsertPostings(incoming: DataFrame): Unit = {
-    val kept = readPostings()
-      .join(incoming.select(col("id")).distinct(), Seq("id"), "left_anti")
+    // batch-sized; materialized once because the plan below reads it for
+    // the band census, the eviction keys, and the union content
+    val inc = incoming
       .select(col("cid"), col("id"), col("v"), col("nrm"))
-    swapIn("postings",
-      kept.unionByName(incoming.select(col("cid"), col("id"), col("v"),
-          col("nrm")))
-        .repartition(col("cid")).sortWithinPartitions(col("cid")),
-      postingSchema)
+      .withColumn("cid_band", band(col("cid")))
+      .localCheckpoint(true)
+    val ids = inc.select(col("id")).distinct()
+    val pb = postingsWithBand()
+    val newBands = inc.select(col("cid_band")).distinct()
+      .collect().map(_.getInt(0))
+    val oldBands = pb.select(col("cid_band"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("cid_band")).distinct().collect().map(_.getInt(0))
+    val touched = (newBands ++ oldBands).distinct.sorted
+    swapPartitions("postings", "cid_band", touched.toIndexedSeq,
+      postingSchema,
+      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .unionByName(inc)
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 
   /** Remove `ids` (one column, `id`) from the posting lists — the
@@ -142,15 +264,31 @@ final class VectorIndex(spark: SparkSession, root: String)
     * deleted id because its vector is physically gone from the inverted
     * lists (not tombstoned). Centroids are untouched (they are summaries,
     * not member data — exactly how production IVF handles deletes between
-    * rebuilds); absent ids are a no-op, so the call is idempotent. The
-    * fingerprint stays, like [[upsertPostings]]: the base build it
-    * vouches for is still the index's lineage. */
-  def deletePostings(ids: DataFrame): Unit =
-    swapIn("postings",
-      readPostings()
-        .join(ids.select(col("id")).distinct(), Seq("id"), "left_anti")
-        .repartition(col("cid")).sortWithinPartitions(col("cid")),
-      postingSchema)
+    * rebuilds); absent ids are a no-op, so the call is idempotent. Only
+    * the bands holding doomed rows (one (id, band) column scan) are
+    * rewritten. The fingerprint stays, like [[upsertPostings]]: the base
+    * build it vouches for is still the index's lineage. */
+  def deletePostings(ids0: DataFrame): Unit = {
+    val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
+    val pb = postingsWithBand()
+    val touched = pb.select(col("cid_band"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
+    swapPartitions("postings", "cid_band", touched.toIndexedSeq,
+      postingSchema,
+      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")))
+  }
+}
+
+object TextIndex {
+  /** Physical posting partitions (`term_bucket = xxhash64(term) mod
+    * TermBuckets`) and norm partitions (`id_bucket = id mod TermBuckets`).
+    * Internal layout only — bucket values never reach query output, so
+    * the Spark-specific hash is fine. */
+  val TermBuckets = 16
 }
 
 /** Stored inverted text index — see
@@ -161,59 +299,137 @@ final class VectorIndex(spark: SparkSession, root: String)
   * touch document text.
   *
   * Layout under `root/`:
-  *   - `postings/` (term, id, df, w) — the weighted inverted lists,
-  *     repartitioned on the term and sorted within partitions so a
-  *     narrow-term-set probe row-group-prunes; df rides each row (the
-  *     search-time rare-band filter is a scan-level predicate, not a
-  *     join).
-  *   - `norms/` (id, n2 decimal(38,0)) — per-doc squared weight norms.
+  *   - `postings/term_bucket=N/` (term, id, df, w) — the weighted
+  *     inverted lists, directory-partitioned on the term hash and
+  *     term-sorted within files, so a narrow-term-set probe
+  *     row-group-prunes and an ingest/delete rewrites only the buckets
+  *     holding its terms; df rides each row (the search-time rare-band
+  *     filter is a scan-level predicate, not a join).
+  *   - `norms/id_bucket=N/` (id, n2 decimal(38,0)) — per-doc squared
+  *     weight norms, partitioned on the doc id so keyed maintenance
+  *     touches ~|batch| buckets.
   */
 final class TextIndex(spark: SparkSession, root: String)
     extends IndexStore(spark, root) {
+  import TextIndex.TermBuckets
 
   private val postingSchema = StructType.fromDDL(
     "term STRING, id BIGINT, df BIGINT, w BIGINT")
   private val normSchema = StructType.fromDDL(
     "id BIGINT, n2 DECIMAL(38,0)")
 
-  def readPostings(): DataFrame = read("postings", postingSchema)
-  def readNorms(): DataFrame = read("norms", normSchema)
+  private def tBucket(t: Column): Column =
+    pmod(xxhash64(t), lit(TermBuckets.toLong)).cast("int")
+  private def nBucket(i: Column): Column =
+    pmod(i, lit(TermBuckets.toLong)).cast("int")
+
+  def readPostings(): DataFrame = postingsWithBucket().drop("term_bucket")
+  def readNorms(): DataFrame = normsWithBucket().drop("id_bucket")
+
+  private def postingsWithBucket(): DataFrame =
+    readPartitioned("postings", "term_bucket", postingSchema)
+  private def normsWithBucket(): DataFrame =
+    readPartitioned("norms", "id_bucket", normSchema)
 
   def writeIndex(postings: DataFrame, norms: DataFrame,
                  meta: String): Unit = {
     clearMeta()
     swapIn("postings",
-      postings.repartition(col("term")).sortWithinPartitions(col("term")),
-      postingSchema)
-    swapIn("norms", norms, normSchema)
+      postings.withColumn("term_bucket", tBucket(col("term")))
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term_bucket"), col("term")),
+      withPart(postingSchema, "term_bucket"),
+      partitionBy = Some("term_bucket"))
+    swapIn("norms",
+      norms.withColumn("id_bucket", nBucket(col("id")))
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("id_bucket"), col("id")),
+      withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))
     publishMeta(meta)
   }
 
   /** Keyed ingest: replace-or-add `postings` rows and `norms` rows by doc
     * id (a re-ingested doc's old posting rows are evicted from every term
-    * list they lived in). Like [[VectorIndex.upsertPostings]], the build
-    * fingerprint is untouched — it vouches for the base build the
-    * extension rides on. */
+    * list they lived in). Both incoming frames are materialized
+    * batch-sized BEFORE any swap, so a plan deriving the batch weights
+    * from this store's own postings (the stale-IDF contract) can never
+    * re-read a just-replaced directory. Touched posting buckets = the
+    * batch terms' buckets ∪ buckets holding prior rows of its ids (an
+    * (id, bucket)-only column scan); touched norm buckets are the batch
+    * ids' own. Like [[VectorIndex.upsertPostings]], the build fingerprint
+    * is untouched — it vouches for the base build the extension rides
+    * on. */
   def upsert(postings: DataFrame, norms: DataFrame): Unit = {
-    val ids = postings.select(col("id")).distinct()
-    // norms swap FIRST: an incoming norms plan typically derives from the
-    // postings (stale-df weights) — swapping postings first would leave
-    // that plan re-reading just-deleted part files when the norms swap
-    // executes it. The reverse dependency (postings derived from norms)
-    // does not occur.
-    swapIn("norms",
-      readNorms().join(norms.select(col("id")).distinct(),
-          Seq("id"), "left_anti")
-        .unionByName(norms.select(col("id"), col("n2"))),
-      normSchema)
-    swapIn("postings",
-      readPostings().join(ids, Seq("id"), "left_anti")
-        .select(col("term"), col("id"), col("df"), col("w"))
-        .unionByName(postings.select(col("term"), col("id"), col("df"),
-          col("w")))
-        .repartition(col("term")).sortWithinPartitions(col("term")),
-      postingSchema)
+    val incP = postings
+      .select(col("term"), col("id"), col("df"), col("w"))
+      .withColumn("term_bucket", tBucket(col("term")))
+      .localCheckpoint(true)
+    val incN = norms.select(col("id"), col("n2"))
+      .withColumn("id_bucket", nBucket(col("id")))
+      .localCheckpoint(true)
+    val ids = incP.select(col("id")).distinct()
+
+    val nTouched = incN.select(col("id_bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val nb = normsWithBucket()
+    swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
+      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+        .join(incN.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .unionByName(incN)
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("id_bucket"), col("id")))
+
+    val pbk = postingsWithBucket()
+    val newB = incP.select(col("term_bucket")).distinct()
+      .collect().map(_.getInt(0))
+    val oldB = pbk.select(col("term_bucket"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("term_bucket")).distinct().collect().map(_.getInt(0))
+    val pTouched = (newB ++ oldB).distinct.sorted
+    swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
+      postingSchema,
+      pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .unionByName(incP)
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term_bucket"), col("term")))
   }
+
+  /** Remove documents from the index — the text-side forget path: drop
+    * every posting row of `ids` (wherever their terms hashed — found by
+    * an (id, bucket)-only column scan) and their norm rows (buckets
+    * derived from the ids directly). Physically gone, not tombstoned: a
+    * forgotten doc can never be a search candidate. Per-term df values on
+    * SURVIVING rows keep their build-time counts (the stale-df contract,
+    * same as ingest — df drift is absorbed at the next full rebuild).
+    * Absent ids are a no-op, so the call is idempotent. */
+  def delete(ids0: DataFrame): Unit = {
+    val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
+    val pbk = postingsWithBucket()
+    val pTouched = pbk.select(col("term_bucket"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("term_bucket")).distinct().collect().map(_.getInt(0)).sorted
+    swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
+      postingSchema,
+      pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term_bucket"), col("term")))
+    val nTouched = ids.select(nBucket(col("id")).as("id_bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val nb = normsWithBucket()
+    swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
+      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .repartition(col("id_bucket"))
+        .sortWithinPartitions(col("id_bucket"), col("id")))
+  }
+}
+
+object PqIndex {
+  /** Physical code partitions (`cid_band = cid mod CodeBands`) — the
+    * [[VectorIndex.PostingBands]] discipline for the compressed store. */
+  val CodeBands = 16
 }
 
 /** Stored IVF-PQ index — see
@@ -226,11 +442,15 @@ final class TextIndex(spark: SparkSession, root: String)
   * Layout under `root/`:
   *   - `cells/`     (cid, cv array<bigint>) — fixed-point cell centers.
   *   - `codebooks/` (s, ccid, csub array<bigint>) — m × kCodes sub-vectors.
-  *   - `codes/`     (cid, id, s, code) — one row per (vector, subspace),
-  *     repartitioned + sorted by cid.
+  *   - `codes/cid_band=N/` (cid, id, s, code) — one row per
+  *     (vector, subspace), directory-partitioned on cid mod
+  *     [[PqIndex.CodeBands]] and cid-sorted within files, so searches
+  *     prune to probed cells and keyed maintenance rewrites only touched
+  *     bands.
   */
 final class PqIndex(spark: SparkSession, root: String)
     extends IndexStore(spark, root) {
+  import PqIndex.CodeBands
 
   private val cellSchema = StructType.fromDDL(
     "cid BIGINT, cv ARRAY<BIGINT>")
@@ -239,9 +459,15 @@ final class PqIndex(spark: SparkSession, root: String)
   private val codeSchema = StructType.fromDDL(
     "cid BIGINT, id BIGINT, s INT, code BIGINT")
 
+  private def band(c: Column): Column =
+    pmod(c, lit(CodeBands.toLong)).cast("int")
+
   def readCells(): DataFrame = read("cells", cellSchema)
   def readCodebooks(): DataFrame = read("codebooks", codebookSchema)
-  def readCodes(): DataFrame = read("codes", codeSchema)
+  def readCodes(): DataFrame = codesWithBand().drop("cid_band")
+
+  private def codesWithBand(): DataFrame =
+    readPartitioned("codes", "cid_band", codeSchema)
 
   def writeIndex(cells: DataFrame, codebooks: DataFrame, codes: DataFrame,
                  meta: String): Unit = {
@@ -249,8 +475,55 @@ final class PqIndex(spark: SparkSession, root: String)
     swapIn("cells", cells, cellSchema)
     swapIn("codebooks", codebooks, codebookSchema)
     swapIn("codes",
-      codes.repartition(col("cid")).sortWithinPartitions(col("cid")),
-      codeSchema)
+      codes.withColumn("cid_band", band(col("cid")))
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")),
+      withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
+  }
+
+  /** Keyed code ingest: upsert `incoming` (cid, id, s, code) rows by
+    * vector id — a re-ingested id's old code rows are evicted wherever
+    * they lived (its vector may have moved cells). The
+    * [[VectorIndex.upsertPostings]] discipline: only the batch's bands ∪
+    * the bands holding prior rows of its ids are rewritten. Fingerprint
+    * untouched — additive extension over the base build's grid and
+    * codebooks. */
+  def upsertCodes(incoming: DataFrame): Unit = {
+    val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
+      .withColumn("cid_band", band(col("cid")))
+      .localCheckpoint(true)
+    val ids = inc.select(col("id")).distinct()
+    val cb = codesWithBand()
+    val newBands = inc.select(col("cid_band")).distinct()
+      .collect().map(_.getInt(0))
+    val oldBands = cb.select(col("cid_band"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("cid_band")).distinct().collect().map(_.getInt(0))
+    val touched = (newBands ++ oldBands).distinct.sorted
+    swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
+      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .unionByName(inc)
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")))
+  }
+
+  /** Remove `ids` from the stored code rows — the PQ forget path. No
+    * re-encode: codes are per-vector, so dropping a vector's m rows is
+    * complete removal (cells and codebooks are summaries, untouched
+    * between rebuilds). Only bands holding doomed rows are rewritten;
+    * absent ids are a no-op, so the call is idempotent. */
+  def deleteCodes(ids0: DataFrame): Unit = {
+    val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
+    val cb = codesWithBand()
+    val touched = cb.select(col("cid_band"), col("id"))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
+    swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
+      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_anti")
+        .repartition(col("cid"))
+        .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 }

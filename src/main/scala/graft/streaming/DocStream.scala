@@ -52,6 +52,13 @@ object DocStream {
     * probes only the fraction of the corpus index it can collide with. */
   private[graft] val IndexBuckets = 64
 
+  /** Ceiling on in-batch near-dup PAIRS handed to the driver-side greedy
+    * resolution in [[curateBatch]] — ~32 MB of endpoint longs at the cap.
+    * The greedy MIS is inherently sequential-in-id, so the pairs must
+    * reach one place; the cap turns a pathological batch²-pair batch into
+    * an actionable failure instead of a driver OOM. */
+  private[graft] val MaxInBatchPairs = 2000000
+
   private def withBkt(df: DataFrame): DataFrame =
     df.withColumn("bkt",
       pmod(xxhash64(col("band"), col("bv")), lit(IndexBuckets.toLong))
@@ -280,13 +287,23 @@ object DocStream {
     // the greedy MIS in id order on the driver (edges are near-dup-sparse
     // and batch-bounded — annotated collect)
     val inPlay = banded.join(vsCorpus, Seq("id"), "left_anti")
-    val pairs = inPlay.as("x").join(inPlay.as("y"),
+    // the collect is LIMIT-bounded: banded is already bucket-capped by
+    // simhashBanded(maxBucket), but the default cap is unbounded — a batch
+    // of mutually-near-dup docs (templated pages sharing a band value) is
+    // batch²-pair-shaped, and an unguarded collect would OOM the driver
+    // instead of failing with an actionable message
+    val pairRows = inPlay.as("x").join(inPlay.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.id") < col("y.id"))
       .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
         <= maxHamming)
       .select(col("x.id"), col("y.id")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .limit(MaxInBatchPairs + 1).collect()
+    require(pairRows.length <= MaxInBatchPairs,
+      s"over $MaxInBatchPairs in-batch near-dup pairs — the batch is " +
+        "pathologically self-similar; lower the batch size or set " +
+        "maxBucket to cap posting lists before the driver-side resolution")
+    val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1)))
     // only PAIR ENDPOINTS need the sequential resolution — every other
     // in-play doc has no in-batch collision and is admitted outright, so
     // nothing batch-sized ever reaches the driver

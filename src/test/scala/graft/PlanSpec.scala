@@ -159,6 +159,27 @@ class PlanSpec extends SparkSpec {
       "tokenize stage leaked into the online sparse plan")
   }
 
+  test("q158 stored hybrid: BOTH arms are index scans — no build stage") {
+    // the production serving shape: the dense arm reads the stored
+    // centroid grid + posting lists, the sparse arm the stored posting +
+    // norm relations; document TEXT is never scanned, no k-means seed
+    // draw and no tokenize stage anywhere in the fused online plan
+    val p = graft.queries.Curation.q158HybridStoredRrf(spark, dir)
+      .queryExecution.executedPlan
+    val scans = walkPlan(p).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("graft_vindex")) >= 4,
+      s"expected centroid+posting and posting+norm index scans: $scans")
+    assert(!scans.exists(_.contains("documents")),
+      s"document text leaked into the stored hybrid plan: $scans")
+    assert(!p.toString.contains("token_counts"),
+      "tokenize stage leaked into the stored hybrid plan")
+    assert(!p.toString.contains("md5("),
+      "md5 seed draw (a dense build stage) leaked into the hybrid plan")
+  }
+
   test("no catalog query plans a CartesianProduct; BNLJ only where intended") {
     // The 100 TB safety sweep: a cartesian product anywhere means a join
     // lost its equi-condition; a BroadcastNestedLoopJoin is only acceptable
@@ -185,6 +206,7 @@ class PlanSpec extends SparkSpec {
       "q145_ivf_extend_stored", // broadcast-K stored grid (batch assignment)
       "q146_ivf_pq_build_stored", // broadcast-K cell grid (routing/encode)
       "q147_ivf_pq_search_stored", // broadcast-K STORED cell grid (probe)
+      "q158_hybrid_stored_rrf", // q144's broadcast-K STORED centroid probe (dense arm)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars
       "q115_tv_drift", // broadcast single-row token-totals + tvd scalars
@@ -238,7 +260,9 @@ class PlanSpec extends SparkSpec {
     val allowed = Map(
       // the running vocabulary total runs over the DECILE ROLLUP — at
       // most 10 rows by construction, after the per-term aggregation
-      "q154_vocab_growth" -> "cumulative sum over the <=10-row decile rollup")
+      "q154_vocab_growth" -> "cumulative sum over the <=10-row decile rollup",
+      // the hashed twin shares q154's rollup shape exactly
+      "q159_vocab_growth_hashed" -> "cumulative sum over the <=10-row decile rollup")
     val offenders = catalogPlans.flatMap {
       case (name, plan) if !allowed.contains(name) =>
         walkPlan(plan).collectFirst {

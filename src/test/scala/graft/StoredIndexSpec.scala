@@ -133,6 +133,157 @@ class StoredIndexSpec extends SparkSpec {
     assert(got.nonEmpty && !got.contains(2L) && !got.contains(3L))
   }
 
+  // -------------------------------------------------------------------
+  // round-15 partitioned physical layout + the completed forget paths
+
+  /** (band dir name → sorted (file, length) pairs) for a partitioned
+    * table — the change-detection snapshot the touched-bands assertions
+    * diff. */
+  private def bandFiles(root: String, table: String): Map[String, Seq[(String, Long)]] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$table/*=*"))
+    (if (dirs == null) Array[org.apache.hadoop.fs.FileStatus]() else dirs)
+      .map { d =>
+        d.getPath.getName ->
+          fs.listStatus(d.getPath).filterNot(_.getPath.getName.startsWith("_"))
+            .map(f => (f.getPath.getName, f.getLen)).sortBy(_._1).toSeq
+      }.toMap
+  }
+
+  test("partitioned maintenance rewrites ONLY touched bands") {
+    val root = tmpDir("vidx-bands")
+    val idx = new VectorIndex(spark, root)
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    val before = bandFiles(root, "postings")
+    assert(before.size >= 2, s"need >1 band to prove pruning: $before")
+    // single-vector ingest: exactly one band (the new row's cell band)
+    // may change; every other band dir's files must be byte-identical
+    val one = Seq((500L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfExtendStored(one, "vec_id", "embedding", idx).collect()
+    val after = bandFiles(root, "postings")
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.size == 1, s"one ingest row must touch one band: $changed")
+    assert(idx.readPostings().where(col("id") === 500L).count() == 1)
+    // single-id delete: only the band holding that id changes
+    val before2 = bandFiles(root, "postings")
+    Similarity.ivfDeleteStored(Seq(7L).toDF("id"), idx).collect()
+    val after2 = bandFiles(root, "postings")
+    val changed2 = (before2.keySet ++ after2.keySet)
+      .filter(k => before2.get(k) != after2.get(k))
+    assert(changed2.size == 1, s"one delete id must touch one band: $changed2")
+  }
+
+  test("per-partition crashed swap recovers from the .old marker") {
+    val root = tmpDir("vidx-pcrash")
+    val idx = new VectorIndex(spark, root)
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    val n = idx.readPostings().count()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bands = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/postings/cid_band=*"))
+    assert(bands.nonEmpty)
+    val victim = bands.head.getPath // e.g. postings/cid_band=3
+    // simulate a kill between a band's two renames: live dir moved to the
+    // .old marker, replacement never renamed in
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(
+      s"$root/postings/.old-simcrash-${victim.getName}")))
+    assert(idx.readPostings().count() == n,
+      "read after a crashed band swap must restore the pre-swap rows")
+    // and a stray .tmp dir is swept, not read
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/postings/.tmp-zzz"))
+    assert(idx.readPostings().count() == n)
+  }
+
+  test("stale CONTENT rebuild-gates even when ids are unchanged") {
+    val idx = new VectorIndex(spark, tmpDir("vidx-content"))
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    // same ids, one vector's content edited: count+sum(id) are identical,
+    // so only the content checksum can catch it
+    val edited = emb.select(col("vec_id"),
+      when(col("vec_id") === 3L,
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x + 1f))
+        .otherwise(col("embedding")).as("embedding"))
+    val nrmBefore = idx.readPostings().where(col("id") === 3L)
+      .select(col("nrm")).head().getDouble(0)
+    Similarity.ivfEnsureStored(edited, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true)
+    // rebuild happened: id 3's stored row now carries the EDITED vector's
+    // norm (count and sum(id) were identical, so only the content
+    // checksum in the fingerprint could have caught the staleness)
+    val nrmAfter = idx.readPostings().where(col("id") === 3L)
+      .select(col("nrm")).head().getDouble(0)
+    assert(math.abs(nrmAfter - nrmBefore) > 1e-9,
+      "content edit must trigger a rebuild against the edited corpus")
+  }
+
+  test("PQ extend + delete: keyed, idempotent, bands-confined") {
+    val root = tmpDir("pqidx-lifecycle")
+    val idx = new graft.sources.PqIndex(spark, root)
+    Similarity.ivfPqBuildStored(emb, "vec_id", "embedding",
+      nCells = 5, m = 4, kCodes = 6, scale = 1000000L, index = idx).collect()
+    assert(idx.readCodes().count() == 40 * 4)
+    // ingest clones under offset ids, encoded against the STORED books
+    val batch = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    def pqCensus(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val c1 = pqCensus(Similarity.ivfPqExtendStored(batch, "vec_id",
+      "embedding", m = 4, scale = 1000000L, index = idx))
+    val c2 = pqCensus(Similarity.ivfPqExtendStored(batch, "vec_id",
+      "embedding", m = 4, scale = 1000000L, index = idx))
+    assert(c1 == c2, "re-extending the same batch must be a no-op")
+    assert(c1.map(_._2).sum == 44 * 4, s"44 vectors x 4 code rows: $c1")
+    // the forget path drops exactly the doomed ids' rows, idempotently
+    val d1 = pqCensus(Similarity.ivfPqDeleteStored(
+      Seq(100L, 2L).toDF("id"), idx))
+    assert(d1.map(_._2).sum == 42 * 4)
+    assert(idx.readCodes().where(col("id").isin(100L, 2L)).count() == 0)
+    val d2 = pqCensus(Similarity.ivfPqDeleteStored(
+      Seq(100L, 2L, 9999L).toDF("id"), idx))
+    assert(d2 == d1, "re-deleting (plus a never-present id) is a no-op")
+    // a deleted vector can never be ADC-scored again
+    val got = Similarity.ivfPqSearchStored(emb.where(col("vec_id") =!= 2L),
+      "vec_id", "embedding", nCells = 5, nProbe = 5, m = 4, kCodes = 6,
+      scale = 1000000L, queryPred = col("id") < 4, rerank = 40, k = 40,
+      index = idx).collect().map(_.getLong(2)).toSet
+    assert(got.nonEmpty && !got.contains(2L) && !got.contains(100L))
+  }
+
+  test("text delete: postings + norm rows physically gone, idempotent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"), (2L, "alpha beta delta common"),
+      (3L, "epsilon zeta eta common"), (4L, "theta iota kappa common"),
+      (5L, "alpha kappa zeta common")).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-del"))
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
+      .collect()
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val c1 = census(graft.operators.TfIdf.sparseDeleteStored(
+      Seq(2L).toDF("id"), idx))
+    assert(idx.readPostings().where(col("id") === 2L).count() == 0)
+    assert(idx.readNorms().where(col("id") === 2L).count() == 0)
+    assert(idx.readNorms().count() == 4)
+    // surviving rows keep BUILD-time df (stale-df contract): 'alpha' had
+    // df=3 at build; doc 2's eviction leaves 2 rows still carrying df=3
+    val alpha = idx.readPostings().where(col("term") === "alpha")
+      .select(col("df")).collect().map(_.getLong(0)).toSeq
+    assert(alpha == Seq(3L, 3L), s"stale-df contract: $alpha")
+    val c2 = census(graft.operators.TfIdf.sparseDeleteStored(
+      Seq(2L, 777L).toDF("id"), idx))
+    assert(c2 == c1, "re-deleting (plus a never-present id) is a no-op")
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
