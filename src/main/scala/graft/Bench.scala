@@ -209,9 +209,16 @@ object Bench {
         Double.box(t))).mkString("[", ",", "]")
       s""""$k":$arr"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_metrics.json"),
+    // atomic publish: write-temp + ATOMIC_MOVE, so a reader (or a killed
+    // run) can never observe a half-written metrics file
+    val metricsTmp = java.nio.file.Paths.get(
+      "bench_metrics.json.tmp-" + java.util.UUID.randomUUID())
+    java.nio.file.Files.writeString(metricsTmp,
       line.dropRight(1) + s""","attempts":$att}""" + "\n")
+    java.nio.file.Files.move(metricsTmp,
+      java.nio.file.Paths.get("bench_metrics.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // a subset run must never clobber the full-catalog baseline
     if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1") &&
         subset.isEmpty)

@@ -447,21 +447,32 @@ object Similarity {
     * disk. */
   def ivfExtendStored(newEmb: DataFrame, idCol: String, vecCol: String,
                       index: graft.sources.VectorIndex): DataFrame = {
-    val base = prepared(newEmb, idCol, vecCol)
-    val centroids = index.readCentroids()
-    // the pack radix must cover the STORED grid's cids, not just the batch
-    // ids: cids are corpus vec_ids, and a batch of small ids (re-ingest of
-    // existing docs) under a large-id seed would send (M−1−cid) negative —
-    // the argmax ordering and the mod-M decode silently corrupt. Covering
-    // radix: max(idRadix(batch), max(cid)+1); any M > max(cid) decodes the
-    // same winner, so q145's offset-id batches hash identically.
-    val cMaxRow = centroids.agg(max(col("cid"))).first()
-    val mEx = math.max(idRadix(base),
-      (if (cMaxRow.isNullAt(0)) 0L else cMaxRow.getLong(0)) + 1L)
-    val assigned = assignToCells(base, centroids, mEx)
+    val assigned = assignVectors(newEmb, idCol, vecCol,
+      index.readCentroids())
     index.upsertPostings(
       assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
     ivfCensus(index)
+  }
+
+  /** Assign arbitrary (idCol, vecCol) rows to a STORED centroid grid —
+    * the [[ivfExtendStored]] ingest seam, exposed package-wide so
+    * arrival-time admission ([[graft.streaming.DocStream]]) shares ONE
+    * assignment implementation with the index lifecycle. Returns
+    * (id, cid, v, nrm). The pack radix must cover the STORED grid's
+    * cids, not just the batch ids: cids are corpus vec_ids, and a batch
+    * of small ids (re-ingest of existing docs) under a large-id seed
+    * would send (M−1−cid) negative — the argmax ordering and the mod-M
+    * decode silently corrupt. Covering radix: max(idRadix(batch),
+    * max(cid)+1); any M > max(cid) decodes the same winner, so q145's
+    * offset-id batches hash identically. */
+  private[graft] def assignVectors(newEmb: DataFrame, idCol: String,
+                                   vecCol: String,
+                                   centroids: DataFrame): DataFrame = {
+    val base = prepared(newEmb, idCol, vecCol)
+    val cMaxRow = centroids.agg(max(col("cid"))).first()
+    val mEx = math.max(idRadix(base),
+      (if (cMaxRow.isNullAt(0)) 0L else cMaxRow.getLong(0)) + 1L)
+    assignToCells(base, centroids, mEx)
   }
 
   /** MMR (maximal-marginal-relevance) diverse top-k: per query, greedily

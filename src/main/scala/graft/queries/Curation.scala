@@ -263,14 +263,16 @@ object Curation {
   // when q143/q144 ran first; self-heals otherwise), sparse arm reads
   // q150/q151's "text" TextIndex — the online plan is index scans + keyed
   // joins with NO k-means/tokenize/df stages on EITHER arm (pinned in
-  // PlanSpec). Distinct query set from q138/q144/q151 so the gates stay
-  // independent.
+  // PlanSpec). Distinct CONSTANT-SIZE query set from q138/q144/q151 (the
+  // ANN suite's id-window convention — a modulus pred grows the query
+  // side with the corpus, which multiplies the probed-cell rerank by SF:
+  // measured 121 s at the 100× decade before this was fixed).
   def q158HybridStoredRrf(s: SparkSession, dir: String): DataFrame =
     graft.operators.HybridRetrieval.rrfStored(
       t(s, dir)("embeddings"), "vec_id", "embedding",
       nCentroids = 16, nProbe = 12, Analytics.vindex(s, dir, "base"),
       t(s, dir)("documents"), "doc_id", "text", textIndex(s, dir),
-      maxDf = 400L, queryPred = col("id") % 101 === 7, k = 5,
+      maxDf = 400L, queryPred = col("id") >= 16 && col("id") < 24, k = 5,
       portable = true)
       .orderBy(col("qid"), col("rank"))
 

@@ -354,10 +354,11 @@ object CurationOracles {
     // width, fused by integer reciprocal-rank
     "q158_hybrid_stored_rrf" ->
       s"""WITH ${AnalyticsOracles.vecCtes},
-        |${AnalyticsOracles.ivfCandCtesFor("v.vec_id % 101 = 7", 12)},
+        |${AnalyticsOracles.ivfCandCtesFor(
+             "v.vec_id >= 16 AND v.vec_id < 24", 12)},
         |${AnalyticsOracles.rerankCtes},
         |dense AS (SELECT qid, nid, rank FROM ranked WHERE rank <= 5),
-        |${sparseScoredCtes("q.id % 101 = 7")},
+        |${sparseScoredCtes("q.id >= 16 AND q.id < 24")},
         |sparse AS (
         |  SELECT qid, nid, rank FROM (
         |    SELECT qid, nid,

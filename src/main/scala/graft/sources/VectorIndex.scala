@@ -109,6 +109,16 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     }
   }
 
+  /** Partition values currently present on disk — one directory listing,
+    * no data read. Lets a maintenance op skip the prior-rows lookup scan
+    * entirely when the batch's own partitions already cover every live
+    * one (any evicted row necessarily lives in a covered partition). */
+  protected def existingParts(table: String, partCol: String): Set[Int] = {
+    val glob = fs.globStatus(new Path(s"${path(table)}/$partCol=*"))
+    if (glob == null) Set.empty
+    else glob.map(_.getPath.getName.substring(partCol.length + 1).toInt).toSet
+  }
+
   /** Replace ONLY the listed partitions of a partitioned table. `content`
     * must hold the full replacement rows for exactly those partitions
     * (including `partCol`); it may read the live partitions — the single
@@ -219,7 +229,7 @@ final class VectorIndex(spark: SparkSession, root: String)
     swapIn("centroids", centroids, centroidSchema)
     swapIn("postings",
       postings.withColumn("cid_band", band(col("cid")))
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")),
       withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
@@ -246,16 +256,22 @@ final class VectorIndex(spark: SparkSession, root: String)
     val pb = postingsWithBand()
     val newBands = inc.select(col("cid_band")).distinct()
       .collect().map(_.getInt(0))
-    val oldBands = pb.select(col("cid_band"), col("id"))
-      .join(ids, Seq("id"), "left_semi")
-      .select(col("cid_band")).distinct().collect().map(_.getInt(0))
+    // prior rows of re-ingested ids may live in OTHER bands (a moved
+    // vector) — found by an (id, band)-only column scan, skipped when the
+    // batch's own bands already cover every live one
+    val oldBands =
+      if (existingParts("postings", "cid_band").subsetOf(newBands.toSet))
+        Array.empty[Int]
+      else pb.select(col("cid_band"), col("id"))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
     swapPartitions("postings", "cid_band", touched.toIndexedSeq,
       postingSchema,
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 
@@ -278,7 +294,7 @@ final class VectorIndex(spark: SparkSession, root: String)
       postingSchema,
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 }
@@ -336,7 +352,7 @@ final class TextIndex(spark: SparkSession, root: String)
     clearMeta()
     swapIn("postings",
       postings.withColumn("term_bucket", tBucket(col("term")))
-        .repartition(col("term"))
+        .repartition(col("term_bucket"))
         .sortWithinPartitions(col("term_bucket"), col("term")),
       withPart(postingSchema, "term_bucket"),
       partitionBy = Some("term_bucket"))
@@ -382,16 +398,23 @@ final class TextIndex(spark: SparkSession, root: String)
     val pbk = postingsWithBucket()
     val newB = incP.select(col("term_bucket")).distinct()
       .collect().map(_.getInt(0))
-    val oldB = pbk.select(col("term_bucket"), col("id"))
-      .join(ids, Seq("id"), "left_semi")
-      .select(col("term_bucket")).distinct().collect().map(_.getInt(0))
+    // a broad-vocabulary batch (e.g. whole re-posted documents) touches
+    // every bucket by construction — the covered-partitions check makes
+    // that case pay zero lookup cost; the scan only runs for term-narrow
+    // batches, where it is also what makes the rewrite narrow
+    val oldB =
+      if (existingParts("postings", "term_bucket").subsetOf(newB.toSet))
+        Array.empty[Int]
+      else pbk.select(col("term_bucket"), col("id"))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("term_bucket")).distinct().collect().map(_.getInt(0))
     val pTouched = (newB ++ oldB).distinct.sorted
     swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
       postingSchema,
       pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(incP)
-        .repartition(col("term"))
+        .repartition(col("term_bucket"))
         .sortWithinPartitions(col("term_bucket"), col("term")))
   }
 
@@ -413,7 +436,7 @@ final class TextIndex(spark: SparkSession, root: String)
       postingSchema,
       pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .repartition(col("term"))
+        .repartition(col("term_bucket"))
         .sortWithinPartitions(col("term_bucket"), col("term")))
     val nTouched = ids.select(nBucket(col("id")).as("id_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -476,7 +499,7 @@ final class PqIndex(spark: SparkSession, root: String)
     swapIn("codebooks", codebooks, codebookSchema)
     swapIn("codes",
       codes.withColumn("cid_band", band(col("cid")))
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")),
       withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
@@ -497,15 +520,18 @@ final class PqIndex(spark: SparkSession, root: String)
     val cb = codesWithBand()
     val newBands = inc.select(col("cid_band")).distinct()
       .collect().map(_.getInt(0))
-    val oldBands = cb.select(col("cid_band"), col("id"))
-      .join(ids, Seq("id"), "left_semi")
-      .select(col("cid_band")).distinct().collect().map(_.getInt(0))
+    val oldBands =
+      if (existingParts("codes", "cid_band").subsetOf(newBands.toSet))
+        Array.empty[Int]
+      else cb.select(col("cid_band"), col("id"))
+        .join(ids, Seq("id"), "left_semi")
+        .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
     swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 
@@ -523,7 +549,7 @@ final class PqIndex(spark: SparkSession, root: String)
     swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .repartition(col("cid"))
+        .repartition(col("cid_band"))
         .sortWithinPartitions(col("cid_band"), col("cid")))
   }
 }

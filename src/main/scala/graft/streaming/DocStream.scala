@@ -64,6 +64,36 @@ object DocStream {
       pmod(xxhash64(col("band"), col("bv")), lit(IndexBuckets.toLong))
         .cast("int"))
 
+  /** GREEDY-BY-ADMITTED resolution of in-batch near-dup pairs (smaller-id
+    * column first): the larger id of a pair is rejected iff a winner NOT
+    * itself rejected blocks it — the greedy maximal independent set in id
+    * order, which is exactly what makes multi-batch verdicts equal the
+    * single-batch pass on id-ordered splits. Driver-side by necessity
+    * (the MIS is sequential in id); the collect is LIMIT-bounded so a
+    * pathological batch²-pair batch fails with an actionable message
+    * instead of an OOM. Only PAIR ENDPOINTS reach the driver — every
+    * other in-play doc has no in-batch collision and is admitted
+    * outright, so nothing batch-sized crosses. */
+  private def greedyPairRejects(spark: SparkSession,
+                                pairsDf: DataFrame): DataFrame = {
+    val pairRows = pairsDf.limit(MaxInBatchPairs + 1).collect()
+    require(pairRows.length <= MaxInBatchPairs,
+      s"over $MaxInBatchPairs in-batch near-dup pairs — the batch is " +
+        "pathologically self-similar; lower the batch size or cap the " +
+        "candidate buckets before the driver-side resolution")
+    val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1)))
+    val byLoser = pairs.groupBy(_._2) // larger id → its smaller colliders
+    val endpointIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val rejectedSet = scala.collection.mutable.HashSet[Long]()
+    endpointIds.foreach { id =>
+      val blocked = byLoser.getOrElse(id, Array.empty[(Long, Long)])
+        .exists { case (winner, _) => !rejectedSet.contains(winner) }
+      if (blocked) rejectedSet += id
+    }
+    import spark.implicits._
+    rejectedSet.toSeq.toDF("id")
+  }
+
   /** The pruned probe-side scan: only the `bkt` directory partitions this
     * batch's band rows can land in are read. Everything admitBatch needs
     * from the index lives there by construction — a colliding corpus row
@@ -287,36 +317,13 @@ object DocStream {
     // the greedy MIS in id order on the driver (edges are near-dup-sparse
     // and batch-bounded — annotated collect)
     val inPlay = banded.join(vsCorpus, Seq("id"), "left_anti")
-    // the collect is LIMIT-bounded: banded is already bucket-capped by
-    // simhashBanded(maxBucket), but the default cap is unbounded — a batch
-    // of mutually-near-dup docs (templated pages sharing a band value) is
-    // batch²-pair-shaped, and an unguarded collect would OOM the driver
-    // instead of failing with an actionable message
-    val pairRows = inPlay.as("x").join(inPlay.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-        <= maxHamming)
-      .select(col("x.id"), col("y.id")).distinct()
-      .limit(MaxInBatchPairs + 1).collect()
-    require(pairRows.length <= MaxInBatchPairs,
-      s"over $MaxInBatchPairs in-batch near-dup pairs — the batch is " +
-        "pathologically self-similar; lower the batch size or set " +
-        "maxBucket to cap posting lists before the driver-side resolution")
-    val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1)))
-    // only PAIR ENDPOINTS need the sequential resolution — every other
-    // in-play doc has no in-batch collision and is admitted outright, so
-    // nothing batch-sized ever reaches the driver
-    val byLoser = pairs.groupBy(_._2) // larger id → its smaller colliders
-    val endpointIds = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
-    val rejectedSet = scala.collection.mutable.HashSet[Long]()
-    endpointIds.foreach { id =>
-      val blocked = byLoser.getOrElse(id, Array.empty[(Long, Long)])
-        .exists { case (winner, _) => !rejectedSet.contains(winner) }
-      if (blocked) rejectedSet += id
-    }
-    import spark.implicits._
-    val pairRejects = rejectedSet.toSeq.toDF("id")
+    val pairRejects = greedyPairRejects(spark,
+      inPlay.as("x").join(inPlay.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.id") < col("y.id"))
+        .where(bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          <= maxHamming)
+        .select(col("x.id"), col("y.id")).distinct())
     val admittedIds = inPlay.select(col("id")).distinct()
       .join(pairRejects, Seq("id"), "left_anti")
       .localCheckpoint(true)
@@ -345,6 +352,131 @@ object DocStream {
       .select(col("doc_id"),
         coalesce(col("v1"), col("v2"), col("v4"), lit("near_dup"))
           .as("verdict"))
+  }
+
+  /** One micro-batch of ARRIVAL-TIME EMBEDDING admission against (and
+    * update of) `stateDir/emb` — the semantic near-dup gate (q95's
+    * SemDeDup decision) made streamable: q95's adaptive cells are
+    * functions of the full survivor set and thus not arrival-
+    * incremental, but a FIXED stored centroid grid (`grid` — e.g. the
+    * q143 offline build, exactly the geometry [[graft.operators.
+    * Similarity.ivfExtendStored]] ingests against between rebuilds) makes
+    * a doc's cell a pure function of its vector, so the verdict depends
+    * only on ADMITTED same-cell docs — which is what makes any
+    * id-ordered multi-batch split reproduce the single-batch verdicts
+    * (pinned in DocStreamSpec, like the simhash chain).
+    *
+    * Admission: reject iff round(cos, 6) ≥ tauPpm/10⁶ against an
+    * ADMITTED same-cell doc (cross-batch: the accumulated cell state;
+    * in-batch: [[greedyPairRejects]]' greedy-by-admitted in id order).
+    * Cells bound the candidate join exactly like q95 — a batch row
+    * scores against its OWN cell's admitted members, never the corpus.
+    * The state dir is partitioned on `cbkt = cid mod [[IndexBuckets]]`,
+    * so the probe prunes to the batch's own cell buckets. Retry-safe
+    * like [[admitBatch]]: probes exclude this batch's own ids, the
+    * append skips them. Cell width grows with the admitted corpus while
+    * the grid is frozen — production re-seeds the grid at each index
+    * rebuild (the same cadence that refreshes IVF centroids).
+    *
+    * Returns (doc_id, verdict ∈ kept | semantic_dup) for every batch
+    * row. */
+  def admitEmbBatch(spark: SparkSession, batch: DataFrame,
+                    grid: graft.sources.VectorIndex, stateDir: String,
+                    tauPpm: Long = 800000L): DataFrame = {
+    val embDir = s"$stateDir/emb"
+    val stats = batch.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("doc_id").isNull || col("embedding").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("bad"),
+      countDistinct(col("doc_id")).as("ids")).first()
+    if (stats.getLong(0) == 0)
+      return batch.select(col("doc_id"), lit("kept").as("verdict")).limit(0)
+    require(stats.getLong(1) == 0,
+      s"${stats.getLong(1)} rows with null doc_id/embedding — refusing " +
+        "to drop silently")
+    require(stats.getLong(2) == stats.getLong(0),
+      s"duplicate doc_id in batch (${stats.getLong(0)} rows, " +
+        s"${stats.getLong(2)} ids) — dedup upstream")
+
+    // ONE assignment implementation with the index lifecycle (covering-
+    // radix decimal-packed argmax); batch-sized, consumed by the probe,
+    // the pair join, and the state append
+    val assigned = graft.operators.Similarity
+      .assignVectors(batch, "doc_id", "embedding", grid.readCentroids())
+      .withColumn("cbkt",
+        pmod(col("cid"), lit(IndexBuckets.toLong)).cast("int"))
+      .localCheckpoint(true)
+    val cbkts = assigned.select(col("cbkt")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stateRaw: DataFrame =
+      if (fs.exists(new Path(embDir)))
+        spark.read.parquet(embDir).where(col("cbkt").isin(cbkts: _*))
+      else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), assigned.schema)
+    val batchIds = assigned.select(col("id")).distinct()
+    // retry idempotence: the probe never sees this batch's own prior-
+    // attempt rows; the write-skip below still needs them (stateRaw)
+    val ledger = stateRaw.join(batchIds, Seq("id"), "left_anti")
+
+    def simPpm(a: String, b: String) =
+      (round(call_function("dot_product", col(s"$a.v"), col(s"$b.v"))
+        / (col(s"$a.nrm") * col(s"$b.nrm")), 6) * 1000000).cast("long")
+    val vsCorpus = assigned.as("n")
+      .join(ledger.as("o"), col("n.cid") === col("o.cid"))
+      .where(simPpm("n", "o") >= tauPpm)
+      .select(col("n.id").as("id")).distinct()
+    val inPlay = assigned.join(vsCorpus, Seq("id"), "left_anti")
+    val pairRejects = greedyPairRejects(spark,
+      inPlay.as("x").join(inPlay.as("y"),
+          col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+        .where(simPpm("x", "y") >= tauPpm)
+        .select(col("x.id"), col("y.id")).distinct())
+    val admittedIds = inPlay.select(col("id")).distinct()
+      .join(pairRejects, Seq("id"), "left_anti")
+      .localCheckpoint(true) // consumed by the append and the verdicts
+
+    if (admittedIds.count() > 0)
+      assigned.join(admittedIds, "id")
+        .join(stateRaw.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .select(col("cbkt"), col("cid"), col("id"), col("v"), col("nrm"))
+        .write.mode("append").partitionBy("cbkt").parquet(embDir)
+
+    batch.select(col("doc_id"))
+      .join(admittedIds.withColumnRenamed("id", "doc_id")
+        .withColumn("k", lit("kept")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("k"), lit("semantic_dup")).as("verdict"))
+  }
+
+  /** The FULL arrival-time curation ladder — [[curateBatch]]'s
+    * quality → exact → text-near-dup stages plus the embedding gate
+    * q127's batch ladder runs as its final stage: text-kept docs flow
+    * through [[admitEmbBatch]] against the stored grid, and its rejects
+    * read `semantic_dup` (every earlier verdict passes through
+    * untouched). Batches carry (doc_id, text, embedding); both state
+    * families live under `stateDir` and both components are retry-safe,
+    * so the composition is too. */
+  def curateBatchFull(spark: SparkSession, batch: DataFrame,
+                      grid: graft.sources.VectorIndex, stateDir: String,
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue,
+                      tauPpm: Long = 800000L): DataFrame = {
+    val textVerdicts = curateBatch(spark,
+      batch.select(col("doc_id"), col("text")), stateDir, maxHamming,
+      maxBucket).localCheckpoint(true) // consumed by the gate + the union
+    val embVerdicts = admitEmbBatch(spark,
+      batch.join(textVerdicts.where(col("verdict") === "kept")
+          .select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("embedding")),
+      grid, stateDir, tauPpm)
+    textVerdicts.as("t")
+      .join(embVerdicts.as("e").withColumnRenamed("verdict", "ev"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("verdict") === "kept", coalesce(col("ev"), col("verdict")))
+          .otherwise(col("verdict")).as("verdict"))
   }
 
   /** Streaming wrapper for [[curateBatch]]: JSON-lines docs in

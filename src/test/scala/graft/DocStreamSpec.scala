@@ -374,4 +374,101 @@ class DocStreamSpec extends SparkSpec {
     assert(got == Map(2L -> "kept", 3L -> "quality_drop",
       10L -> "exact_dup", 11L -> "near_dup"))
   }
+
+  // -------------------------------------------------------------------
+  // round 15: arrival-time EMBEDDING admission against a stored grid
+
+  /** Fixed grid: two orthogonal anchors — every fixture vector's cell is
+    * unambiguous. */
+  private def buildGrid(name: String): graft.sources.VectorIndex = {
+    val grid = new graft.sources.VectorIndex(spark, tmpDir(name))
+    graft.operators.Similarity.ivfBuildStored(
+      Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", nCentroids = 2, index = grid, portable = true)
+      .collect()
+    grid
+  }
+
+  // chain at τ = 0.93: cos(A,B) = cos(B,C) = 0.962964 ≥ τ,
+  // cos(A,C) = 0.854599 < τ; D sits in the other anchor's cell
+  private val embA = Seq(1f, 0f, 0.28f, 0f)
+  private val embB = Seq(1f, 0f, 0f, 0f)
+  private val embC = Seq(1f, 0f, -0.28f, 0f)
+  private val embD = Seq(0f, 1f, 0f, 0.2f)
+
+  private def embVerdicts(rows: Seq[(Long, Seq[Float])],
+                          grid: graft.sources.VectorIndex, st: String,
+                          splits: Seq[Seq[Long]]): Map[Long, String] =
+    splits.flatMap { ids =>
+      val keep = ids.toSet
+      DocStream.admitEmbBatch(spark,
+          rows.filter(r => keep(r._1)).toDF("doc_id", "embedding"),
+          grid, st, tauPpm = 930000L)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+    }.toMap
+
+  test("admitEmbBatch: multi-batch ≡ single-batch; greedy-by-admitted chain") {
+    val rows = Seq((10L, embA), (11L, embB), (12L, embC), (13L, embD))
+    // 10 kept; 11 rejected vs admitted 10; 12 KEPT — its only collider 11
+    // was itself rejected and cos(10,12) is under τ (the greedy-by-
+    // admitted signature the simhash chain test pins for text)
+    val expected = Map(10L -> "kept", 11L -> "semantic_dup",
+      12L -> "kept", 13L -> "kept")
+    val single = embVerdicts(rows, buildGrid("emb-grid-s"),
+      tmpDir("emb-single") + "/st", Seq(rows.map(_._1)))
+    val multi = embVerdicts(rows, buildGrid("emb-grid-m"),
+      tmpDir("emb-multi") + "/st", Seq(Seq(10L, 11L), Seq(12L, 13L)))
+    assert(single == expected, s"single-batch: $single")
+    assert(multi == single, s"multi-batch diverged: $multi vs $single")
+  }
+
+  test("admitEmbBatch: retry repeats decisions; state gates later batches") {
+    val grid = buildGrid("emb-grid-r")
+    val st = tmpDir("emb-retry") + "/st"
+    val b = Seq((10L, embA), (11L, embB)).toDF("doc_id", "embedding")
+    val first = DocStream.admitEmbBatch(spark, b, grid, st, 930000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == Map(10L -> "kept", 11L -> "semantic_dup"))
+    val retry = DocStream.admitEmbBatch(spark, b, grid, st, 930000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(retry == first, "retry must reproduce, not self-reject")
+    val state = spark.read.parquet(s"$st/emb")
+    assert(state.count() == state.distinct().count() && state.count() == 1)
+    // the accumulated state gates an exact re-arrival under a new id
+    val next = DocStream.admitEmbBatch(spark,
+        Seq((20L, embA)).toDF("doc_id", "embedding"), grid, st, 930000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(20L -> "semantic_dup"))
+  }
+
+  test("curateBatchFull: embedding gate downgrades only text-kept docs") {
+    val grid = buildGrid("emb-grid-f")
+    val st = tmpDir("cur-full") + "/st"
+    val longOk = "completely different content about spark query engines " +
+      "and shuffles here today with more words than the quality gate " +
+      "needs to pass the corpus style threshold"
+    val rows = Seq(
+      (1L, lowQuality, embD),  // quality_drop — never reaches the gate
+      (2L, chainA, embA),      // kept through all four stages
+      (3L, chainA, embB),      // exact_dup — its near-dup embedding must NOT enter state
+      (4L, chainC, embB),      // semantic_dup: text-kept (no text collision
+                               // with admitted chainA), cos(A,B) ≥ τ
+      (5L, longOk, embD))      // kept: other cell
+    def run(ids: Seq[Long], dir: String) = DocStream.curateBatchFull(spark,
+        rows.filter(r => ids.contains(r._1))
+          .toDF("doc_id", "text", "embedding"),
+        grid, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = Map(1L -> "quality_drop", 2L -> "kept",
+      3L -> "exact_dup", 4L -> "semantic_dup", 5L -> "kept")
+    val single = run(rows.map(_._1), st)
+    assert(single == expected, s"single-batch: $single")
+    // id-ordered split reproduces the verdict sequence
+    val st2 = tmpDir("cur-full-multi") + "/st"
+    val multi = Seq(Seq(1L, 2L), Seq(3L, 4L), Seq(5L)).flatMap { ids =>
+      run(ids, st2).toSeq
+    }.toMap
+    assert(multi == single, s"multi-batch diverged: $multi vs $single")
+  }
 }
