@@ -396,9 +396,14 @@ object Similarity {
                      portable: Boolean = false): DataFrame = {
     val (_, centroids, assigned) =
       ivfIndex(emb, idCol, vecCol, nCentroids, kmeansIters, portable)
+    // materialized ONCE before the range-sampled clustered write — the
+    // sampling pass would otherwise re-run the corpus-wide assignment
+    val posting = assigned
+      .select(col("cid"), col("id"), col("v"), col("nrm"))
+      .localCheckpoint(true)
     index.writeIndex(
       centroids.select(col("cid"), col("cv"), col("cn")),
-      assigned.select(col("cid"), col("id"), col("v"), col("nrm")),
+      posting,
       indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable))
     ivfCensus(index)
   }
@@ -961,11 +966,18 @@ object Similarity {
                        index: graft.sources.PqIndex): DataFrame = {
     val (_, cells, assigned, subC, codes, _) =
       ivfPqIndex(emb, idCol, vecCol, nCells, m, kCodes, scale)
+    // materialized ONCE: the code relation feeds the range-partitioner's
+    // sampling pass AND the clustered shuffle — unmaterialized, the
+    // whole-corpus encode argmin (the build's dominant cost) would run
+    // twice
+    val codesCid = codes.join(assigned.select(col("id"), col("cid")),
+        Seq("id"))
+      .select(col("cid"), col("id"), col("s"), col("code"))
+      .localCheckpoint(true)
     index.writeIndex(
       cells.select(col("cid"), col("cv")),
       subC.select(col("s"), col("ccid"), col("csub")),
-      codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
-        .select(col("cid"), col("id"), col("s"), col("code")),
+      codesCid,
       pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale))
     pqCensus(index)
   }

@@ -312,9 +312,15 @@ object TfIdf {
       .select(col("id"), col("tc.term").as("term"),
         col("tc.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // materialized ONCE: the weight relation feeds the norms write, the
+    // range-partitioner's SAMPLING pass, and the postings shuffle — an
+    // unmaterialized plan would re-run the tokenize → tf → df pipeline
+    // three times (the inline path's localCheckpoint lesson, applied to
+    // the offline build)
     val w = tf.join(dfreq, "term")
       .select(col("term"), col("id"), col("df"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
+      .localCheckpoint(true)
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
     index.writeIndex(w, n2, textMeta(docs, idCol, textCol, idfScale))

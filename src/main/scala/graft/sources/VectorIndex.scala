@@ -109,27 +109,27 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     }
   }
 
-  /** Partition-clustered shuffle for a partitioned-table write: rows
-    * hash to `shufflePartitions / nParts` sub-splits WITHIN their
-    * physical partition, then sort (partition, key) within tasks — so a
-    * write keeps full cluster parallelism (the flat
-    * `repartition(partCol)` variant collapsed the 1000× text-postings
-    * build to 16 tasks, 51 s → 146 s) while each partition dir still
-    * gets few, key-sorted files (the flat `repartition(key)` variant
-    * scattered every partition across every task — up to
-    * tasks-per-band files, which the next maintenance read pays for).
-    * Sorting leads with the partition column, which satisfies the
-    * dynamic-partition writer's ordering requirement — no extra
-    * (unstable) sort node that would break the key run lengths. */
+  /** Partition-clustered, row-balanced shuffle for a partitioned-table
+    * write: RANGE-partition on (partCol, sortKey, spreadKey) — every
+    * task gets a contiguous, row-balanced slice, so full cluster
+    * parallelism with zero hash-collision skew — then sort
+    * (partCol, sortKey) within tasks. Three write layouts lost A/Bs to
+    * this one: `repartition(dataKey)` scatters every dir across every
+    * task (tasks-per-dir small files the next maintenance read pays
+    * for); `repartition(partCol)` collapses to nParts tasks (the 1000×
+    * text build tripled); hash on a partCol×subs composite throws ~256
+    * balls into 256 bins — a third of the tasks empty, the loaded ones
+    * 2–3×. The spread key (member id / term) gives ranges a
+    * high-cardinality tiebreak so even a single hot partition value
+    * splits across tasks; each dir still receives ~tasks/nParts
+    * contiguous key-sorted files, and the leading partCol sort
+    * satisfies the dynamic-partition writer's ordering requirement —
+    * no extra (unstable) sort node to break the key run lengths. */
   protected def clusteredFor(df: DataFrame, partCol: String,
-                             sortKey: Column, spreadKey: Column,
-                             nParts: Int): DataFrame = {
-    val subs = math.max(1,
-      spark.sessionState.conf.numShufflePartitions / nParts)
-    df.repartition(col(partCol) * subs
-        + pmod(xxhash64(spreadKey), lit(subs.toLong)).cast("int"))
+                             sortKey: Column,
+                             spreadKey: Column): DataFrame =
+    df.repartitionByRange(col(partCol), sortKey, spreadKey)
       .sortWithinPartitions(col(partCol), sortKey)
-  }
 
   /** Partition values currently present on disk — one directory listing,
     * no data read. Lets a maintenance op skip the prior-rows lookup scan
@@ -251,7 +251,7 @@ final class VectorIndex(spark: SparkSession, root: String)
     swapIn("centroids", centroids, centroidSchema)
     swapIn("postings",
       postings.withColumn("cid_band", band(col("cid")))
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), PostingBands)),
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
   }
@@ -292,7 +292,7 @@ final class VectorIndex(spark: SparkSession, root: String)
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), PostingBands)))
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
   }
 
   /** Remove `ids` (one column, `id`) from the posting lists — the
@@ -314,7 +314,7 @@ final class VectorIndex(spark: SparkSession, root: String)
       postingSchema,
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), PostingBands)))
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
   }
 }
 
@@ -371,12 +371,12 @@ final class TextIndex(spark: SparkSession, root: String)
     clearMeta()
     swapIn("postings",
       postings.withColumn("term_bucket", tBucket(col("term")))
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("term"), TermBuckets)),
+        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))),
       withPart(postingSchema, "term_bucket"),
       partitionBy = Some("term_bucket"))
     swapIn("norms",
       norms.withColumn("id_bucket", nBucket(col("id")))
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"), TermBuckets)),
+        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
       withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))
     publishMeta(meta)
   }
@@ -409,7 +409,7 @@ final class TextIndex(spark: SparkSession, root: String)
       nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
         .join(incN.select(col("id")).distinct(), Seq("id"), "left_anti")
         .unionByName(incN)
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"), TermBuckets)))
+        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
 
     val pbk = postingsWithBucket()
     val newB = incP.select(col("term_bucket")).distinct()
@@ -430,7 +430,7 @@ final class TextIndex(spark: SparkSession, root: String)
       pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(incP)
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("term"), TermBuckets)))
+        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
   }
 
   /** Remove documents from the index — the text-side forget path: drop
@@ -451,14 +451,14 @@ final class TextIndex(spark: SparkSession, root: String)
       postingSchema,
       pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("term"), TermBuckets)))
+        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
     val nTouched = ids.select(nBucket(col("id")).as("id_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val nb = normsWithBucket()
     swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
       nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"), TermBuckets)))
+        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
   }
 }
 
@@ -512,7 +512,7 @@ final class PqIndex(spark: SparkSession, root: String)
     swapIn("codebooks", codebooks, codebookSchema)
     swapIn("codes",
       codes.withColumn("cid_band", band(col("cid")))
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), CodeBands)),
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
   }
@@ -543,7 +543,7 @@ final class PqIndex(spark: SparkSession, root: String)
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), CodeBands)))
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
   }
 
   /** Remove `ids` from the stored code rows — the PQ forget path. No
@@ -560,6 +560,6 @@ final class PqIndex(spark: SparkSession, root: String)
     swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"), CodeBands)))
+        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
   }
 }
