@@ -505,18 +505,54 @@ object Similarity {
   def mmrDiverseTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, shortlist: Int, k: Int,
                      lambdaPct: Int): DataFrame = {
-    require(k >= 1 && shortlist >= k,
-      s"need shortlist >= k >= 1, got shortlist=$shortlist k=$k")
+    require(shortlist >= k,
+      s"need shortlist >= k, got shortlist=$shortlist k=$k")
+    val base = prepared(emb, idCol, vecCol)
+    mmrSelect(
+      bruteForceTopK(emb, idCol, vecCol, queryPred, shortlist)
+        .select(col("qid"), col("nid"), mmrPpm(col("sim")).as("rel")),
+      base.select(col("id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn")),
+      k, lambdaPct)
+  }
+
+  /** MMR served END TO END from a stored index — the production serving
+    * stack: the relevance shortlist is [[ivfSearchStored]] (index scans
+    * only, no build stages) and the diversity stage's pair vectors come
+    * from the INDEX's own posting lists, so the corpus is touched only
+    * for the query vectors. Same greedy core as [[mmrDiverseTopK]] —
+    * the two cannot drift — and the same integer ppm arithmetic, so the
+    * full trajectory hash-matches its SQL twin. */
+  def mmrDiverseTopKStored(emb: DataFrame, idCol: String, vecCol: String,
+                           nCentroids: Int, nProbe: Int, queryPred: Column,
+                           shortlist: Int, k: Int, lambdaPct: Int,
+                           index: graft.sources.VectorIndex,
+                           portable: Boolean = false): DataFrame = {
+    require(shortlist >= k,
+      s"need shortlist >= k, got shortlist=$shortlist k=$k")
+    mmrSelect(
+      ivfSearchStored(emb, idCol, vecCol, nCentroids, nProbe, queryPred,
+          shortlist, index, portable = portable)
+        .select(col("qid"), col("nid"), mmrPpm(col("sim")).as("rel")),
+      index.readPostings().select(col("id").as("nid"), col("v").as("nv"),
+        col("nrm").as("nn")),
+      k, lambdaPct)
+  }
+
+  private def mmrPpm(c: Column): Column = round(c * 1000000).cast("long")
+
+  /** The greedy MMR core over ANY (qid, nid, rel-ppm) shortlist and ANY
+    * (nid, nv, nn) vector source — the composition seam that lets the
+    * shortlist come from brute force, a stored index, or any future
+    * ranker without touching the selection semantics. */
+  private def mmrSelect(rel0: DataFrame, vecs: DataFrame, k: Int,
+                        lambdaPct: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       s"lambdaPct must be a percentage, got $lambdaPct")
-    def ppm(c: Column): Column = round(c * 1000000).cast("long")
-    val base = prepared(emb, idCol, vecCol)
-    val rel = bruteForceTopK(emb, idCol, vecCol, queryPred, shortlist)
-      .select(col("qid"), col("nid"), ppm(col("sim")).as("rel"))
-      .localCheckpoint()
-    val withV = rel.select(col("qid"), col("nid"))
-      .join(base.select(col("id").as("nid"), col("v").as("nv"),
-        col("nrm").as("nn")), "nid")
+    def ppm(c: Column): Column = mmrPpm(c)
+    val rel = rel0.localCheckpoint()
+    val withV = rel.select(col("qid"), col("nid")).join(vecs, "nid")
     val pairSims = withV.as("x")
       .join(withV.as("y"),
         col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
@@ -525,7 +561,7 @@ object Similarity {
         ppm(round(dotFast(col("x.nv"), col("y.nv"))
           / (col("x.nn") * col("y.nn")), 6)).as("psim"))
       .localCheckpoint()
-    val spark = emb.sparkSession
+    val spark = rel.sparkSession
     val empty = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(

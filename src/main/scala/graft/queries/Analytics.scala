@@ -270,6 +270,21 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  // MMR served end to end from the STORED index (q153's serving twin,
+  // the full production stack): the relevance shortlist is
+  // ivfSearchStored over q143's "base" grid — index scans only — and
+  // the diversity stage's pair vectors come from the index's own
+  // posting lists, so the corpus is touched only for the 8 query
+  // vectors. Query window 24..32 keeps every stored-search gate
+  // independent (q144 owns 8..16, q158 16..24).
+  def q160MmrStored(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrDiverseTopKStored(t(s, dir)("embeddings"), "vec_id",
+      "embedding", nCentroids = 16, nProbe = 12,
+      queryPred = col("id") >= 24 && col("id") < 32, shortlist = 12,
+      k = 5, lambdaPct = 70, index = vindex(s, dir, "base"),
+      portable = true)
+      .orderBy(col("qid"), col("rank"))
+
   // Language-ID heuristic.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")

@@ -294,6 +294,36 @@ object AnalyticsOracles {
          |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, score
          |FROM sel5 ORDER BY qid, rank""".stripMargin,
 
+    // stored-index MMR replayed: the shortlist is the shared IVF
+    // candidate + rerank chain at q160's own query window and probe
+    // width (the q144 recipe), pair sims over the full vectors, then
+    // the SAME five generated greedy rounds as q153
+    "q160_mmr_stored" ->
+      s"""WITH $vecCtes,
+         |${ivfCandCtesFor("v.vec_id >= 24 AND v.vec_id < 32", 12)},
+         |$rerankCtes,
+         |relp AS (
+         |  SELECT qid, nid, CAST(round(sim * 1000000) AS BIGINT) AS rel
+         |  FROM ranked WHERE rank <= 12),
+         |ps AS (
+         |  SELECT a.qid, a.nid, b.nid AS other,
+         |    CAST(round(round(list_dot_product(va.vv, vb.vv)
+         |           / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS psim
+         |  FROM relp a
+         |  JOIN relp b ON b.qid = a.qid AND b.nid <> a.nid
+         |  JOIN v va ON va.vec_id = a.nid
+         |  JOIN v vb ON vb.vec_id = b.nid
+         |  JOIN n na ON na.vec_id = a.nid
+         |  JOIN n nb ON nb.vec_id = b.nid),
+         |sel0 AS (
+         |  SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid,
+         |    0 AS rank, CAST(0 AS BIGINT) AS score
+         |  WHERE false),
+         |${(1 to 5).map(r => mmrRound(s"sel${r - 1}", s"sel$r", r))
+            .mkString(",\n")}
+         |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, score
+         |FROM sel5 ORDER BY qid, rank""".stripMargin,
+
     // exact-substring span coverage replayed: positional 5-way self-join
     // builds the sliding 5-gram, the SAME md5 key, cross-doc = min≠max
     // doc per key, interval-union coverage via the lag sweep

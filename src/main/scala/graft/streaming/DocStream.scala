@@ -510,6 +510,42 @@ object DocStream {
     q
   }
 
+  /** Streaming wrapper for [[curateBatchFull]] — the four-stage ladder
+    * over a feed carrying embeddings: JSON-lines docs
+    * (doc_id, text, embedding float[]) in `stagingDir`, per-batch
+    * verdict parquet under `outDir/batch=<id>` (overwrite → exactly-once
+    * per batch id), all three state families (fingerprint ledger, band
+    * index, embedding cells) under `stateDir`; the semantic gate probes
+    * `grid`'s stored centroid geometry. Same FAILFAST + dropDuplicates
+    * discipline as [[runCuration]]. */
+  def runCurationFull(spark: SparkSession, stagingDir: String,
+                      grid: graft.sources.VectorIndex, stateDir: String,
+                      outDir: String, checkpointDir: String,
+                      maxHamming: Int = 3,
+                      maxBucket: Int = Int.MaxValue,
+                      tauPpm: Long = 800000L): StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("embedding", ArrayType(FloatType))))
+    val q = spark.readStream.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(stagingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatchFull(spark, batch.dropDuplicates("doc_id"),
+          grid, stateDir, maxHamming, maxBucket, tauPpm)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
   /** Crash recovery for [[compactIndex]]'s two-rename window (same shape
     * as TableStore.recoverSwap): a kill between `index→old` and
     * `compact→index` leaves the index ABSENT with a complete `.old-*`

@@ -471,4 +471,37 @@ class DocStreamSpec extends SparkSpec {
     }.toMap
     assert(multi == single, s"multi-batch diverged: $multi vs $single")
   }
+
+  test("runCurationFull: four-stage verdicts land through staging + checkpoint") {
+    val grid = buildGrid("emb-grid-run")
+    val staging = tmpDir("curf-staging")
+    val st = tmpDir("curf-state") + "/st"
+    val out = tmpDir("curf-out")
+    val ckpt = tmpDir("curf-ckpt")
+    def stage(name: String, rows: Seq[(Long, String, Seq[Float])]): Unit = {
+      val tmp = tmpDir(s"curf-wave-$name")
+      rows.toDF("doc_id", "text", "embedding").coalesce(1)
+        .write.mode("overwrite").json(tmp)
+      scala.util.Using.resource(
+        java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { s =>
+        s.filter(_.toString.endsWith(".json")).forEachOrdered(p =>
+          java.nio.file.Files.copy(p,
+            java.nio.file.Paths.get(staging, s"$name.json")))
+      }
+    }
+    val longOk = "completely different content about spark query engines " +
+      "and shuffles here today with more words than the quality gate " +
+      "needs to pass the corpus style threshold"
+    stage("w1", Seq((2L, chainA, embA), (3L, lowQuality, embD)))
+    DocStream.runCurationFull(spark, staging, grid, st, out, ckpt)
+    // wave 2: a text near-dup, an embedding near-dup of admitted 2, and
+    // a doc clean on every stage
+    stage("w2", Seq((10L, chainB, embD), (11L, chainC, embB),
+      (12L, longOk, embD)))
+    DocStream.runCurationFull(spark, staging, grid, st, out, ckpt)
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "kept", 3L -> "quality_drop",
+      10L -> "near_dup", 11L -> "semantic_dup", 12L -> "kept"), s"$got")
+  }
 }
