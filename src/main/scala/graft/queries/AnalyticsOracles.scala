@@ -302,10 +302,10 @@ object AnalyticsOracles {
       s"""WITH $vecCtes,
          |${ivfCandCtesFor("v.vec_id >= 24 AND v.vec_id < 32", 12)},
          |$rerankCtes,
-         |relp AS (
+         |relp AS MATERIALIZED (
          |  SELECT qid, nid, CAST(round(sim * 1000000) AS BIGINT) AS rel
          |  FROM ranked WHERE rank <= 12),
-         |ps AS (
+         |ps AS MATERIALIZED (
          |  SELECT a.qid, a.nid, b.nid AS other,
          |    CAST(round(round(list_dot_product(va.vv, vb.vv)
          |           / (na.nrm * nb.nrm), 6) * 1000000) AS BIGINT) AS psim
