@@ -459,6 +459,27 @@ object Similarity {
     ivfCensus(index)
   }
 
+  /** O(batch) INGEST for genuinely-new ids — [[ivfExtendStored]] without
+    * the eviction rewrite: the batch assigns to the stored grid and its
+    * files APPEND inside the touched cid bands (LSM/segment style — no
+    * existing index byte is read or rewritten beyond one id-column
+    * presence scan, which is also what makes a crash-interrupted
+    * append's retry idempotent). The common-crawl ingest case at 100 TB:
+    * new documents vastly outnumber re-ingests, and this path makes
+    * them cost O(batch) instead of O(touched bands). Periodic
+    * [[graft.sources.VectorIndex.compactPostings]] folds the
+    * accumulated files back; a changed vector under an existing id must
+    * use [[ivfExtendStored]]. Returns the per-cell census read back
+    * from disk. */
+  def ivfAppendStored(newEmb: DataFrame, idCol: String, vecCol: String,
+                      index: graft.sources.VectorIndex): DataFrame = {
+    val assigned = assignVectors(newEmb, idCol, vecCol,
+      index.readCentroids())
+    index.appendPostings(
+      assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
+    ivfCensus(index)
+  }
+
   /** Assign arbitrary (idCol, vecCol) rows to a STORED centroid grid —
     * the [[ivfExtendStored]] ingest seam, exposed package-wide so
     * arrival-time admission ([[graft.streaming.DocStream]]) shares ONE

@@ -397,6 +397,41 @@ object TfIdf {
     sparseCensus(index)
   }
 
+  /** O(batch) text ingest for genuinely-new doc ids —
+    * [[sparseExtendStored]] without the eviction rewrite, under the same
+    * STALE-IDF contract (batch weights from the stored df, unseen terms
+    * df = 1): the batch's posting and norm files APPEND inside their
+    * buckets. This is the path that matters for text: a whole-document
+    * batch's terms hash into EVERY bucket, so the keyed upsert is a
+    * full index rewrite by construction, while the append writes
+    * exactly the batch's rows. Re-posted ids must use
+    * [[sparseExtendStored]]; periodic
+    * [[graft.sources.TextIndex.compact]] folds the files back. Returns
+    * the per-df census read back from disk. */
+  def sparseAppendStored(newDocs: DataFrame, idCol: String, textCol: String,
+                         index: graft.sources.TextIndex,
+                         idfScale: Long = 10000L): DataFrame = {
+    val tf = newDocs
+      .select(col(idCol).as("id"),
+        explode(graft.functions.TextFunctions.termCounts(
+          tokens(col(textCol)))).as("tc"))
+      .select(col("id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+    val storedDf = index.readPostings()
+      .groupBy(col("term")).agg(max(col("df")).as("df"))
+    // batch-sized materialization before any file lands (the
+    // sparseExtendStored lineage discipline)
+    val w = tf.join(storedDf, Seq("term"), "left")
+      .select(col("term"), col("id"),
+        coalesce(col("df"), lit(1L)).as("df"),
+        (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
+      .localCheckpoint(true)
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    index.appendDocs(w, n2)
+    sparseCensus(index)
+  }
+
   /** ONLINE sparse search over a stored inverted index: the identical
     * candidacy + rescore + rank tail as [[sparseCosineTopK]] (ONE
     * implementation — [[sparseRank]]), but the weight relation and norms

@@ -270,6 +270,26 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  // O(batch) LSM-style APPEND ingest (q145's rewrite-free sibling): a
+  // genuinely-new batch (every 23rd vector negated, ids offset by
+  // max+1 — distinct recipe from q145's %13 so the gates stay
+  // independent) assigns to the STORED grid and its files land INSIDE
+  // the cid bands — no existing byte rewritten. Own index root
+  // ("appendable"). Readout: the per-cell census from disk — identical
+  // by construction to what the upsert path would produce for new ids,
+  // which is exactly what the oracle replays.
+  def q161IvfAppendStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = vindex(s, dir, "appendable")
+    Similarity.ivfEnsureStored(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
+    val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val batch = emb.where(col("vec_id") % 23 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx)
+  }
+
   // MMR served end to end from the STORED index (q153's serving twin,
   // the full production stack): the relevance shortlist is
   // ivfSearchStored over q143's "base" grid — index scans only — and

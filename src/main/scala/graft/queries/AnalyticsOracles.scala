@@ -469,6 +469,35 @@ object AnalyticsOracles {
          |${ivfCandCtesFor("v.vec_id >= 8 AND v.vec_id < 16", 12)},
          |$rerankTail""".stripMargin,
 
+    // O(batch) append: same census semantics as the extend twin at the
+    // %23 batch recipe — the file-level append and the keyed upsert
+    // must be indistinguishable on disk for genuinely-new ids
+    "q161_ivf_append_stored" ->
+      s"""WITH $vecCtes,
+         |$ivfAsgCtes,
+         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+         |newv AS (
+         |  SELECT vec_id + o AS vec_id,
+         |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings, off WHERE vec_id % 23 = 0),
+         |newn AS (
+         |  SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM newv),
+         |nasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT nv.vec_id, s.cid,
+         |      row_number() OVER (PARTITION BY nv.vec_id
+         |        ORDER BY list_dot_product(nv.vv, cv) / (nn.nrm * cn) DESC,
+         |                 s.cid) AS rn
+         |    FROM newv nv JOIN newn nn ON nn.vec_id = nv.vec_id
+         |    CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |allasg AS (
+         |  SELECT vec_id, cid FROM asg
+         |  UNION ALL SELECT vec_id, cid FROM nasg)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin,
+
     // incremental extend: the ingest batch (every 13th vector, elements
     // negated, ids offset by max+1) is assigned to the SAME seed grid —
     // no re-seed — and unioned into the census

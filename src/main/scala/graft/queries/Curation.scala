@@ -276,6 +276,23 @@ object Curation {
       portable = true)
       .orderBy(col("qid"), col("rank"))
 
+  // O(batch) text APPEND ingest (q152's rewrite-free sibling, and the
+  // store where append matters most — a whole-document batch's terms
+  // hash into every bucket, making the keyed upsert a full rewrite by
+  // construction): every 29th doc with a fresh sentinel token, ids
+  // offset by max+1, weighted under the SAME stale-IDF contract, files
+  // landing inside their term buckets. Own root ("texta").
+  def q162SparseAppendStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val idx = textIndex(s, dir, "texta")
+    graft.operators.TfIdf.sparseEnsureStored(docs, "doc_id", "text", idx)
+    val off = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val batch = docs.where(col("doc_id") % 29 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" xfreshtok xfreshtok")).as("text"))
+    graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text", idx)
+  }
+
   // Composed curation pass (q67 extended with the dedup ladder a training
   // corpus actually runs): re-crawl simulation (every 7th doc duplicated
   // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →

@@ -381,6 +381,33 @@ object CurationOracles {
         |  FROM fused) x
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // O(batch) text append: the q152 stale-IDF census semantics at the
+    // %29 batch recipe — append and keyed upsert must be
+    // indistinguishable on disk for genuinely-new doc ids
+    "q162_sparse_append_stored" ->
+      s"""WITH $sparseWeightCtes,
+         |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+         |nstoks AS (
+         |  SELECT doc_id,
+         |    unnest(string_split(text || ' xfreshtok xfreshtok', ' '))
+         |      AS term
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |ntf AS (
+         |  SELECT s.doc_id + o.o AS id, term, count(*) AS tf
+         |  FROM nstoks s CROSS JOIN off o GROUP BY s.doc_id + o.o, term),
+         |bdf AS (SELECT term, max(df) AS df FROM sw GROUP BY term),
+         |nw AS (
+         |  SELECT ntf.term, id, coalesce(bdf.df, 1) AS df,
+         |    tf * (10000 // coalesce(bdf.df, 1)) AS w
+         |  FROM ntf LEFT JOIN bdf ON bdf.term = ntf.term),
+         |allw AS (
+         |  SELECT term, id, df, w FROM sw
+         |  UNION ALL SELECT term, id, df, w FROM nw)
+         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(w) AS BIGINT) AS sum_w
+         |FROM allw GROUP BY df ORDER BY df""".stripMargin,
+
     // stored sparse search at q151's own query set — the SHARED scoring
     // text at a different pred
     "q151_sparse_search_stored" ->

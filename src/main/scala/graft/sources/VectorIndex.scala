@@ -131,6 +131,38 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     df.repartitionByRange(col(partCol), sortKey, spreadKey)
       .sortWithinPartitions(col(partCol), sortKey)
 
+  /** O(batch) file-level append into a partitioned table — the
+    * LSM/segment discipline: `df` (carrying `partCol`) is written into a
+    * dot-tmp dir, then each produced FILE moves into its live partition
+    * dir. No existing byte is read or rewritten; cost is the batch write
+    * plus O(files) renames. File moves are atomic and the writer's part
+    * names are globally unique (UUIDs), so a crash mid-move leaves a
+    * clean prefix of files live — callers make retries idempotent by
+    * filtering to not-yet-present keys first. Appends accumulate small
+    * files; [[swapPartitions]]-based compaction folds them back. */
+  protected def appendFiles(table: String, partCol: String, df: DataFrame,
+                            schema: StructType): Unit = {
+    recoverPartitions(table, partCol)
+    val uuid = java.util.UUID.randomUUID()
+    val tmp = new Path(s"${path(table)}/.tmp-$uuid")
+    val full = withPart(schema, partCol)
+    df.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode("errorifexists").partitionBy(partCol).parquet(tmp.toString)
+    val parts = fs.globStatus(new Path(tmp, s"$partCol=*"))
+    (if (parts == null) Array[org.apache.hadoop.fs.FileStatus]() else parts)
+      .foreach { p =>
+        val dest = new Path(s"${path(table)}/${p.getPath.getName}")
+        if (!fs.exists(dest)) fs.mkdirs(dest)
+        fs.listStatus(p.getPath)
+          .filterNot(_.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
+              s"appendFiles($table): moving ${f.getPath} -> $dest failed")
+          }
+      }
+    fs.delete(tmp, true)
+  }
+
   /** Partition values currently present on disk — one directory listing,
     * no data read. Lets a maintenance op skip the prior-rows lookup scan
     * entirely when the batch's own partitions already cover every live
@@ -295,6 +327,41 @@ final class VectorIndex(spark: SparkSession, root: String)
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
   }
 
+  /** O(batch) ingest for GENUINELY-NEW ids — the LSM/segment-style
+    * append: the batch's posting files land INSIDE their cid bands
+    * without reading or rewriting any existing byte
+    * ([[upsertPostings]]' kept-side rewrite exists to EVICT re-ingested
+    * ids; when there is nothing to evict, the rewrite is pure waste).
+    * Ids already present are filtered out by one (id)-column scan — the
+    * same scan that makes a crash-interrupted append's retry idempotent
+    * (file moves are atomic, so a retry appends exactly the missing
+    * remainder); a CHANGED vector under an existing id must go through
+    * [[upsertPostings]]. Appends accumulate small files per band;
+    * [[compactPostings]] folds them back on the rebuild cadence. */
+  def appendPostings(incoming: DataFrame): Unit = {
+    val inc = incoming
+      .select(col("cid"), col("id"), col("v"), col("nrm"))
+      .withColumn("cid_band", band(col("cid")))
+      .localCheckpoint(true)
+    val fresh = inc.join(postingsWithBand().select(col("id")),
+      Seq("id"), "left_anti")
+    appendFiles("postings", "cid_band",
+      clusteredFor(fresh, "cid_band", col("cid"), col("id")),
+      postingSchema)
+  }
+
+  /** Fold append-accumulated files back into the clustered layout — one
+    * [[swapPartitions]] pass over every live band. A whole-table
+    * maintenance op BY DESIGN (run on the rebuild cadence, not per
+    * batch); rows and censuses are unchanged, file counts drop back to
+    * the build's. */
+  def compactPostings(): Unit = {
+    val parts = existingParts("postings", "cid_band").toSeq.sorted
+    swapPartitions("postings", "cid_band", parts.toIndexedSeq,
+      postingSchema,
+      clusteredFor(postingsWithBand(), "cid_band", col("cid"), col("id")))
+  }
+
   /** Remove `ids` (one column, `id`) from the posting lists — the
     * right-to-be-forgotten path: subsequent searches can never return a
     * deleted id because its vector is physically gone from the inverted
@@ -433,6 +500,53 @@ final class TextIndex(spark: SparkSession, root: String)
         .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
   }
 
+  /** O(batch) ingest for GENUINELY-NEW doc ids ([[VectorIndex.
+    * appendPostings]]' contract for the text store — and the store where
+    * it matters most: a broad-vocabulary batch touches every term
+    * bucket, so the keyed [[upsert]] degenerates to a full rewrite by
+    * construction, while this append writes exactly the batch's rows).
+    * Already-present ids are filtered out (idempotent retries);
+    * re-posted docs must go through [[upsert]] for eviction. */
+  def appendDocs(postings: DataFrame, norms: DataFrame): Unit = {
+    val incP = postings
+      .select(col("term"), col("id"), col("df"), col("w"))
+      .withColumn("term_bucket", tBucket(col("term")))
+      .localCheckpoint(true)
+    val incN = norms.select(col("id"), col("n2"))
+      .withColumn("id_bucket", nBucket(col("id")))
+      .localCheckpoint(true)
+    // each table filters against ITS OWN present ids: a crash between
+    // the two appends must leave the retry appending exactly the missing
+    // table's rows (filtering both against norms would drop the
+    // postings of a batch whose norms landed before the crash)
+    appendFiles("norms", "id_bucket",
+      clusteredFor(
+        incN.join(normsWithBucket().select(col("id")), Seq("id"),
+          "left_anti"),
+        "id_bucket", col("id"), col("id")),
+      normSchema)
+    appendFiles("postings", "term_bucket",
+      clusteredFor(
+        incP.join(postingsWithBucket().select(col("id")).distinct(),
+          Seq("id"), "left_anti"),
+        "term_bucket", col("term"), col("id")),
+      postingSchema)
+  }
+
+  /** [[VectorIndex.compactPostings]] for the text store: fold
+    * append-accumulated files in BOTH tables back into the clustered
+    * layout. */
+  def compact(): Unit = {
+    val pParts = existingParts("postings", "term_bucket").toSeq.sorted
+    swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
+      postingSchema,
+      clusteredFor(postingsWithBucket(), "term_bucket", col("term"),
+        col("id")))
+    val nParts = existingParts("norms", "id_bucket").toSeq.sorted
+    swapPartitions("norms", "id_bucket", nParts.toIndexedSeq, normSchema,
+      clusteredFor(normsWithBucket(), "id_bucket", col("id"), col("id")))
+  }
+
   /** Remove documents from the index — the text-side forget path: drop
     * every posting row of `ids` (wherever their terms hashed — found by
     * an (id, bucket)-only column scan) and their norm rows (buckets
@@ -544,6 +658,27 @@ final class PqIndex(spark: SparkSession, root: String)
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
+  }
+
+  /** O(batch) code ingest for GENUINELY-NEW ids ([[VectorIndex.
+    * appendPostings]]' contract for the compressed store); re-encoded
+    * existing ids must go through [[upsertCodes]] for eviction. */
+  def appendCodes(incoming: DataFrame): Unit = {
+    val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
+      .withColumn("cid_band", band(col("cid")))
+      .localCheckpoint(true)
+    val fresh = inc.join(codesWithBand().select(col("id")).distinct(),
+      Seq("id"), "left_anti")
+    appendFiles("codes", "cid_band",
+      clusteredFor(fresh, "cid_band", col("cid"), col("id")),
+      codeSchema)
+  }
+
+  /** [[VectorIndex.compactPostings]] for the code rows. */
+  def compactCodes(): Unit = {
+    val parts = existingParts("codes", "cid_band").toSeq.sorted
+    swapPartitions("codes", "cid_band", parts.toIndexedSeq, codeSchema,
+      clusteredFor(codesWithBand(), "cid_band", col("cid"), col("id")))
   }
 
   /** Remove `ids` from the stored code rows — the PQ forget path. No

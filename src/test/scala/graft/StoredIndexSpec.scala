@@ -284,6 +284,83 @@ class StoredIndexSpec extends SparkSpec {
     assert(c2 == c1, "re-deleting (plus a never-present id) is a no-op")
   }
 
+  test("append: O(batch) file landing ≡ keyed upsert for new ids; compact folds") {
+    val rootA = tmpDir("vidx-append")
+    val idxA = new VectorIndex(spark, rootA)
+    val idxU = new VectorIndex(spark, tmpDir("vidx-append-twin"))
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idxA, portable = true).collect()
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idxU, portable = true).collect()
+    val batch = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val a1 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding", idxA))
+    val u1 = census(Similarity.ivfExtendStored(batch, "vec_id", "embedding", idxU))
+    assert(a1 == u1, "append and upsert must be disk-indistinguishable " +
+      s"for new ids: $a1 vs $u1")
+    // idempotent: the presence filter makes a re-append a no-op
+    val a2 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding", idxA))
+    assert(a2 == a1)
+    // a mixed batch appends ONLY the genuinely-new id (existing id 0's
+    // row count stays 1 — no duplicate, no eviction)
+    val mixed = emb.where(col("vec_id") === 0L)
+      .unionByName(Seq((300L, Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"))
+    Similarity.ivfAppendStored(mixed, "vec_id", "embedding", idxA).collect()
+    assert(idxA.readPostings().where(col("id") === 0L).count() == 1)
+    assert(idxA.readPostings().where(col("id") === 300L).count() == 1)
+    // compaction: row set identical, file count back down
+    def files(root: String) = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/postings/cid_band=*/*")).length
+    }
+    val before = idxA.readPostings().collect().toSet
+    val filesBefore = files(rootA)
+    idxA.compactPostings()
+    assert(idxA.readPostings().collect().toSet == before,
+      "compaction must preserve the row set byte for byte")
+    assert(files(rootA) <= filesBefore,
+      s"compaction must not grow the file count: $filesBefore -> ${files(rootA)}")
+    // search over the appended+compacted index still never fabricates
+    val got = Similarity.ivfSearchStored(emb, "vec_id", "embedding",
+        nCentroids = 5, nProbe = 5, queryPred = col("id") < 2, k = 50,
+        index = idxA, portable = true)
+      .collect().map(_.getLong(2)).toSet
+    assert(got.nonEmpty)
+  }
+
+  test("text append ≡ upsert for new docs; compact preserves both tables") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"), (2L, "alpha beta delta common"),
+      (3L, "epsilon zeta eta common"), (4L, "theta iota kappa common"))
+      .toDF("doc_id", "text")
+    val idxA = new graft.sources.TextIndex(spark, tmpDir("tidx-app"))
+    val idxU = new graft.sources.TextIndex(spark, tmpDir("tidx-app-twin"))
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idxA)
+      .collect()
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idxU)
+      .collect()
+    val batch = Seq((10L, "alpha omega fresh common")).toDF("doc_id", "text")
+    def cens(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = cens(graft.operators.TfIdf.sparseAppendStored(batch, "doc_id",
+      "text", idxA))
+    val u = cens(graft.operators.TfIdf.sparseExtendStored(batch, "doc_id",
+      "text", idxU))
+    assert(a == u, s"append ≡ upsert for a new doc: $a vs $u")
+    assert(cens(graft.operators.TfIdf.sparseAppendStored(batch, "doc_id",
+      "text", idxA)) == a, "re-append must be a no-op")
+    assert(idxA.readNorms().count() == 5)
+    val pBefore = idxA.readPostings().collect().toSet
+    val nBefore = idxA.readNorms().collect().toSet
+    idxA.compact()
+    assert(idxA.readPostings().collect().toSet == pBefore)
+    assert(idxA.readNorms().collect().toSet == nBefore)
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
