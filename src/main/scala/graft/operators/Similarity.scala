@@ -1053,6 +1053,17 @@ object Similarity {
   def ivfPqExtendStored(newEmb: DataFrame, idCol: String, vecCol: String,
                         m: Int, scale: Long,
                         index: graft.sources.PqIndex): DataFrame = {
+    index.upsertCodes(encodeAgainstStored(newEmb, idCol, vecCol, m, scale,
+      index))
+    pqCensus(index)
+  }
+
+  /** Encode a batch against a STORED PQ index's grid and codebooks —
+    * ONE implementation behind the keyed [[ivfPqExtendStored]] and the
+    * append-only [[ivfPqAppendStored]]. Returns (cid, id, s, code). */
+  private def encodeAgainstStored(newEmb: DataFrame, idCol: String,
+                                  vecCol: String, m: Int, scale: Long,
+                                  index: graft.sources.PqIndex): DataFrame = {
     graft.plans.VectorExpressions.register(newEmb.sparkSession)
     val q = newEmb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
@@ -1089,10 +1100,8 @@ object Similarity {
       "ccid", "code")
       .select(expr(s"ik div $m").as("id"),
         pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
-    index.upsertCodes(
-      codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
-        .select(col("cid"), col("id"), col("s"), col("code")))
-    pqCensus(index)
+    codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
+      .select(col("cid"), col("id"), col("s"), col("code"))
   }
 
   /** Build `index` from `emb` iff its fingerprint does not match the
@@ -1104,6 +1113,20 @@ object Similarity {
     if (!index.isFresh(pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale)))
       ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
         .collect()
+
+  /** O(batch) PQ ingest for genuinely-new ids — [[ivfPqExtendStored]]
+    * without the eviction rewrite ([[ivfAppendStored]]'s contract for
+    * the compressed store): the batch encodes against the STORED
+    * codebooks, assigns to the STORED grid, and its code files APPEND
+    * inside the touched bands. Returns the per-cell code census read
+    * back from disk. */
+  def ivfPqAppendStored(newEmb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, scale: Long,
+                        index: graft.sources.PqIndex): DataFrame = {
+    index.appendCodes(encodeAgainstStored(newEmb, idCol, vecCol, m, scale,
+      index))
+    pqCensus(index)
+  }
 
   /** PQ INDEX DELETION — the compressed store's forget path, completing
     * the lifecycle across all three stored families. No re-encode: codes

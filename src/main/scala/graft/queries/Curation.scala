@@ -293,6 +293,23 @@ object Curation {
     graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text", idx)
   }
 
+  // O(batch) PQ APPEND ingest (q155's rewrite-free sibling, completing
+  // append across all three stored families): every 31st vector
+  // negated, ids offset, encoded against the STORED codebooks, code
+  // files landing inside their cid bands. Own root ("pqa").
+  def q163IvfPqAppendStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = pqIndex(s, dir, "pqa")
+    graft.operators.Similarity.ivfPqEnsureStored(emb, "vec_id", "embedding",
+      nCells = 16, m = 16, kCodes = 16, scale = 1000000L, index = idx)
+    val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val batch = emb.where(col("vec_id") % 31 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    graft.operators.Similarity.ivfPqAppendStored(batch, "vec_id",
+      "embedding", m = 16, scale = 1000000L, index = idx)
+  }
+
   // Composed curation pass (q67 extended with the dedup ladder a training
   // corpus actually runs): re-crawl simulation (every 7th doc duplicated
   // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →

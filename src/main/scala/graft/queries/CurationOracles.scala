@@ -93,6 +93,61 @@ object CurationOracles {
        |    FROM dist) x
        |  WHERE rn = 1)""".stripMargin
 
+  /** The stored-grid/stored-codebook INGEST census (the q155 recipe),
+    * parameterized on the batch modulus so the keyed-upsert (q155) and
+    * append (q163) twins share one text. */
+  private def pqIngestSql(mod: Int): String =
+    s"""WITH $pqIndexCtes,
+         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+         |nq AS (
+         |  SELECT vec_id + o AS id,
+         |    ${OracleUtil.fixedPointVec("list_transform(embedding, y -> -y)")}
+         |      AS qv
+         |  FROM embeddings, off
+         |  WHERE embedding IS NOT NULL AND vec_id % $mod = 0),
+         |nelf AS (
+         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
+         |    unnest(qv) AS v
+         |  FROM nq),
+         |ncd AS (
+         |  SELECT nelf.id, clf.cid,
+         |    CAST(sum((nelf.v - clf.v) * (nelf.v - clf.v)) AS BIGINT) AS d2
+         |  FROM nelf JOIN clf ON clf.pos = nelf.pos
+         |  GROUP BY nelf.id, clf.cid),
+         |nasg AS (
+         |  SELECT id, cid FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+         |    FROM ncd) x
+         |  WHERE rn = 1),
+         |nsub AS (
+         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
+         |  FROM nq CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
+         |nels AS (
+         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
+         |    unnest(sub) AS v
+         |  FROM nsub),
+         |ndist AS (
+         |  SELECT nels.id, cels.ccid, nels.s,
+         |    CAST(sum((nels.v - cels.v) * (nels.v - cels.v)) AS BIGINT) AS d2
+         |  FROM nels JOIN cels ON nels.pos = cels.pos AND nels.s = cels.s
+         |  GROUP BY nels.id, cels.ccid, nels.s),
+         |ncodes AS (
+         |  SELECT id, s, ccid AS code FROM (
+         |    SELECT id, s, ccid,
+         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
+         |    FROM ndist) x
+         |  WHERE rn = 1),
+         |allc AS (
+         |  SELECT a.cid, c.id, c.code FROM codes c JOIN asg a USING (id)
+         |  UNION ALL
+         |  SELECT na.cid, nc.id, nc.code
+         |  FROM ncodes nc JOIN nasg na USING (id))
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(id) AS BIGINT) AS sum_ids,
+         |  CAST(sum(code) AS BIGINT) AS sum_codes
+         |FROM allc GROUP BY cid ORDER BY cid""".stripMargin
+
   /** [[pqIndexCtes]] + probe/ADC/rerank for queries matching `pred` at
     * `nProbe` probed cells — the full q125-shaped search readout. */
   private def pqSearchSql(pred: String, nProbe: Int): String =
@@ -274,57 +329,13 @@ object CurationOracles {
     // negated, ids offset by max+1) encoded against the BASE build's
     // codebooks and assigned to its cell grid — no re-train — and
     // unioned into the per-cell code census
-    "q155_ivf_pq_extend_stored" ->
-      s"""WITH $pqIndexCtes,
-         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
-         |nq AS (
-         |  SELECT vec_id + o AS id,
-         |    ${OracleUtil.fixedPointVec("list_transform(embedding, y -> -y)")}
-         |      AS qv
-         |  FROM embeddings, off
-         |  WHERE embedding IS NOT NULL AND vec_id % 13 = 0),
-         |nelf AS (
-         |  SELECT id, CAST(unnest(range(len(qv))) AS INTEGER) AS pos,
-         |    unnest(qv) AS v
-         |  FROM nq),
-         |ncd AS (
-         |  SELECT nelf.id, clf.cid,
-         |    CAST(sum((nelf.v - clf.v) * (nelf.v - clf.v)) AS BIGINT) AS d2
-         |  FROM nelf JOIN clf ON clf.pos = nelf.pos
-         |  GROUP BY nelf.id, clf.cid),
-         |nasg AS (
-         |  SELECT id, cid FROM (
-         |    SELECT id, cid,
-         |      row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-         |    FROM ncd) x
-         |  WHERE rn = 1),
-         |nsub AS (
-         |  SELECT id, s, qv[s*4+1 : s*4+4] AS sub
-         |  FROM nq CROSS JOIN (SELECT unnest(range(16)) AS s) ss),
-         |nels AS (
-         |  SELECT id, s, CAST(unnest(range(len(sub))) AS INTEGER) AS pos,
-         |    unnest(sub) AS v
-         |  FROM nsub),
-         |ndist AS (
-         |  SELECT nels.id, cels.ccid, nels.s,
-         |    CAST(sum((nels.v - cels.v) * (nels.v - cels.v)) AS BIGINT) AS d2
-         |  FROM nels JOIN cels ON nels.pos = cels.pos AND nels.s = cels.s
-         |  GROUP BY nels.id, cels.ccid, nels.s),
-         |ncodes AS (
-         |  SELECT id, s, ccid AS code FROM (
-         |    SELECT id, s, ccid,
-         |      row_number() OVER (PARTITION BY id, s ORDER BY d2, ccid) AS rn
-         |    FROM ndist) x
-         |  WHERE rn = 1),
-         |allc AS (
-         |  SELECT a.cid, c.id, c.code FROM codes c JOIN asg a USING (id)
-         |  UNION ALL
-         |  SELECT na.cid, nc.id, nc.code
-         |  FROM ncodes nc JOIN nasg na USING (id))
-         |SELECT cid, CAST(count(*) AS BIGINT) AS n_rows,
-         |  CAST(sum(id) AS BIGINT) AS sum_ids,
-         |  CAST(sum(code) AS BIGINT) AS sum_codes
-         |FROM allc GROUP BY cid ORDER BY cid""".stripMargin,
+    "q155_ivf_pq_extend_stored" -> pqIngestSql(13),
+
+    // O(batch) PQ append: the identical ingest-census replay at the %31
+    // batch — append and keyed upsert must be disk-indistinguishable
+    // for genuinely-new ids
+    "q163_ivf_pq_append_stored" -> pqIngestSql(31),
+
 
     // PQ deletion census: the base build's code rows minus the deleted
     // ids — the engine physically dropped them from the stored bands
