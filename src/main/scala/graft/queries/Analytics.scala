@@ -290,6 +290,22 @@ object Analytics {
     Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx)
   }
 
+  // COMPACTION, oracle-gated: fold the append-accumulated files back
+  // into the clustered layout and read the census from the compacted
+  // bytes — equality with q161's census (same oracle text) proves
+  // compaction preserves every row through the rewrite. Shares q161's
+  // "appendable" role safely: append is idempotent and compact is
+  // row-preserving, so the two queries commute in any driver order.
+  def q164IvfCompactStored(s: SparkSession, dir: String): DataFrame = {
+    q161IvfAppendStored(s, dir).collect()
+    val idx = vindex(s, dir, "appendable")
+    idx.compactPostings()
+    idx.readPostings()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("sum_ids"))
+      .orderBy(col("cid"))
+  }
+
   // MMR served end to end from the STORED index (q153's serving twin,
   // the full production stack): the relevance shortlist is
   // ivfSearchStored over q143's "base" grid — index scans only — and

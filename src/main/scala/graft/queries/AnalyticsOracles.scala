@@ -121,6 +121,35 @@ object AnalyticsOracles {
   private[queries] val ivfCandCtes: String =
     ivfCandCtesFor("v.vec_id < 8", 14)
 
+  /** The assign-to-stored-grid INGEST census, parameterized on the
+    * batch modulus — ONE text behind the keyed-upsert (q145), append
+    * (q161), and compaction (q164) twins. */
+  private def ivfIngestSql(mod: Int): String =
+    s"""WITH $vecCtes,
+         |$ivfAsgCtes,
+         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+         |newv AS (
+         |  SELECT vec_id + o AS vec_id,
+         |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
+         |  FROM embeddings, off WHERE vec_id % $mod = 0),
+         |newn AS (
+         |  SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM newv),
+         |nasg AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT nv.vec_id, s.cid,
+         |      row_number() OVER (PARTITION BY nv.vec_id
+         |        ORDER BY list_dot_product(nv.vv, cv) / (nn.nrm * cn) DESC,
+         |                 s.cid) AS rn
+         |    FROM newv nv JOIN newn nn ON nn.vec_id = nv.vec_id
+         |    CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |allasg AS (
+         |  SELECT vec_id, cid FROM asg
+         |  UNION ALL SELECT vec_id, cid FROM nasg)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin
+
   /** One MMR greedy round: `selPrev` (qid, nid, rank, score) → pick the
     * argmax of 70·rel − 30·max-sim-to-selected among unselected shortlist
     * members, union into `selCur`. Generated so the five q153 rounds
@@ -473,59 +502,17 @@ object AnalyticsOracles {
     // %23 batch recipe — the file-level append and the keyed upsert
     // must be indistinguishable on disk for genuinely-new ids
     "q161_ivf_append_stored" ->
-      s"""WITH $vecCtes,
-         |$ivfAsgCtes,
-         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
-         |newv AS (
-         |  SELECT vec_id + o AS vec_id,
-         |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
-         |  FROM embeddings, off WHERE vec_id % 23 = 0),
-         |newn AS (
-         |  SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM newv),
-         |nasg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT nv.vec_id, s.cid,
-         |      row_number() OVER (PARTITION BY nv.vec_id
-         |        ORDER BY list_dot_product(nv.vv, cv) / (nn.nrm * cn) DESC,
-         |                 s.cid) AS rn
-         |    FROM newv nv JOIN newn nn ON nn.vec_id = nv.vec_id
-         |    CROSS JOIN seeds s)
-         |  WHERE rn = 1),
-         |allasg AS (
-         |  SELECT vec_id, cid FROM asg
-         |  UNION ALL SELECT vec_id, cid FROM nasg)
-         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
-         |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin,
+      ivfIngestSql(23),
+
+    // compaction census: the fold back into the clustered layout must
+    // preserve every appended row — same oracle as the append it follows
+    "q164_ivf_compact_stored" -> ivfIngestSql(23),
 
     // incremental extend: the ingest batch (every 13th vector, elements
     // negated, ids offset by max+1) is assigned to the SAME seed grid —
     // no re-seed — and unioned into the census
     "q145_ivf_extend_stored" ->
-      s"""WITH $vecCtes,
-         |$ivfAsgCtes,
-         |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
-         |newv AS (
-         |  SELECT vec_id + o AS vec_id,
-         |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
-         |  FROM embeddings, off WHERE vec_id % 13 = 0),
-         |newn AS (
-         |  SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM newv),
-         |nasg AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT nv.vec_id, s.cid,
-         |      row_number() OVER (PARTITION BY nv.vec_id
-         |        ORDER BY list_dot_product(nv.vv, cv) / (nn.nrm * cn) DESC,
-         |                 s.cid) AS rn
-         |    FROM newv nv JOIN newn nn ON nn.vec_id = nv.vec_id
-         |    CROSS JOIN seeds s)
-         |  WHERE rn = 1),
-         |allasg AS (
-         |  SELECT vec_id, cid FROM asg
-         |  UNION ALL SELECT vec_id, cid FROM nasg)
-         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
-         |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
-         |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin,
+      ivfIngestSql(13),
 
     "q24_knn_brute" ->
       """WITH el AS (

@@ -361,6 +361,27 @@ class StoredIndexSpec extends SparkSpec {
     assert(idxA.readNorms().collect().toSet == nBefore)
   }
 
+  test("text store: per-bucket crashed swap recovers from the .old marker") {
+    val root = tmpDir("tidx-pcrash")
+    val docs = Seq(
+      (1L, "alpha beta gamma common"), (2L, "alpha beta delta common"),
+      (3L, "epsilon zeta eta common")).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, root)
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
+      .collect()
+    val n = idx.readPostings().count()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/postings/term_bucket=*"))
+    assert(buckets.nonEmpty)
+    val victim = buckets.head.getPath
+    assert(fs.rename(victim, new org.apache.hadoop.fs.Path(
+      s"$root/postings/.old-simcrash-${victim.getName}")))
+    assert(idx.readPostings().count() == n,
+      "read after a crashed bucket swap must restore the pre-swap rows")
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
