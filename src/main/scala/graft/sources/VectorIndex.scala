@@ -193,15 +193,23 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     parts.foreach { b =>
       val src = new Path(tmp, s"$partCol=$b")
       val dest = new Path(s"${path(table)}/$partCol=$b")
-      val old = new Path(s"${path(table)}/.old-$uuid-$partCol=$b")
-      if (fs.exists(dest)) require(fs.rename(dest, old),
-        s"swapPartitions($table): rename $dest -> $old failed")
-      if (fs.exists(src)) require(fs.rename(src, dest),
-        s"swapPartitions($table): rename $src -> $dest failed — " +
-          s"pre-swap in $old")
-      // no src dir: every row of this partition was evicted — removing
-      // the old dir IS the new content
-      fs.delete(old, true)
+      if (fs.exists(src)) {
+        val old = new Path(s"${path(table)}/.old-$uuid-$partCol=$b")
+        if (fs.exists(dest)) require(fs.rename(dest, old),
+          s"swapPartitions($table): rename $dest -> $old failed")
+        require(fs.rename(src, dest),
+          s"swapPartitions($table): rename $src -> $dest failed — " +
+            s"pre-swap in $old")
+        fs.delete(old, true)
+      } else {
+        // no src dir: every row of this partition was evicted. Delete the
+        // live dir DIRECTLY — routing it through a rename-to-.old would
+        // open a crash window where recoverPartitions RESTORES it,
+        // resurrecting forgotten (right-to-be-forgotten) rows; a crash
+        // mid-delete instead leaves a remnant that a retry of the same
+        // idempotent op deletes for good.
+        fs.delete(dest, true)
+      }
     }
     fs.delete(tmp, true)
   }
@@ -335,7 +343,10 @@ final class VectorIndex(spark: SparkSession, root: String)
     * Ids already present are filtered out by one (id)-column scan — the
     * same scan that makes a crash-interrupted append's retry idempotent
     * (file moves are atomic, so a retry appends exactly the missing
-    * remainder); a CHANGED vector under an existing id must go through
+    * remainder; the per-id filter matches the crash granularity HERE
+    * because a vector is exactly one posting row — the multi-row-per-id
+    * stores filter at row granularity, see [[TextIndex.appendDocs]]);
+    * a CHANGED vector under an existing id must go through
     * [[upsertPostings]]. Appends accumulate small files per band;
     * [[compactPostings]] folds them back on the rebuild cadence. */
   def appendPostings(incoming: DataFrame): Unit = {
@@ -505,8 +516,15 @@ final class TextIndex(spark: SparkSession, root: String)
     * it matters most: a broad-vocabulary batch touches every term
     * bucket, so the keyed [[upsert]] degenerates to a full rewrite by
     * construction, while this append writes exactly the batch's rows).
-    * Already-present ids are filtered out (idempotent retries);
-    * re-posted docs must go through [[upsert]] for eviction. */
+    * Already-present rows are filtered out at CRASH granularity
+    * (idempotent retries): a doc's postings span up to
+    * [[TextIndex.TermBuckets]] separate files and [[IndexStore.
+    * appendFiles]] moves files one at a time, so a crash can land a
+    * PREFIX of a doc's posting rows — the retry filter is therefore a
+    * (term, id) anti-join, not a bare-id presence test, which would see
+    * the partially-landed doc as "present" and drop its unmoved rows
+    * forever. Norms are one row per id, so bare id IS row granularity
+    * there. Re-posted docs must go through [[upsert]] for eviction. */
   def appendDocs(postings: DataFrame, norms: DataFrame): Unit = {
     val incP = postings
       .select(col("term"), col("id"), col("df"), col("w"))
@@ -515,7 +533,7 @@ final class TextIndex(spark: SparkSession, root: String)
     val incN = norms.select(col("id"), col("n2"))
       .withColumn("id_bucket", nBucket(col("id")))
       .localCheckpoint(true)
-    // each table filters against ITS OWN present ids: a crash between
+    // each table filters against ITS OWN present rows: a crash between
     // the two appends must leave the retry appending exactly the missing
     // table's rows (filtering both against norms would drop the
     // postings of a batch whose norms landed before the crash)
@@ -527,8 +545,8 @@ final class TextIndex(spark: SparkSession, root: String)
       normSchema)
     appendFiles("postings", "term_bucket",
       clusteredFor(
-        incP.join(postingsWithBucket().select(col("id")).distinct(),
-          Seq("id"), "left_anti"),
+        incP.join(postingsWithBucket().select(col("term"), col("id")),
+          Seq("term", "id"), "left_anti"),
         "term_bucket", col("term"), col("id")),
       postingSchema)
   }
@@ -662,13 +680,19 @@ final class PqIndex(spark: SparkSession, root: String)
 
   /** O(batch) code ingest for GENUINELY-NEW ids ([[VectorIndex.
     * appendPostings]]' contract for the compressed store); re-encoded
-    * existing ids must go through [[upsertCodes]] for eviction. */
+    * existing ids must go through [[upsertCodes]] for eviction. The
+    * retry filter is the (id, s) anti-join — row granularity, matching
+    * the crash granularity of [[IndexStore.appendFiles]]' one-file-at-a-
+    * time moves: an id's m subspace rows can straddle a writer file
+    * boundary, and a bare-id presence test after such a crash would see
+    * the id as "present" and drop its unmoved rows forever (the
+    * [[TextIndex.appendDocs]] lesson). */
   def appendCodes(incoming: DataFrame): Unit = {
     val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
       .withColumn("cid_band", band(col("cid")))
       .localCheckpoint(true)
-    val fresh = inc.join(codesWithBand().select(col("id")).distinct(),
-      Seq("id"), "left_anti")
+    val fresh = inc.join(codesWithBand().select(col("id"), col("s")),
+      Seq("id", "s"), "left_anti")
     appendFiles("codes", "cid_band",
       clusteredFor(fresh, "cid_band", col("cid"), col("id")),
       codeSchema)

@@ -408,11 +408,21 @@ object DocStream {
       .localCheckpoint(true)
     val cbkts = assigned.select(col("cbkt")).distinct()
       .collect().map(_.getInt(0)).toSeq
+    // a crash inside compactEmbState's two-rename window leaves the state
+    // ABSENT with a complete .old-* beside it — restore before reading,
+    // or this batch would probe an empty corpus and re-admit near-dups
+    recoverIndex(spark, embDir)
     val fs = new Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit schema (cbkt from the partition dirs): no inference job,
+    // and a state dir holding only _SUCCESS (every prior batch rejected
+    // everything) reads as zero rows instead of failing inference
+    val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, cbkt INT")
     val stateRaw: DataFrame =
       if (fs.exists(new Path(embDir)))
-        spark.read.parquet(embDir).where(col("cbkt").isin(cbkts: _*))
+        spark.read.schema(embSchema).parquet(embDir)
+          .where(col("cbkt").isin(cbkts: _*))
       else spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), assigned.schema)
     val batchIds = assigned.select(col("id")).distinct()
@@ -420,8 +430,13 @@ object DocStream {
     // attempt rows; the write-skip below still needs them (stateRaw)
     val ledger = stateRaw.join(batchIds, Seq("id"), "left_anti")
 
+    // round AFTER the ×10⁶ multiply (the repo-wide ppm convention, e.g.
+    // Similarity.mmrPpm and every oracle's CAST(round(...) AS BIGINT)):
+    // a bare cast truncates, and round(x,6)·10⁶ can land at N−ε in
+    // binary floating point — truncation would judge a similarity
+    // exactly at tauPpm as under-threshold and admit a near-dup
     def simPpm(a: String, b: String) =
-      (round(call_function("dot_product", col(s"$a.v"), col(s"$b.v"))
+      round(round(call_function("dot_product", col(s"$a.v"), col(s"$b.v"))
         / (col(s"$a.nrm") * col(s"$b.nrm")), 6) * 1000000).cast("long")
     val vsCorpus = assigned.as("n")
       .join(ledger.as("o"), col("n.cid") === col("o.cid"))
@@ -437,11 +452,13 @@ object DocStream {
       .join(pairRejects, Seq("id"), "left_anti")
       .localCheckpoint(true) // consumed by the append and the verdicts
 
-    if (admittedIds.count() > 0)
-      assigned.join(admittedIds, "id")
-        .join(stateRaw.select(col("id")).distinct(), Seq("id"), "left_anti")
-        .select(col("cbkt"), col("cid"), col("id"), col("v"), col("nrm"))
-        .write.mode("append").partitionBy("cbkt").parquet(embDir)
+    // unconditional write — no per-batch count() job guarding emptiness
+    // (an all-rejected batch writes only _SUCCESS, which the explicit-
+    // schema read above treats as zero rows)
+    assigned.join(admittedIds, "id")
+      .join(stateRaw.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .select(col("cbkt"), col("cid"), col("id"), col("v"), col("nrm"))
+      .write.mode("append").partitionBy("cbkt").parquet(embDir)
 
     batch.select(col("doc_id"))
       .join(admittedIds.withColumnRenamed("id", "doc_id")
@@ -580,6 +597,10 @@ object DocStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverIndex(spark, indexDir)
     if (!fs.exists(new Path(indexDir))) return
+    // a dir holding only _SUCCESS (every batch rejected everything) has
+    // nothing to fold — and no footer to infer a schema from
+    val live = fs.globStatus(new Path(indexDir, s"$partCol=*"))
+    if (live == null || live.isEmpty) return
     val tmp = indexDir + ".compact-" + java.util.UUID.randomUUID()
     // hash-distribute on the partition column so each directory partition
     // is written by one task (one full file per dir), with
@@ -598,12 +619,27 @@ object DocStream {
   /** Fold [[curateBatch]]'s per-batch file accumulation back into full
     * row groups — both state dirs, each under its own partition layout.
     * Run periodically on a long-lived curation stream, like
-    * [[compactIndex]] for the admission index. */
+    * [[compactIndex]] for the admission index. Also folds the
+    * [[admitEmbBatch]] embedding-cell state when present, so the full
+    * four-stage ladder's state families all compact on one cadence. */
   def compactCurationState(spark: SparkSession, stateDir: String,
                            targetPartitions: Int = 8): Unit = {
     compactIndex(spark, s"$stateDir/fp", targetPartitions, partCol = "fbkt")
     compactIndex(spark, s"$stateDir/sh", targetPartitions, partCol = "bkt")
+    compactEmbState(spark, stateDir, targetPartitions)
   }
+
+  /** Fold [[admitEmbBatch]]'s per-batch file accumulation (it appends to
+    * `stateDir/emb` every micro-batch — unbounded small files on a
+    * long-lived stream) back into `targetPartitions` full files per cell
+    * bucket. Same write-temp + two-rename swap as [[compactIndex]];
+    * [[admitEmbBatch]] runs the matching [[recoverIndex]] before every
+    * read, so a crash inside the rename window cannot make a batch probe
+    * an empty corpus. Verdicts are unchanged: rows and the cbkt layout
+    * are preserved, only file counts drop. */
+  def compactEmbState(spark: SparkSession, stateDir: String,
+                      targetPartitions: Int = 8): Unit =
+    compactIndex(spark, s"$stateDir/emb", targetPartitions, partCol = "cbkt")
 
   /** Streaming wrapper: JSON-lines docs land in `stagingDir`; each
     * micro-batch is admitted against the shared index and survivors land

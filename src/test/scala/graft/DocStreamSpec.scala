@@ -442,6 +442,41 @@ class DocStreamSpec extends SparkSpec {
     assert(next == Map(20L -> "semantic_dup"))
   }
 
+  test("emb state: all-rejected batch stays readable; compaction folds files") {
+    val grid = buildGrid("emb-grid-c")
+    val st = tmpDir("emb-compact") + "/st"
+    // three single-doc batches accumulate per-batch files; A and C share
+    // a cell bucket (cos(A,C) = 0.8546 < τ, both admitted) so that
+    // bucket holds two files for compaction to fold
+    for ((id, v) <- Seq((10L, embA), (12L, embC), (13L, embD)))
+      DocStream.admitEmbBatch(spark,
+        Seq((id, v)).toDF("doc_id", "embedding"), grid, st, 930000L)
+        .collect()
+    // an all-rejected batch appends ZERO rows (no count() guard job any
+    // more) — the state dir must stay readable afterwards
+    val rej = DocStream.admitEmbBatch(spark,
+        Seq((20L, embA)).toDF("doc_id", "embedding"), grid, st, 930000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rej == Map(20L -> "semantic_dup"))
+    def files(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(st).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$st/emb/cbkt=*/*")).length
+    }
+    val before = files()
+    DocStream.compactEmbState(spark, st, targetPartitions = 1)
+    val after = files()
+    assert(after < before, s"compaction must fold files: $before -> $after")
+    // verdicts unchanged against the compacted state: B collides with
+    // admitted A; E shares D's cell but cos(D,E) = 0.8 < τ
+    val embE = Seq(0f, 1f, 0.5f, 0f)
+    val next = DocStream.admitEmbBatch(spark,
+        Seq((21L, embB), (22L, embE)).toDF("doc_id", "embedding"),
+        grid, st, 930000L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(next == Map(21L -> "semantic_dup", 22L -> "kept"), s"$next")
+  }
+
   test("curateBatchFull: embedding gate downgrades only text-kept docs") {
     val grid = buildGrid("emb-grid-f")
     val st = tmpDir("cur-full") + "/st"

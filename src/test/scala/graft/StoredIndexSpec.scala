@@ -382,6 +382,82 @@ class StoredIndexSpec extends SparkSpec {
       "read after a crashed bucket swap must restore the pre-swap rows")
   }
 
+  test("text append retry at (term,id) granularity: partial landing heals") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"),
+      (2L, "epsilon zeta eta common")).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-partial"))
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
+      .collect()
+    // the full batch for a new doc: 4 posting rows + 1 norm row
+    val p = Seq(("alpha", 10L, 1L, 100L), ("omega", 10L, 1L, 200L),
+      ("fresh", 10L, 1L, 300L), ("common", 10L, 2L, 50L))
+      .toDF("term", "id", "df", "w")
+    val n = Seq((10L, BigDecimal(140000))).toDF("id", "n2")
+    // simulate a crash that landed only a PREFIX of the doc's posting
+    // files: the norm row and two of four term rows are on disk
+    idx.appendDocs(p.where(col("term").isin("alpha", "omega")), n)
+    // retry with the full batch: a bare-id presence filter would see doc
+    // 10 as "present" and drop fresh/common forever; the (term, id)
+    // filter appends exactly the missing rows
+    idx.appendDocs(p, n)
+    assert(idx.readPostings().where(col("id") === 10L).count() == 4,
+      "retry must land the rows the crash dropped")
+    assert(idx.readNorms().where(col("id") === 10L).count() == 1)
+    // and a further retry is a no-op
+    idx.appendDocs(p, n)
+    assert(idx.readPostings().where(col("id") === 10L).count() == 4)
+    assert(idx.readNorms().where(col("id") === 10L).count() == 1)
+  }
+
+  test("PQ append retry at (id,s) granularity: straddled code rows heal") {
+    val idx = new graft.sources.PqIndex(spark, tmpDir("pqidx-partial"))
+    Similarity.ivfPqBuildStored(emb, "vec_id", "embedding",
+      nCells = 5, m = 4, kCodes = 6, scale = 1000000L, index = idx).collect()
+    // an id's 4 subspace rows, landed half-and-half across a simulated
+    // crash (a writer file boundary can split them in production)
+    val full = (0 until 4).map(s => (3L, 500L, s, (s % 6).toLong))
+      .toDF("cid", "id", "s", "code")
+    idx.appendCodes(full.where(col("s") < 2))
+    idx.appendCodes(full)
+    assert(idx.readCodes().where(col("id") === 500L).count() == 4,
+      "retry must land the subspace rows the crash dropped")
+    idx.appendCodes(full)
+    assert(idx.readCodes().where(col("id") === 500L).count() == 4,
+      "a further retry must be a no-op")
+  }
+
+  test("pure-eviction delete removes the partition dir, no .old residue") {
+    val root = tmpDir("vidx-evict")
+    val idx = new VectorIndex(spark, root)
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pick one live band and delete EVERY id in it — the swap then has
+    // no replacement content for that partition
+    val bands = idx.readPostings()
+      .select(pmod(col("cid"), lit(16L)).cast("int").as("b"), col("id"))
+    val victim = bands.groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n"), col("b")).first().getInt(0)
+    val doomedIds = bands.where(col("b") === victim)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSeq
+    Similarity.ivfDeleteStored(doomedIds.toDF("id"), idx).collect()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/postings/cid_band=$victim")),
+      "a fully-evicted partition dir must be gone from disk")
+    // the eviction must be a DIRECT delete: a rename-to-.old here would
+    // let a crash-recovery pass restore forgotten rows
+    val olds = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"$root/postings/.old-*"))
+    assert(olds == null || olds.isEmpty, "no restorable .old residue")
+    // idempotent re-delete over the now-absent partition
+    Similarity.ivfDeleteStored(doomedIds.toDF("id"), idx).collect()
+    assert(idx.readPostings()
+      .where(col("id").isin(doomedIds.map(java.lang.Long.valueOf): _*))
+      .count() == 0)
+  }
+
   test("crashed swap recovers: absent table restores from the .old copy") {
     val root = tmpDir("vidx-crash")
     val idx = new VectorIndex(spark, root)
