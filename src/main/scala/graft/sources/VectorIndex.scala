@@ -28,6 +28,32 @@ private[sources] abstract class IndexStore(spark: SparkSession,
   protected def fs = new Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Partition count NEW layouts of this store are written with. */
+  protected def configuredBands: Int
+
+  /** The band/bucket count an EXISTING partitioned table was built with,
+    * read from its `_layout` marker ([[swapIn]] writes the marker into
+    * the temp dir, so it rides the same atomic rename as the data).
+    * Maintenance ops derive their partition arithmetic from THIS value,
+    * never the compile-time constant: raising the constant for a bigger
+    * deployment must not silently fragment an index built at the old
+    * count — new BUILDS pick up the new constant; existing layouts keep
+    * their own until rebuilt. Pre-marker indexes fall back to the
+    * configured constant (their fingerprints rebuild-gate them anyway
+    * on the next ensure). */
+  protected def liveBands(table: String): Int = {
+    val m = new Path(s"${path(table)}/_layout")
+    if (!fs.exists(m)) configuredBands
+    else {
+      val in = fs.open(m)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      require(s.startsWith("bands="),
+        s"unreadable layout marker $m: '$s'")
+      s.stripPrefix("bands=").trim.toInt
+    }
+  }
+
   /** [[TableStore.recoverSwap]]'s contract, restated for the index dirs:
     * a kill between the two renames leaves the table absent with the
     * complete pre-swap copy in `.old-*` — restore it; leftover tmp/old
@@ -52,6 +78,15 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     val w = df.select(schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
       .write.mode("errorifexists")
     partitionBy.fold(w)(w.partitionBy(_)).parquet(tmp.toString)
+    // the layout marker rides the data's atomic rename, so _layout can
+    // never disagree with the dirs beside it (underscore names are
+    // invisible to Spark's file listing)
+    if (partitionBy.isDefined) {
+      val outS = fs.create(new Path(tmp, "_layout"), true)
+      try outS.write(s"bands=$configuredBands".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally outS.close()
+    }
     val old = new Path(path(table) + ".old-" + java.util.UUID.randomUUID())
     // Hadoop rename reports failure by returning false — unchecked, a
     // failed rename silently drops the new index version
@@ -244,7 +279,10 @@ object VectorIndex {
   /** Physical posting partitions (`cid_band = cid mod PostingBands`).
     * Sized so single-node tests keep per-band files non-trivial; a
     * 1000-executor deployment raises it (bands are independent, so the
-    * constant only trades maintenance granularity against file count). */
+    * constant only trades maintenance granularity against file count).
+    * The count an index was BUILT with is persisted in its `_layout`
+    * marker and governs all maintenance on it — raising this default
+    * affects new builds only. */
   val PostingBands = 16
 }
 
@@ -261,17 +299,18 @@ object VectorIndex {
   *     the round-14 flat layout measured corpus-linear at the 1000×
   *     decade).
   */
-final class VectorIndex(spark: SparkSession, root: String)
+final class VectorIndex(spark: SparkSession, root: String,
+                        val nBands: Int = VectorIndex.PostingBands)
     extends IndexStore(spark, root) {
-  import VectorIndex.PostingBands
+  override protected def configuredBands: Int = nBands
 
   private val centroidSchema = StructType.fromDDL(
     "cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
   private val postingSchema = StructType.fromDDL(
     "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
 
-  private def band(c: Column): Column =
-    pmod(c, lit(PostingBands.toLong)).cast("int")
+  private def band(c: Column, n: Int): Column =
+    pmod(c, lit(n.toLong)).cast("int")
 
   def readCentroids(): DataFrame = read("centroids", centroidSchema)
   def readPostings(): DataFrame = postingsWithBand().drop("cid_band")
@@ -290,7 +329,7 @@ final class VectorIndex(spark: SparkSession, root: String)
     clearMeta()
     swapIn("centroids", centroids, centroidSchema)
     swapIn("postings",
-      postings.withColumn("cid_band", band(col("cid")))
+      postings.withColumn("cid_band", band(col("cid"), configuredBands))
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
@@ -311,7 +350,7 @@ final class VectorIndex(spark: SparkSession, root: String)
     // the band census, the eviction keys, and the union content
     val inc = incoming
       .select(col("cid"), col("id"), col("v"), col("nrm"))
-      .withColumn("cid_band", band(col("cid")))
+      .withColumn("cid_band", band(col("cid"), liveBands("postings")))
       .localCheckpoint(true)
     val ids = inc.select(col("id")).distinct()
     val pb = postingsWithBand()
@@ -352,7 +391,7 @@ final class VectorIndex(spark: SparkSession, root: String)
   def appendPostings(incoming: DataFrame): Unit = {
     val inc = incoming
       .select(col("cid"), col("id"), col("v"), col("nrm"))
-      .withColumn("cid_band", band(col("cid")))
+      .withColumn("cid_band", band(col("cid"), liveBands("postings")))
       .localCheckpoint(true)
     val fresh = inc.join(postingsWithBand().select(col("id")),
       Seq("id"), "left_anti")
@@ -422,19 +461,20 @@ object TextIndex {
   *     weight norms, partitioned on the doc id so keyed maintenance
   *     touches ~|batch| buckets.
   */
-final class TextIndex(spark: SparkSession, root: String)
+final class TextIndex(spark: SparkSession, root: String,
+                      val nBuckets: Int = TextIndex.TermBuckets)
     extends IndexStore(spark, root) {
-  import TextIndex.TermBuckets
+  override protected def configuredBands: Int = nBuckets
 
   private val postingSchema = StructType.fromDDL(
     "term STRING, id BIGINT, df BIGINT, w BIGINT")
   private val normSchema = StructType.fromDDL(
     "id BIGINT, n2 DECIMAL(38,0)")
 
-  private def tBucket(t: Column): Column =
-    pmod(xxhash64(t), lit(TermBuckets.toLong)).cast("int")
-  private def nBucket(i: Column): Column =
-    pmod(i, lit(TermBuckets.toLong)).cast("int")
+  private def tBucket(t: Column, n: Int): Column =
+    pmod(xxhash64(t), lit(n.toLong)).cast("int")
+  private def nBucket(i: Column, n: Int): Column =
+    pmod(i, lit(n.toLong)).cast("int")
 
   def readPostings(): DataFrame = postingsWithBucket().drop("term_bucket")
   def readNorms(): DataFrame = normsWithBucket().drop("id_bucket")
@@ -448,12 +488,13 @@ final class TextIndex(spark: SparkSession, root: String)
                  meta: String): Unit = {
     clearMeta()
     swapIn("postings",
-      postings.withColumn("term_bucket", tBucket(col("term")))
+      postings.withColumn("term_bucket",
+          tBucket(col("term"), configuredBands))
         .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))),
       withPart(postingSchema, "term_bucket"),
       partitionBy = Some("term_bucket"))
     swapIn("norms",
-      norms.withColumn("id_bucket", nBucket(col("id")))
+      norms.withColumn("id_bucket", nBucket(col("id"), configuredBands))
         .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
       withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))
     publishMeta(meta)
@@ -473,10 +514,11 @@ final class TextIndex(spark: SparkSession, root: String)
   def upsert(postings: DataFrame, norms: DataFrame): Unit = {
     val incP = postings
       .select(col("term"), col("id"), col("df"), col("w"))
-      .withColumn("term_bucket", tBucket(col("term")))
+      .withColumn("term_bucket",
+        tBucket(col("term"), liveBands("postings")))
       .localCheckpoint(true)
     val incN = norms.select(col("id"), col("n2"))
-      .withColumn("id_bucket", nBucket(col("id")))
+      .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
       .localCheckpoint(true)
     val ids = incP.select(col("id")).distinct()
 
@@ -528,10 +570,11 @@ final class TextIndex(spark: SparkSession, root: String)
   def appendDocs(postings: DataFrame, norms: DataFrame): Unit = {
     val incP = postings
       .select(col("term"), col("id"), col("df"), col("w"))
-      .withColumn("term_bucket", tBucket(col("term")))
+      .withColumn("term_bucket",
+        tBucket(col("term"), liveBands("postings")))
       .localCheckpoint(true)
     val incN = norms.select(col("id"), col("n2"))
-      .withColumn("id_bucket", nBucket(col("id")))
+      .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
       .localCheckpoint(true)
     // each table filters against ITS OWN present rows: a crash between
     // the two appends must leave the retry appending exactly the missing
@@ -584,7 +627,7 @@ final class TextIndex(spark: SparkSession, root: String)
       pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
-    val nTouched = ids.select(nBucket(col("id")).as("id_bucket")).distinct()
+    val nTouched = ids.select(nBucket(col("id"), liveBands("norms")).as("id_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val nb = normsWithBucket()
     swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
@@ -616,9 +659,10 @@ object PqIndex {
   *     prune to probed cells and keyed maintenance rewrites only touched
   *     bands.
   */
-final class PqIndex(spark: SparkSession, root: String)
+final class PqIndex(spark: SparkSession, root: String,
+                    val nBands: Int = PqIndex.CodeBands)
     extends IndexStore(spark, root) {
-  import PqIndex.CodeBands
+  override protected def configuredBands: Int = nBands
 
   private val cellSchema = StructType.fromDDL(
     "cid BIGINT, cv ARRAY<BIGINT>")
@@ -627,8 +671,8 @@ final class PqIndex(spark: SparkSession, root: String)
   private val codeSchema = StructType.fromDDL(
     "cid BIGINT, id BIGINT, s INT, code BIGINT")
 
-  private def band(c: Column): Column =
-    pmod(c, lit(CodeBands.toLong)).cast("int")
+  private def band(c: Column, n: Int): Column =
+    pmod(c, lit(n.toLong)).cast("int")
 
   def readCells(): DataFrame = read("cells", cellSchema)
   def readCodebooks(): DataFrame = read("codebooks", codebookSchema)
@@ -643,7 +687,7 @@ final class PqIndex(spark: SparkSession, root: String)
     swapIn("cells", cells, cellSchema)
     swapIn("codebooks", codebooks, codebookSchema)
     swapIn("codes",
-      codes.withColumn("cid_band", band(col("cid")))
+      codes.withColumn("cid_band", band(col("cid"), configuredBands))
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
     publishMeta(meta)
@@ -658,7 +702,7 @@ final class PqIndex(spark: SparkSession, root: String)
     * codebooks. */
   def upsertCodes(incoming: DataFrame): Unit = {
     val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
-      .withColumn("cid_band", band(col("cid")))
+      .withColumn("cid_band", band(col("cid"), liveBands("codes")))
       .localCheckpoint(true)
     val ids = inc.select(col("id")).distinct()
     val cb = codesWithBand()
@@ -689,7 +733,7 @@ final class PqIndex(spark: SparkSession, root: String)
     * [[TextIndex.appendDocs]] lesson). */
   def appendCodes(incoming: DataFrame): Unit = {
     val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
-      .withColumn("cid_band", band(col("cid")))
+      .withColumn("cid_band", band(col("cid"), liveBands("codes")))
       .localCheckpoint(true)
     val fresh = inc.join(codesWithBand().select(col("id"), col("s")),
       Seq("id", "s"), "left_anti")

@@ -382,6 +382,49 @@ class StoredIndexSpec extends SparkSpec {
       "read after a crashed bucket swap must restore the pre-swap rows")
   }
 
+  test("layout marker: a raised band constant cannot fragment an index") {
+    val root = tmpDir("vidx-layout")
+    val idx4 = new VectorIndex(spark, root, nBands = 4)
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx4, portable = true).collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def layout(): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$root/postings/_layout"))
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    def bandDirs(): Seq[Int] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/postings/cid_band=*"))
+        .map(_.getPath.getName.stripPrefix("cid_band=").toInt).toSeq.sorted
+    assert(layout() == "bands=4")
+    assert(bandDirs().forall(_ < 4), s"built at 4: ${bandDirs()}")
+    // reopen at a RAISED deployment constant: maintenance must derive its
+    // partition arithmetic from the persisted _layout, not the constant —
+    // otherwise upsert/append would compute bands that don't match the
+    // on-disk dirs and silently fragment the layout
+    val idx8 = new VectorIndex(spark, root, nBands = 8)
+    val batch = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx8).collect()
+    Similarity.ivfExtendStored(
+      Seq((100L, Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 1f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx8).collect()
+    assert(layout() == "bands=4", "maintenance must not rewrite the layout")
+    assert(bandDirs().forall(_ < 4),
+      s"changed constant fragmented the layout: ${bandDirs()}")
+    assert(idx8.readPostings().count() == 44)
+    // a fresh BUILD at the raised constant rewrites the whole layout
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx8, portable = true).collect()
+    assert(layout() == "bands=8", s"rebuild must adopt the new count")
+    assert(idx8.readPostings().count() == 40)
+  }
+
   test("text append retry at (term,id) granularity: partial landing heals") {
     val docs = Seq(
       (1L, "alpha beta gamma common"),
