@@ -22,12 +22,15 @@ object HybridRetrieval {
                 docs: DataFrame, docIdCol: String, textCol: String,
                 tIndex: graft.sources.TextIndex, maxDf: Long,
                 queryPred: Column, k: Int, rrfK: Int = 60,
-                portable: Boolean = false): DataFrame = {
+                portable: Boolean = false,
+                embToken: Option[String] = None,
+                docToken: Option[String] = None): DataFrame = {
     val dense = Similarity.ivfSearchStored(emb, embIdCol, vecCol,
-        nCentroids, nProbe, queryPred, k, vIndex, portable = portable)
+        nCentroids, nProbe, queryPred, k, vIndex, portable = portable,
+        corpusToken = embToken)
       .select(col("qid"), col("nid"), col("rank").as("dr"))
     val sparse = TfIdf.sparseSearchStored(docs, docIdCol, textCol,
-        queryPred, k, tIndex, maxDf)
+        queryPred, k, tIndex, maxDf, corpusToken = docToken)
       .select(col("qid"), col("nid"), col("rank").as("sr"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_micro").desc, col("nid"))

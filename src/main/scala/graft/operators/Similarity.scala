@@ -363,23 +363,54 @@ object Similarity {
 
   /** Build fingerprint for a stored index: corpus cardinality + id
     * checksum + CONTENT checksum + every build parameter. The content
-    * term is a commutative sum of per-row xxhash64(id, vector) — without
-    * it, a corpus whose vectors changed under unchanged ids (or with
-    * compensating id edits: delete 3, add 1+2) would pass the freshness
-    * gate and silently serve a stale index. One map-side-combined
-    * aggregate over (id, vector) — cheap relative to a build, real
-    * relative to a probed search at corpus scale; a production
-    * deployment substitutes a corpus version token for the scan, with
-    * identical semantics. */
+    * term is a commutative sum of per-row xxhash64(id, toDouble(vector))
+    * over rows with a vector — without it, a corpus whose vectors
+    * changed under unchanged ids (or with compensating id edits: delete
+    * 3, add 1+2) would pass the freshness gate and silently serve a
+    * stale index. Hashing the DOUBLE form (what the posting lists store;
+    * float→double is value-exact, so it loses nothing) is what lets the
+    * stored `fp` column, the maintenance token folds, and a rebuild's
+    * reconstruction all agree with this scan without touching the raw
+    * corpus. This is the AUDIT form — one corpus scan; the serving path
+    * uses [[ivfCorpusToken]] (memoized under the corpus's file-manifest
+    * identity) or a caller-held token instead. */
+  private[graft] def ivfScanToken(emb: DataFrame, idCol: String,
+                                  vecCol: String, nCentroids: Int,
+                                  kmeansIters: Int, portable: Boolean,
+                                  bands: Int): String = {
+    def dec(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
+    val r = emb.where(col(vecCol).isNotNull)
+      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
+        sum(xxhash64(col(idCol), toDouble(col(vecCol)))
+          .cast("decimal(38,0)"))).first()
+    s"ivf3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
+      s"|K=$nCentroids|iters=$kmeansIters|portable=$portable|bands=$bands"
+  }
+
+  /** The corpus version token for (emb, params) — what [[ivfSearchStored]]
+    * compares against the index's stored token. Memoized per session
+    * under the frame's file-manifest identity
+    * ([[graft.sources.CorpusToken]]): after the first computation, a
+    * fresh-index search costs file metadata + one token file read — no
+    * corpus job. A production ingestion pipeline holds this token
+    * without any scan (it writes the corpus); pass it explicitly via the
+    * search entry points' `corpusToken`. */
+  def ivfCorpusToken(emb: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int, index: graft.sources.VectorIndex,
+                     kmeansIters: Int = 0,
+                     portable: Boolean = false): String =
+    indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable, index)
+
   private def indexMeta(emb: DataFrame, idCol: String, vecCol: String,
                         nCentroids: Int, kmeansIters: Int,
-                        portable: Boolean): String = {
-    val r = emb.agg(count(lit(1)), sum(col(idCol)),
-      sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)"))).first()
-    s"ivf2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
-      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}" +
-      s"|K=$nCentroids|iters=$kmeansIters|portable=$portable"
-  }
+                        portable: Boolean,
+                        index: graft.sources.VectorIndex): String =
+    graft.sources.CorpusToken.cachedToken(emb,
+      s"ivf3|$idCol|$vecCol|K=$nCentroids|iters=$kmeansIters" +
+        s"|portable=$portable|bands=${index.nBands}")(
+      ivfScanToken(emb, idCol, vecCol, nCentroids, kmeansIters, portable,
+        index.nBands))
 
   /** OFFLINE index build: run the [[ivfIndex]] pipeline and persist its
     * two structures (centroid grid, cid-clustered posting lists carrying
@@ -404,7 +435,8 @@ object Similarity {
     index.writeIndex(
       centroids.select(col("cid"), col("cv"), col("cn")),
       posting,
-      indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable))
+      indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable,
+        index))
     ivfCensus(index)
   }
 
@@ -421,9 +453,26 @@ object Similarity {
                       nCentroids: Int, nProbe: Int, queryPred: Column,
                       k: Int, index: graft.sources.VectorIndex,
                       kmeansIters: Int = 0,
-                      portable: Boolean = false): DataFrame = {
-    ivfEnsureStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
-      portable)
+                      portable: Boolean = false,
+                      corpusToken: Option[String] = None): DataFrame = {
+    corpusToken match {
+      case Some(tok) =>
+        // O(1) freshness: the caller (the system that writes the corpus)
+        // holds its version token — compare against the index's covered
+        // version, zero corpus jobs on the fresh path
+        if (!index.isCurrent(tok)) {
+          ivfBuildStored(emb, idCol, vecCol, nCentroids, index,
+            kmeansIters, portable).collect()
+          require(index.isCurrent(tok),
+            "caller corpus token does not match this corpus + params — " +
+              "was it computed by ivfCorpusToken with the same arguments?")
+        }
+      case None =>
+        // audit mode: fingerprint the corpus (memoized per session under
+        // its file-manifest identity) and compare to the base build
+        ivfEnsureStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
+          portable)
+    }
     val qVecs = prepared(emb, idCol, vecCol).where(queryPred)
       .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     probeRerank(qVecs, index.readCentroids(), index.readPostings(),
@@ -438,7 +487,8 @@ object Similarity {
                       kmeansIters: Int = 0,
                       portable: Boolean = false): Unit =
     if (!index.isFresh(
-        indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable)))
+        indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable,
+          index)))
       ivfBuildStored(emb, idCol, vecCol, nCentroids, index, kmeansIters,
         portable).collect()
 
@@ -478,6 +528,27 @@ object Similarity {
     index.appendPostings(
       assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
     ivfCensus(index)
+  }
+
+  /** FULL REBUILD WITH CARRY-OVER — the "next rebuild" that the frozen-
+    * grid ingest contract ([[ivfExtendStored]]/[[ivfAppendStored]]) defers
+    * centroid drift to, as a callable op: re-seed and re-assign from the
+    * index's OWN posting lists (which hold exactly the covered corpus —
+    * base build plus every extend/append, minus deletes), then swap the
+    * new grid and lists in. No corpus access at all; the fingerprint is
+    * reconstructed from the stored rows (the content hash is over
+    * (id, v) — the double form — precisely so this works), so after the
+    * rebuild the index reads FRESH for the merged corpus and its census
+    * equals a from-scratch build on it (q167's oracle gate). Returns the
+    * per-cell census read back from disk. */
+  def ivfRebuildStored(nCentroids: Int, index: graft.sources.VectorIndex,
+                       kmeansIters: Int = 0,
+                       portable: Boolean = false): DataFrame = {
+    // materialized: the build REPLACES the posting lists this frame reads
+    val corpus = index.readPostings().select(col("id"), col("v"))
+      .localCheckpoint(true)
+    ivfBuildStored(corpus, "id", "v", nCentroids, index, kmeansIters,
+      portable)
   }
 
   /** Assign arbitrary (idCol, vecCol) rows to a STORED centroid grid —
@@ -548,12 +619,14 @@ object Similarity {
                            nCentroids: Int, nProbe: Int, queryPred: Column,
                            shortlist: Int, k: Int, lambdaPct: Int,
                            index: graft.sources.VectorIndex,
-                           portable: Boolean = false): DataFrame = {
+                           portable: Boolean = false,
+                           corpusToken: Option[String] = None): DataFrame = {
     require(shortlist >= k,
       s"need shortlist >= k, got shortlist=$shortlist k=$k")
     mmrSelect(
       ivfSearchStored(emb, idCol, vecCol, nCentroids, nProbe, queryPred,
-          shortlist, index, portable = portable)
+          shortlist, index, portable = portable,
+          corpusToken = corpusToken)
         .select(col("qid"), col("nid"), mmrPpm(col("sim")).as("rel")),
       index.readPostings().select(col("id").as("nid"), col("v").as("nv"),
         col("nrm").as("nn")),
@@ -1000,17 +1073,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("id"), col("adc"), col("d2"))
   }
 
-  /** [[indexMeta]]'s contract for the PQ store — content checksum
-    * included for the same stale-index reason. */
-  private def pqMeta(emb: DataFrame, idCol: String, vecCol: String,
-                     nCells: Int, m: Int, kCodes: Int,
-                     scale: Long): String = {
-    val r = emb.agg(count(lit(1)), sum(col(idCol)),
-      sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)"))).first()
-    s"ivfpq2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
-      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}" +
-      s"|cells=$nCells|m=$m|codes=$kCodes|scale=$scale"
+  /** [[ivfScanToken]]'s contract for the PQ store — the AUDIT scan form.
+    * The hash is over the RAW (id, vector): raw vectors never enter the
+    * compressed store, so the per-id hash is computed at encode time
+    * (when the raw batch is in hand) and stored on the s = 0 code rows
+    * for the maintenance token folds. */
+  private[graft] def pqScanToken(emb: DataFrame, idCol: String,
+                                 vecCol: String, nCells: Int, m: Int,
+                                 kCodes: Int, scale: Long,
+                                 bands: Int): String = {
+    def dec(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
+    val r = emb.where(col(vecCol).isNotNull)
+      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
+        sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)")))
+      .first()
+    s"ivfpq3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
+      s"|cells=$nCells|m=$m|codes=$kCodes|scale=$scale|bands=$bands"
   }
+
+  /** [[ivfCorpusToken]] for the compressed store. */
+  def ivfPqCorpusToken(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, m: Int, kCodes: Int, scale: Long,
+                       index: graft.sources.PqIndex): String =
+    pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
+
+  private def pqMeta(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, m: Int, kCodes: Int, scale: Long,
+                     index: graft.sources.PqIndex): String =
+    graft.sources.CorpusToken.cachedToken(emb,
+      s"ivfpq3|$idCol|$vecCol|cells=$nCells|m=$m|codes=$kCodes" +
+        s"|scale=$scale|bands=${index.nBands}")(
+      pqScanToken(emb, idCol, vecCol, nCells, m, kCodes, scale,
+        index.nBands))
+
+  /** Per-id raw-content hashes for a PQ batch — the token terms that ride
+    * the s = 0 code rows. */
+  private def pqFps(emb: DataFrame, idCol: String,
+                    vecCol: String): DataFrame =
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        xxhash64(col(idCol), col(vecCol)).as("fp"))
 
   /** OFFLINE IVF-PQ build: persist the integer cell grid, the subspace
     * codebooks, and the cid-clustered code rows into `index` — the
@@ -1029,13 +1132,15 @@ object Similarity {
     // twice
     val codesCid = codes.join(assigned.select(col("id"), col("cid")),
         Seq("id"))
-      .select(col("cid"), col("id"), col("s"), col("code"))
+      .join(pqFps(emb, idCol, vecCol), Seq("id"))
+      .select(col("cid"), col("id"), col("s"), col("code"),
+        when(col("s") === 0, col("fp")).as("fp"))
       .localCheckpoint(true)
     index.writeIndex(
       cells.select(col("cid"), col("cv")),
       subC.select(col("s"), col("ccid"), col("csub")),
       codesCid,
-      pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale))
+      pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale, index))
     pqCensus(index)
   }
 
@@ -1101,7 +1206,9 @@ object Similarity {
       .select(expr(s"ik div $m").as("id"),
         pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
     codes.join(assigned.select(col("id"), col("cid")), Seq("id"))
-      .select(col("cid"), col("id"), col("s"), col("code"))
+      .join(pqFps(newEmb, idCol, vecCol), Seq("id"))
+      .select(col("cid"), col("id"), col("s"), col("code"),
+        when(col("s") === 0, col("fp")).as("fp"))
   }
 
   /** Build `index` from `emb` iff its fingerprint does not match the
@@ -1110,7 +1217,8 @@ object Similarity {
   def ivfPqEnsureStored(emb: DataFrame, idCol: String, vecCol: String,
                         nCells: Int, m: Int, kCodes: Int, scale: Long,
                         index: graft.sources.PqIndex): Unit =
-    if (!index.isFresh(pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale)))
+    if (!index.isFresh(
+        pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale, index)))
       ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
         .collect()
 
@@ -1150,8 +1258,21 @@ object Similarity {
   def ivfPqSearchStored(emb: DataFrame, idCol: String, vecCol: String,
                         nCells: Int, nProbe: Int, m: Int, kCodes: Int,
                         scale: Long, queryPred: Column, rerank: Int, k: Int,
-                        index: graft.sources.PqIndex): DataFrame = {
-    ivfPqEnsureStored(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
+                        index: graft.sources.PqIndex,
+                        corpusToken: Option[String] = None): DataFrame = {
+    corpusToken match {
+      case Some(tok) =>
+        if (!index.isCurrent(tok)) {
+          ivfPqBuildStored(emb, idCol, vecCol, nCells, m, kCodes, scale,
+            index).collect()
+          require(index.isCurrent(tok),
+            "caller corpus token does not match this corpus + params — " +
+              "was it computed by ivfPqCorpusToken with the same arguments?")
+        }
+      case None =>
+        ivfPqEnsureStored(emb, idCol, vecCol, nCells, m, kCodes, scale,
+          index)
+    }
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))

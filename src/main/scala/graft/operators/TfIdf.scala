@@ -282,16 +282,56 @@ object TfIdf {
   }
 
   /** Build fingerprint: cardinality + id checksum + CONTENT checksum (a
-    * commutative sum of per-row xxhash64(id, text) — without it, edited
-    * text under unchanged ids would pass the freshness gate and silently
-    * serve a stale index) + params. A production deployment substitutes
-    * a corpus version token for the content scan. */
+    * commutative sum of per-row xxhash64(id, text) over docs WITH text —
+    * without it, edited text under unchanged ids would pass the
+    * freshness gate and silently serve a stale index) + params. This is
+    * the AUDIT scan form; the serving path uses [[sparseCorpusToken]]
+    * (memoized under the corpus's file-manifest identity) or a
+    * caller-held token. The same per-row hash is stored as `fp` on the
+    * norm ledger so maintenance token folds never re-read text. */
+  private[graft] def textScanToken(docs: DataFrame, idCol: String,
+                                   textCol: String, idfScale: Long,
+                                   buckets: Int): String = {
+    def dec(r: org.apache.spark.sql.Row, i: Int): String =
+      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
+    val r = docs.where(col(textCol).isNotNull)
+      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
+        sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)")))
+      .first()
+    s"text3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
+      s"|idf=$idfScale|buckets=$buckets"
+  }
+
+  /** The corpus version token for (docs, params) —
+    * [[graft.operators.Similarity.ivfCorpusToken]]'s contract for the
+    * text store. */
+  def sparseCorpusToken(docs: DataFrame, idCol: String, textCol: String,
+                        index: graft.sources.TextIndex,
+                        idfScale: Long = 10000L): String =
+    textMeta(docs, idCol, textCol, idfScale, index)
+
   private def textMeta(docs: DataFrame, idCol: String, textCol: String,
-                       idfScale: Long): String = {
-    val r = docs.agg(count(lit(1)), sum(col(idCol)),
-      sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)"))).first()
-    s"text2|n=${r.getLong(0)}|sumid=${if (r.isNullAt(1)) 0L else r.getLong(1)}" +
-      s"|chk=${if (r.isNullAt(2)) 0 else r.getDecimal(2)}|idf=$idfScale"
+                       idfScale: Long,
+                       index: graft.sources.TextIndex): String =
+    graft.sources.CorpusToken.cachedToken(docs,
+      s"text3|$idCol|$textCol|idf=$idfScale|buckets=${index.nBuckets}")(
+      textScanToken(docs, idCol, textCol, idfScale, index.nBuckets))
+
+  /** The per-doc norm LEDGER rows for a batch: one row per doc with
+    * non-null text (n2 = 0 when the doc yields no terms) carrying the
+    * fingerprint term fp = xxhash64(id, text) — what token folds and
+    * rebuilds read instead of the corpus. */
+  private def normLedger(docs: DataFrame, idCol: String, textCol: String,
+                         w: DataFrame): DataFrame = {
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        xxhash64(col(idCol), col(textCol)).as("fp"))
+      .join(n2, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n2"), lit(0).cast("decimal(38,0)")).as("n2"),
+        col("fp"))
   }
 
   /** OFFLINE inverted-index build: run the tokenize → tf → df → integer
@@ -318,12 +358,11 @@ object TfIdf {
     // three times (the inline path's localCheckpoint lesson, applied to
     // the offline build)
     val w = tf.join(dfreq, "term")
-      .select(col("term"), col("id"), col("df"),
+      .select(col("term"), col("id"), col("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
       .localCheckpoint(true)
-    val n2 = w.groupBy(col("id"))
-      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    index.writeIndex(w, n2, textMeta(docs, idCol, textCol, idfScale))
+    index.writeIndex(w, normLedger(docs, idCol, textCol, w),
+      textMeta(docs, idCol, textCol, idfScale, index))
     sparseCensus(index)
   }
 
@@ -356,7 +395,7 @@ object TfIdf {
   def sparseEnsureStored(docs: DataFrame, idCol: String, textCol: String,
                          index: graft.sources.TextIndex,
                          idfScale: Long = 10000L): Unit =
-    if (!index.isFresh(textMeta(docs, idCol, textCol, idfScale)))
+    if (!index.isFresh(textMeta(docs, idCol, textCol, idfScale, index)))
       sparseBuildStored(docs, idCol, textCol, index, idfScale).collect()
 
   /** INCREMENTAL index ingest under the STALE-IDF contract — exactly how
@@ -388,12 +427,10 @@ object TfIdf {
     // Batch-sized materialization severs the lineage before any swap.
     val w = tf.join(storedDf, Seq("term"), "left")
       .select(col("term"), col("id"),
-        coalesce(col("df"), lit(1L)).as("df"),
+        coalesce(col("df"), lit(1L)).as("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
       .localCheckpoint(true)
-    val n2 = w.groupBy(col("id"))
-      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    index.upsert(w, n2)
+    index.upsert(w, normLedger(newDocs, idCol, textCol, w))
     sparseCensus(index)
   }
 
@@ -423,12 +460,53 @@ object TfIdf {
     // sparseExtendStored lineage discipline)
     val w = tf.join(storedDf, Seq("term"), "left")
       .select(col("term"), col("id"),
-        coalesce(col("df"), lit(1L)).as("df"),
+        coalesce(col("df"), lit(1L)).as("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
+      .localCheckpoint(true)
+    index.appendDocs(w, normLedger(newDocs, idCol, textCol, w))
+    sparseCensus(index)
+  }
+
+  /** STATS-REFRESH REBUILD WITH CARRY-OVER — the "next full rebuild" the
+    * stale-IDF contract ([[sparseExtendStored]]/[[sparseAppendStored]])
+    * defers df drift to, as a callable op: recompute df over the index's
+    * OWN posting rows, re-derive every weight from the stored tf under
+    * the fresh df, recompute norms, and swap. No corpus access at all —
+    * tf rides each posting row and the per-doc fp ledger reconstructs
+    * the fingerprint — so after the rebuild the index reads FRESH for
+    * the merged corpus and its census equals a from-scratch build on it
+    * (q168's oracle gate). Returns the per-df census read back from
+    * disk. */
+  def sparseRebuildStored(index: graft.sources.TextIndex,
+                          idfScale: Long = 10000L): DataFrame = {
+    val p = index.readPostings()
+    // the ledger is read AFTER the postings swap — materialize first
+    val n = index.readNorms().localCheckpoint(true)
+    val dfNew = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // materialized: feeds the norms, the range-partitioner's sampling
+    // pass, and the postings shuffle — and its plan reads the posting
+    // dirs writeIndex replaces
+    val w = p.select(col("term"), col("id"), col("tf"))
+      .join(dfNew, "term")
+      .select(col("term"), col("id"), col("df"), col("tf"),
+        (col("tf") * expr(s"$idfScale div df")).as("w"))
       .localCheckpoint(true)
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    index.appendDocs(w, n2)
+    val ledger = n.select(col("id"), col("fp"))
+      .join(n2, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n2"), lit(0).cast("decimal(38,0)")).as("n2"),
+        col("fp"))
+    // fingerprint reconstructed from the ledger — identical by the
+    // fold-invariance contract to textScanToken over the merged corpus
+    val r = n.agg(count(lit(1)), sum(col("id").cast("decimal(38,0)")),
+      sum(col("fp").cast("decimal(38,0)"))).first()
+    def dec(i: Int): String =
+      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
+    val meta = s"text3|n=${r.getLong(0)}|sumid=${dec(1)}|chk=${dec(2)}" +
+      s"|idf=$idfScale|buckets=${index.nBuckets}"
+    index.writeIndex(w, ledger, meta)
     sparseCensus(index)
   }
 
@@ -444,8 +522,23 @@ object TfIdf {
                          queryPred: org.apache.spark.sql.Column, k: Int,
                          index: graft.sources.TextIndex,
                          maxDf: Long = 100L, idfScale: Long = 10000L,
-                         prune: Boolean = false): DataFrame = {
-    sparseEnsureStored(docs, idCol, textCol, index, idfScale)
+                         prune: Boolean = false,
+                         corpusToken: Option[String] = None): DataFrame = {
+    corpusToken match {
+      case Some(tok) =>
+        // O(1) freshness: compare the caller's corpus version against
+        // the index's covered version — zero corpus jobs when fresh
+        if (!index.isCurrent(tok)) {
+          sparseBuildStored(docs, idCol, textCol, index, idfScale)
+            .collect()
+          require(index.isCurrent(tok),
+            "caller corpus token does not match this corpus + params — " +
+              "was it computed by sparseCorpusToken with the same " +
+              "arguments?")
+        }
+      case None =>
+        sparseEnsureStored(docs, idCol, textCol, index, idfScale)
+    }
     sparseRank(index.readPostings(), index.readNorms(), queryPred, k,
       maxDf, prune)
   }

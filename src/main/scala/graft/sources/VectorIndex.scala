@@ -262,17 +262,98 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     }
   }
 
-  protected def clearMeta(): Unit =
+  protected def clearMeta(): Unit = {
     fs.delete(new Path(path("_meta")), false)
-
-  protected def publishMeta(meta: String): Unit = {
-    val tmp = new Path(path("_meta.tmp-" + java.util.UUID.randomUUID()))
-    val outS = fs.create(tmp, true)
-    try outS.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally outS.close()
-    require(fs.rename(tmp, new Path(path("_meta"))),
-      "publishMeta: publishing fingerprint failed")
+    fs.delete(new Path(path("_token")), false)
   }
+
+  private def writeAtomic(name: String, content: String): Unit = {
+    val tmp = new Path(path(s"$name.tmp-" + java.util.UUID.randomUUID()))
+    val outS = fs.create(tmp, true)
+    try outS.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outS.close()
+    // Hadoop rename refuses an existing destination — delete first. A
+    // crash inside the delete→rename window leaves the marker ABSENT,
+    // which every reader treats as stale/unknown: the conservative
+    // direction (a rebuild, never a silently-served wrong version).
+    fs.delete(new Path(path(name)), false)
+    require(fs.rename(tmp, new Path(path(name))),
+      s"writeAtomic: publishing $name failed")
+  }
+
+  protected def publishMeta(meta: String): Unit = writeAtomic("_meta", meta)
+
+  // ------------------------------------------------------------------
+  // covered-corpus version token
+  //
+  // `_meta` vouches for the BASE build and is untouched by maintenance
+  // (isFresh keeps answering true for the base corpus — extensions are
+  // additive, not staleness). `_token` is the COVERED-CORPUS version:
+  // initialized to the build fingerprint and kept equal to what a fresh
+  // fingerprint scan over the corpus-as-maintained WOULD compute, by
+  // folding each maintenance batch's delta into the commutative terms
+  // (n, Σid, Σhash). A caller that maintains its corpus version token
+  // (every ingestion pipeline does — it is the thing writing the corpus)
+  // gets an O(1) freshness check on the serving path: compare tokens,
+  // no corpus scan.
+
+  /** The covered-corpus version token, or None when absent (legacy index,
+    * build crashed pre-fingerprint, or a maintenance op crashed between
+    * its table swap and its token fold — all conservative: a token-gated
+    * search treats None as stale). */
+  def storedToken(): Option[String] = {
+    val t = new Path(path("_token"))
+    if (!fs.exists(t)) None
+    else {
+      val in = fs.open(t)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** O(1) freshness: does this index cover exactly the corpus version the
+    * caller holds? One small file read; no job over any table. */
+  def isCurrent(token: String): Boolean = storedToken().contains(token)
+
+  protected def publishToken(token: String): Unit =
+    writeAtomic("_token", token)
+
+  /** (rows, Σid, Σhash) of a maintenance delta — the commutative terms
+    * [[foldToken]] adds/subtracts. `hash` must be the same per-row hash
+    * the family's fingerprint scan uses. */
+  protected def deltaOf(df: DataFrame,
+                        hash: Column): (Long, BigInt, BigInt) = {
+    val r = df.agg(count(lit(1)), sum(col("id").cast("decimal(38,0)")),
+      sum(hash.cast("decimal(38,0)"))).first()
+    (r.getLong(0),
+      if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger),
+      if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger))
+  }
+
+  private val tokenRe =
+    """^([^|]+)\|n=(-?\d+)\|sumid=(-?\d+)\|chk=(-?\d+)\|(.*)$""".r
+
+  /** Fold a maintenance delta into the stored token: n/Σid/Σhash move by
+    * (added − removed); the params suffix is untouched. Called AFTER the
+    * table swap — a crash between swap and fold leaves the token BEHIND
+    * the data, which is the conservative direction (a token-gated search
+    * sees a mismatch and self-heals with a rebuild; it can never serve a
+    * corpus version the index does not actually cover). A full retry of
+    * the crashed op re-runs against the already-swapped state, so its
+    * added and removed terms cancel and the fold nets zero. An absent
+    * token stays absent. */
+  protected def foldToken(added: (Long, BigInt, BigInt),
+                          removed: (Long, BigInt, BigInt)): Unit =
+    storedToken() match {
+      case None => ()
+      case Some(tokenRe(tag, n, sumid, chk, rest)) =>
+        publishToken(s"$tag|n=${n.toLong + added._1 - removed._1}" +
+          s"|sumid=${BigInt(sumid) + added._2 - removed._2}" +
+          s"|chk=${BigInt(chk) + added._3 - removed._3}|$rest")
+      case Some(other) =>
+        throw new IllegalStateException(s"unparseable _token: '$other'")
+    }
 }
 
 object VectorIndex {
@@ -290,7 +371,7 @@ object VectorIndex {
   *
   * Layout under `root/`:
   *   - `centroids/`  (cid, cv array<double>, cn) — K rows, broadcast-sized.
-  *   - `postings/cid_band=N/`  (cid, id, v array<double>, nrm) — the
+  *   - `postings/cid_band=N/`  (cid, id, v array<double>, nrm, fp) — the
   *     inverted lists, directory-partitioned on cid mod
   *     [[VectorIndex.PostingBands]] and cid-sorted within files, so a
   *     probe of p cells row-group-prunes to ~p/K of the bytes AND an
@@ -307,10 +388,17 @@ final class VectorIndex(spark: SparkSession, root: String,
   private val centroidSchema = StructType.fromDDL(
     "cid BIGINT, cv ARRAY<DOUBLE>, cn DOUBLE")
   private val postingSchema = StructType.fromDDL(
-    "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE")
+    "cid BIGINT, id BIGINT, v ARRAY<DOUBLE>, nrm DOUBLE, fp BIGINT")
 
   private def band(c: Column, n: Int): Column =
     pmod(c, lit(n.toLong)).cast("int")
+
+  /** Per-row content hash, identical to the fingerprint scan's term
+    * (the scan hashes (id, toDouble(vec)); v IS toDouble(vec)) — stored
+    * on every posting row so maintenance deltas and rebuilds read an
+    * 8-byte column instead of re-hashing vectors. */
+  private def fpOf(df: DataFrame): DataFrame =
+    df.withColumn("fp", xxhash64(col("id"), col("v")))
 
   def readCentroids(): DataFrame = read("centroids", centroidSchema)
   def readPostings(): DataFrame = postingsWithBand().drop("cid_band")
@@ -329,9 +417,11 @@ final class VectorIndex(spark: SparkSession, root: String,
     clearMeta()
     swapIn("centroids", centroids, centroidSchema)
     swapIn("postings",
-      postings.withColumn("cid_band", band(col("cid"), configuredBands))
+      fpOf(postings)
+        .withColumn("cid_band", band(col("cid"), configuredBands))
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
+    publishToken(meta)
     publishMeta(meta)
   }
 
@@ -342,14 +432,17 @@ final class VectorIndex(spark: SparkSession, root: String,
     * wherever it lived). Touched partitions = the batch's own bands ∪ the
     * bands holding prior rows of its ids (found by an (id, band)-only
     * column scan — parquet prunes every other column); ONLY those bands
-    * are rewritten. The fingerprint is untouched: it vouches for the BASE
-    * build, and [[isFresh]] deliberately keeps answering true — the
-    * extension is additive, not staleness. */
+    * are rewritten. `_meta` is untouched: it vouches for the BASE build,
+    * and [[isFresh]] deliberately keeps answering true — the extension
+    * is additive, not staleness. The covered-corpus `_token` IS folded
+    * (added batch terms in, evicted rows' terms out — the latter read
+    * from the stored fp column, band-pruned), so [[isCurrent]] keeps
+    * tracking exactly what the index covers. */
   def upsertPostings(incoming: DataFrame): Unit = {
     // batch-sized; materialized once because the plan below reads it for
     // the band census, the eviction keys, and the union content
-    val inc = incoming
-      .select(col("cid"), col("id"), col("v"), col("nrm"))
+    val inc = fpOf(incoming
+        .select(col("cid"), col("id"), col("v"), col("nrm")))
       .withColumn("cid_band", band(col("cid"), liveBands("postings")))
       .localCheckpoint(true)
     val ids = inc.select(col("id")).distinct()
@@ -366,12 +459,19 @@ final class VectorIndex(spark: SparkSession, root: String,
         .join(ids, Seq("id"), "left_semi")
         .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
+    // evicted rows' token terms, read (band-pruned, (id, fp) columns
+    // only) BEFORE the swap replaces them
+    val removed = deltaOf(
+      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
+    val added = deltaOf(inc, col("fp"))
     swapPartitions("postings", "cid_band", touched.toIndexedSeq,
       postingSchema,
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
+    foldToken(added, removed)
   }
 
   /** O(batch) ingest for GENUINELY-NEW ids — the LSM/segment-style
@@ -389,15 +489,17 @@ final class VectorIndex(spark: SparkSession, root: String,
     * [[upsertPostings]]. Appends accumulate small files per band;
     * [[compactPostings]] folds them back on the rebuild cadence. */
   def appendPostings(incoming: DataFrame): Unit = {
-    val inc = incoming
-      .select(col("cid"), col("id"), col("v"), col("nrm"))
+    val inc = fpOf(incoming
+        .select(col("cid"), col("id"), col("v"), col("nrm")))
       .withColumn("cid_band", band(col("cid"), liveBands("postings")))
       .localCheckpoint(true)
+    // materialized: consumed by the file write AND the token delta
     val fresh = inc.join(postingsWithBand().select(col("id")),
-      Seq("id"), "left_anti")
+      Seq("id"), "left_anti").localCheckpoint(true)
     appendFiles("postings", "cid_band",
       clusteredFor(fresh, "cid_band", col("cid"), col("id")),
       postingSchema)
+    foldToken(deltaOf(fresh, col("fp")), (0L, BigInt(0), BigInt(0)))
   }
 
   /** Fold append-accumulated files back into the clustered layout — one
@@ -419,19 +521,25 @@ final class VectorIndex(spark: SparkSession, root: String,
     * not member data — exactly how production IVF handles deletes between
     * rebuilds); absent ids are a no-op, so the call is idempotent. Only
     * the bands holding doomed rows (one (id, band) column scan) are
-    * rewritten. The fingerprint stays, like [[upsertPostings]]: the base
-    * build it vouches for is still the index's lineage. */
+    * rewritten. `_meta` stays, like [[upsertPostings]]: the base build
+    * it vouches for is still the index's lineage; the covered-corpus
+    * `_token` drops the forgotten rows' terms. */
   def deletePostings(ids0: DataFrame): Unit = {
     val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
     val pb = postingsWithBand()
     val touched = pb.select(col("cid_band"), col("id"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
+    // doomed rows' token terms, read band-pruned before the swap
+    val removed = deltaOf(
+      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
     swapPartitions("postings", "cid_band", touched.toIndexedSeq,
       postingSchema,
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
+    foldToken((0L, BigInt(0), BigInt(0)), removed)
   }
 }
 
@@ -466,10 +574,16 @@ final class TextIndex(spark: SparkSession, root: String,
     extends IndexStore(spark, root) {
   override protected def configuredBands: Int = nBuckets
 
+  // tf rides every posting row so a stats-refresh rebuild can recompute
+  // weights under fresh df without the corpus (w alone is lossy: terms
+  // with df > idfScale weigh 0)
   private val postingSchema = StructType.fromDDL(
-    "term STRING, id BIGINT, df BIGINT, w BIGINT")
+    "term STRING, id BIGINT, df BIGINT, tf BIGINT, w BIGINT")
+  // norms are the per-doc LEDGER: one row per ingested doc (n2 = 0 for a
+  // term-less doc) carrying fp = xxhash64(id, text) — the fingerprint
+  // term token folds and rebuilds reconstruct without re-reading text
   private val normSchema = StructType.fromDDL(
-    "id BIGINT, n2 DECIMAL(38,0)")
+    "id BIGINT, n2 DECIMAL(38,0), fp BIGINT")
 
   private def tBucket(t: Column, n: Int): Column =
     pmod(xxhash64(t), lit(n.toLong)).cast("int")
@@ -497,6 +611,7 @@ final class TextIndex(spark: SparkSession, root: String,
       norms.withColumn("id_bucket", nBucket(col("id"), configuredBands))
         .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
       withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))
+    publishToken(meta)
     publishMeta(meta)
   }
 
@@ -508,23 +623,30 @@ final class TextIndex(spark: SparkSession, root: String,
     * re-read a just-replaced directory. Touched posting buckets = the
     * batch terms' buckets ∪ buckets holding prior rows of its ids (an
     * (id, bucket)-only column scan); touched norm buckets are the batch
-    * ids' own. Like [[VectorIndex.upsertPostings]], the build fingerprint
-    * is untouched — it vouches for the base build the extension rides
-    * on. */
+    * ids' own. Like [[VectorIndex.upsertPostings]], `_meta` is untouched
+    * — it vouches for the base build the extension rides on — while the
+    * covered-corpus `_token` folds the batch in and the evicted docs'
+    * ledger terms out. */
   def upsert(postings: DataFrame, norms: DataFrame): Unit = {
     val incP = postings
-      .select(col("term"), col("id"), col("df"), col("w"))
+      .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
       .withColumn("term_bucket",
         tBucket(col("term"), liveBands("postings")))
       .localCheckpoint(true)
-    val incN = norms.select(col("id"), col("n2"))
+    val incN = norms.select(col("id"), col("n2"), col("fp"))
       .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
       .localCheckpoint(true)
-    val ids = incP.select(col("id")).distinct()
+    val ids = incN.select(col("id")).distinct()
 
     val nTouched = incN.select(col("id_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val nb = normsWithBucket()
+    // evicted docs' token terms from the norm ledger, bucket-pruned,
+    // read BEFORE the swap replaces those buckets
+    val removed = deltaOf(
+      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
+    val added = deltaOf(incN, col("fp"))
     swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
       nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
         .join(incN.select(col("id")).distinct(), Seq("id"), "left_anti")
@@ -551,6 +673,7 @@ final class TextIndex(spark: SparkSession, root: String,
         .join(ids, Seq("id"), "left_anti")
         .unionByName(incP)
         .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
+    foldToken(added, removed)
   }
 
   /** O(batch) ingest for GENUINELY-NEW doc ids ([[VectorIndex.
@@ -569,22 +692,21 @@ final class TextIndex(spark: SparkSession, root: String,
     * there. Re-posted docs must go through [[upsert]] for eviction. */
   def appendDocs(postings: DataFrame, norms: DataFrame): Unit = {
     val incP = postings
-      .select(col("term"), col("id"), col("df"), col("w"))
+      .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
       .withColumn("term_bucket",
         tBucket(col("term"), liveBands("postings")))
       .localCheckpoint(true)
-    val incN = norms.select(col("id"), col("n2"))
+    val incN = norms.select(col("id"), col("n2"), col("fp"))
       .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
       .localCheckpoint(true)
     // each table filters against ITS OWN present rows: a crash between
     // the two appends must leave the retry appending exactly the missing
     // table's rows (filtering both against norms would drop the
     // postings of a batch whose norms landed before the crash)
+    val freshN = incN.join(normsWithBucket().select(col("id")), Seq("id"),
+      "left_anti").localCheckpoint(true) // file write + token delta
     appendFiles("norms", "id_bucket",
-      clusteredFor(
-        incN.join(normsWithBucket().select(col("id")), Seq("id"),
-          "left_anti"),
-        "id_bucket", col("id"), col("id")),
+      clusteredFor(freshN, "id_bucket", col("id"), col("id")),
       normSchema)
     appendFiles("postings", "term_bucket",
       clusteredFor(
@@ -592,6 +714,7 @@ final class TextIndex(spark: SparkSession, root: String,
           Seq("term", "id"), "left_anti"),
         "term_bucket", col("term"), col("id")),
       postingSchema)
+    foldToken(deltaOf(freshN, col("fp")), (0L, BigInt(0), BigInt(0)))
   }
 
   /** [[VectorIndex.compactPostings]] for the text store: fold
@@ -630,10 +753,15 @@ final class TextIndex(spark: SparkSession, root: String,
     val nTouched = ids.select(nBucket(col("id"), liveBands("norms")).as("id_bucket")).distinct()
       .collect().map(_.getInt(0)).sorted
     val nb = normsWithBucket()
+    // forgotten docs' token terms from the ledger, before their rows go
+    val removed = deltaOf(
+      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
     swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
       nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+    foldToken((0L, BigInt(0), BigInt(0)), removed)
   }
 }
 
@@ -668,8 +796,12 @@ final class PqIndex(spark: SparkSession, root: String,
     "cid BIGINT, cv ARRAY<BIGINT>")
   private val codebookSchema = StructType.fromDDL(
     "s INT, ccid BIGINT, csub ARRAY<BIGINT>")
+  // fp = xxhash64(id, raw vector), set ONLY on the s = 0 row of each id
+  // (null elsewhere — RLE-cheap): the per-VECTOR fingerprint term the
+  // covered-corpus token folds; raw vectors never enter this store, so
+  // the hash must be computed at encode time and ride the codes
   private val codeSchema = StructType.fromDDL(
-    "cid BIGINT, id BIGINT, s INT, code BIGINT")
+    "cid BIGINT, id BIGINT, s INT, code BIGINT, fp BIGINT")
 
   private def band(c: Column, n: Int): Column =
     pmod(c, lit(n.toLong)).cast("int")
@@ -690,6 +822,7 @@ final class PqIndex(spark: SparkSession, root: String,
       codes.withColumn("cid_band", band(col("cid"), configuredBands))
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
       withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
+    publishToken(meta)
     publishMeta(meta)
   }
 
@@ -697,11 +830,13 @@ final class PqIndex(spark: SparkSession, root: String,
     * vector id — a re-ingested id's old code rows are evicted wherever
     * they lived (its vector may have moved cells). The
     * [[VectorIndex.upsertPostings]] discipline: only the batch's bands ∪
-    * the bands holding prior rows of its ids are rewritten. Fingerprint
+    * the bands holding prior rows of its ids are rewritten. `_meta`
     * untouched — additive extension over the base build's grid and
-    * codebooks. */
+    * codebooks — while the covered-corpus `_token` folds the per-vector
+    * terms riding the s = 0 code rows. */
   def upsertCodes(incoming: DataFrame): Unit = {
-    val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
+    val inc = incoming
+      .select(col("cid"), col("id"), col("s"), col("code"), col("fp"))
       .withColumn("cid_band", band(col("cid"), liveBands("codes")))
       .localCheckpoint(true)
     val ids = inc.select(col("id")).distinct()
@@ -715,11 +850,18 @@ final class PqIndex(spark: SparkSession, root: String,
         .join(ids, Seq("id"), "left_semi")
         .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
+    // per-VECTOR token terms live on the s = 0 rows
+    val removed = deltaOf(
+      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .where(col("s") === 0)
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
+    val added = deltaOf(inc.where(col("s") === 0), col("fp"))
     swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .unionByName(inc)
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
+    foldToken(added, removed)
   }
 
   /** O(batch) code ingest for GENUINELY-NEW ids ([[VectorIndex.
@@ -732,14 +874,18 @@ final class PqIndex(spark: SparkSession, root: String,
     * the id as "present" and drop its unmoved rows forever (the
     * [[TextIndex.appendDocs]] lesson). */
   def appendCodes(incoming: DataFrame): Unit = {
-    val inc = incoming.select(col("cid"), col("id"), col("s"), col("code"))
+    val inc = incoming
+      .select(col("cid"), col("id"), col("s"), col("code"), col("fp"))
       .withColumn("cid_band", band(col("cid"), liveBands("codes")))
       .localCheckpoint(true)
+    // materialized: consumed by the file write AND the token delta
     val fresh = inc.join(codesWithBand().select(col("id"), col("s")),
-      Seq("id", "s"), "left_anti")
+      Seq("id", "s"), "left_anti").localCheckpoint(true)
     appendFiles("codes", "cid_band",
       clusteredFor(fresh, "cid_band", col("cid"), col("id")),
       codeSchema)
+    foldToken(deltaOf(fresh.where(col("s") === 0), col("fp")),
+      (0L, BigInt(0), BigInt(0)))
   }
 
   /** [[VectorIndex.compactPostings]] for the code rows. */
@@ -760,9 +906,14 @@ final class PqIndex(spark: SparkSession, root: String,
     val touched = cb.select(col("cid_band"), col("id"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
+    val removed = deltaOf(
+      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+        .where(col("s") === 0)
+        .join(ids, Seq("id"), "left_semi"), col("fp"))
     swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .join(ids, Seq("id"), "left_anti")
         .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
+    foldToken((0L, BigInt(0), BigInt(0)), removed)
   }
 }

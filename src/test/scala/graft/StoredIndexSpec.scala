@@ -432,11 +432,11 @@ class StoredIndexSpec extends SparkSpec {
     val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-partial"))
     graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
       .collect()
-    // the full batch for a new doc: 4 posting rows + 1 norm row
-    val p = Seq(("alpha", 10L, 1L, 100L), ("omega", 10L, 1L, 200L),
-      ("fresh", 10L, 1L, 300L), ("common", 10L, 2L, 50L))
-      .toDF("term", "id", "df", "w")
-    val n = Seq((10L, BigDecimal(140000))).toDF("id", "n2")
+    // the full batch for a new doc: 4 posting rows + 1 norm-ledger row
+    val p = Seq(("alpha", 10L, 1L, 1L, 100L), ("omega", 10L, 1L, 1L, 200L),
+      ("fresh", 10L, 1L, 1L, 300L), ("common", 10L, 2L, 1L, 50L))
+      .toDF("term", "id", "df", "tf", "w")
+    val n = Seq((10L, BigDecimal(140000), 77L)).toDF("id", "n2", "fp")
     // simulate a crash that landed only a PREFIX of the doc's posting
     // files: the norm row and two of four term rows are on disk
     idx.appendDocs(p.where(col("term").isin("alpha", "omega")), n)
@@ -459,8 +459,9 @@ class StoredIndexSpec extends SparkSpec {
       nCells = 5, m = 4, kCodes = 6, scale = 1000000L, index = idx).collect()
     // an id's 4 subspace rows, landed half-and-half across a simulated
     // crash (a writer file boundary can split them in production)
-    val full = (0 until 4).map(s => (3L, 500L, s, (s % 6).toLong))
-      .toDF("cid", "id", "s", "code")
+    val full = (0 until 4).map(s =>
+        (3L, 500L, s, (s % 6).toLong, if (s == 0) Some(99L) else None))
+      .toDF("cid", "id", "s", "code", "fp")
     idx.appendCodes(full.where(col("s") < 2))
     idx.appendCodes(full)
     assert(idx.readCodes().where(col("id") === 500L).count() == 4,
