@@ -306,6 +306,49 @@ object Analytics {
       .orderBy(col("cid"))
   }
 
+  // REBUILD WITH CARRY-OVER (the grid-refresh migration the frozen-grid
+  // ingest contract defers drift to): extend the "rebuildable" index
+  // with a %17 clone batch against the FROZEN base grid, then
+  // ivfRebuildStored re-seeds and re-assigns from the index's OWN
+  // posting lists — zero corpus access — and the census must equal a
+  // from-scratch build on the MERGED corpus (the oracle re-picks seeds
+  // over base ∪ batch), proving the documented rebuild cadence is a
+  // callable op that converges to build-from-scratch. Own role: the
+  // rebuild replaces the whole grid, which must never touch q143/q144's.
+  def q167IvfRebuildStored(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = vindex(s, dir, "rebuildable")
+    Similarity.ivfEnsureStored(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
+    val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
+    val batch = emb.where(col("vec_id") % 17 === 0)
+      .select((col("vec_id") + off).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    Similarity.ivfExtendStored(batch, "vec_id", "embedding", idx).collect()
+    Similarity.ivfRebuildStored(nCentroids = 16, index = idx,
+      portable = true)
+  }
+
+  // TOKEN-GATED serving (the O(1)-freshness production path): the caller
+  // holds its corpus version token (here via ivfCorpusToken — memoized
+  // under the corpus's file-manifest identity, so warm calls launch no
+  // corpus job) and the search compares it against the index's stored
+  // covered-corpus token instead of fingerprint-scanning the corpus.
+  // Shares the read-only "base" grid; query window 32..40 keeps every
+  // stored-search gate independent (q144 owns 8..16, q158 16..24,
+  // q160 24..32).
+  def q169IvfTokenSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = vindex(s, dir, "base")
+    val token = Similarity.ivfCorpusToken(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
+    Similarity.ivfSearchStored(emb, "vec_id", "embedding",
+      nCentroids = 16, nProbe = 12,
+      queryPred = col("id") >= 32 && col("id") < 40, k = 5,
+      index = idx, portable = true, corpusToken = Some(token))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // MMR served end to end from the STORED index (q153's serving twin,
   // the full production stack): the relevance shortlist is
   // ivfSearchStored over q143's "base" grid — index scans only — and

@@ -150,6 +150,27 @@ object AnalyticsOracles {
          |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM allasg GROUP BY cid ORDER BY cid""".stripMargin
 
+  /** The REBUILD-WITH-CARRYOVER census (q167): unlike [[ivfIngestSql]]
+    * (batch assigned to the BASE grid), seeds are RE-PICKED over the
+    * merged corpus and every vector re-assigned — the from-scratch build
+    * the engine's ivfRebuildStored must converge to. */
+  private def ivfRebuildSql(mod: Int): String =
+    s"""WITH v0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |  FROM embeddings),
+       |off AS (SELECT max(vec_id) + 1 AS o FROM embeddings),
+       |newv AS (
+       |  SELECT vec_id + o AS vec_id,
+       |    list_transform(embedding, x -> -CAST(x AS DOUBLE)) AS vv
+       |  FROM embeddings, off WHERE vec_id % $mod = 0),
+       |v AS (SELECT * FROM v0 UNION ALL SELECT * FROM newv),
+       |n AS (SELECT vec_id, sqrt(list_dot_product(vv, vv)) AS nrm FROM v),
+       |$ivfAsgCtes
+       |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_ids
+       |FROM asg GROUP BY cid ORDER BY cid""".stripMargin
+
   /** One MMR greedy round: `selPrev` (qid, nid, rank, score) → pick the
     * argmax of 70·rel − 30·max-sim-to-selected among unselected shortlist
     * members, union into `selCur`. Generated so the five q153 rounds
@@ -507,6 +528,19 @@ object AnalyticsOracles {
     // compaction census: the fold back into the clustered layout must
     // preserve every appended row — same oracle as the append it follows
     "q164_ivf_compact_stored" -> ivfIngestSql(23),
+
+    // rebuild-with-carryover census: extend against the frozen grid,
+    // then rebuild from the index's own posting lists — must equal a
+    // from-scratch build (re-picked seeds) on the merged corpus
+    "q167_ivf_rebuild_stored" -> ivfRebuildSql(17),
+
+    // token-gated stored search: identical candidate recipe at q169's
+    // own query window — the engine's O(1)-token path must lose nothing
+    // vs the recomputed pipeline
+    "q169_ivf_token_search" ->
+      s"""WITH $vecCtes,
+         |${ivfCandCtesFor("v.vec_id >= 32 AND v.vec_id < 40", 12)},
+         |$rerankTail""".stripMargin,
 
     // incremental extend: the ingest batch (every 13th vector, elements
     // negated, ids offset by max+1) is assigned to the SAME seed grid —

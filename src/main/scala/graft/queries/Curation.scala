@@ -310,6 +310,60 @@ object Curation {
       "embedding", m = 16, scale = 1000000L, index = idx)
   }
 
+  // COMPACTION for the text store, oracle-gated (q164's discipline
+  // completed across the families): fold the append-accumulated
+  // posting/norm files back into the clustered layout and read the
+  // census from the compacted bytes — equality with q162's census (same
+  // oracle text) proves the fold preserves every row. Shares q162's
+  // "texta" role safely: append is idempotent and compact
+  // row-preserving, so the two commute in any driver order.
+  def q165SparseCompactStored(s: SparkSession, dir: String): DataFrame = {
+    q162SparseAppendStored(s, dir).collect()
+    val idx = textIndex(s, dir, "texta")
+    idx.compact()
+    idx.readPostings()
+      .groupBy(col("df"))
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"), sum(col("w")).as("sum_w"))
+      .orderBy(col("df"))
+  }
+
+  // COMPACTION for the compressed store (same gate): append the %31
+  // batch, fold the code files, read the census from the compacted
+  // bytes — equality with q163's oracle proves every code row survives
+  // the rewrite. Shares q163's "pqa" role under the same commutativity.
+  def q166IvfPqCompactStored(s: SparkSession, dir: String): DataFrame = {
+    q163IvfPqAppendStored(s, dir).collect()
+    val idx = pqIndex(s, dir, "pqa")
+    idx.compactCodes()
+    idx.readCodes()
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("id")).as("sum_ids"),
+        sum(col("code")).as("sum_codes"))
+      .orderBy(col("cid"))
+  }
+
+  // STATS-REFRESH REBUILD for the text store (q167's sparse twin): a %37
+  // sentinel batch lands under the stale-IDF contract, then
+  // sparseRebuildStored recomputes df over the index's OWN rows and
+  // re-derives every weight from the stored tf — zero corpus access —
+  // and the census must equal a from-scratch build on the MERGED corpus
+  // (fresh df everywhere), proving the deferred stats refresh is a
+  // callable op that converges to build-from-scratch. Own role
+  // ("textr").
+  def q168SparseRebuildStored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val idx = textIndex(s, dir, "textr")
+    graft.operators.TfIdf.sparseEnsureStored(docs, "doc_id", "text", idx)
+    val off = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
+    val batch = docs.where(col("doc_id") % 37 === 0)
+      .select((col("doc_id") + off).as("doc_id"),
+        concat(col("text"), lit(" xrebtok xrebtok")).as("text"))
+    graft.operators.TfIdf.sparseExtendStored(batch, "doc_id", "text", idx)
+      .collect()
+    graft.operators.TfIdf.sparseRebuildStored(idx)
+  }
+
   // Composed curation pass (q67 extended with the dedup ladder a training
   // corpus actually runs): re-crawl simulation (every 7th doc duplicated
   // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →

@@ -206,6 +206,33 @@ object CurationOracles {
        |sn2 AS (
        |  SELECT id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM sw GROUP BY id)""".stripMargin
 
+  /** The %29 stale-IDF append census — ONE text behind the append (q162)
+    * and compaction (q165) twins, the [[AnalyticsOracles]] ivfIngestSql
+    * discipline for the text store. */
+  private val sparseAppendSql: String =
+    s"""WITH $sparseWeightCtes,
+       |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+       |nstoks AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(text || ' xfreshtok xfreshtok', ' '))
+       |      AS term
+       |  FROM documents WHERE doc_id % 29 = 0),
+       |ntf AS (
+       |  SELECT s.doc_id + o.o AS id, term, count(*) AS tf
+       |  FROM nstoks s CROSS JOIN off o GROUP BY s.doc_id + o.o, term),
+       |bdf AS (SELECT term, max(df) AS df FROM sw GROUP BY term),
+       |nw AS (
+       |  SELECT ntf.term, id, coalesce(bdf.df, 1) AS df,
+       |    tf * (10000 // coalesce(bdf.df, 1)) AS w
+       |  FROM ntf LEFT JOIN bdf ON bdf.term = ntf.term),
+       |allw AS (
+       |  SELECT term, id, df, w FROM sw
+       |  UNION ALL SELECT term, id, df, w FROM nw)
+       |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       |  CAST(count(*) AS BIGINT) AS n_postings,
+       |  CAST(sum(w) AS BIGINT) AS sum_w
+       |FROM allw GROUP BY df ORDER BY df""".stripMargin
+
   private def sparseScoredCtes(pred: String): String =
     s"""$sparseWeightCtes,
        |srare AS (SELECT * FROM sw WHERE df BETWEEN 2 AND 400),
@@ -336,6 +363,34 @@ object CurationOracles {
     // for genuinely-new ids
     "q163_ivf_pq_append_stored" -> pqIngestSql(31),
 
+    // PQ compaction census: the fold back into the clustered layout must
+    // preserve every code row — same oracle as the append it follows
+    "q166_ivf_pq_compact_stored" -> pqIngestSql(31),
+
+    // text stats-refresh rebuild census: a from-scratch weight build over
+    // the MERGED corpus (fresh df everywhere — unlike the stale-IDF
+    // ingest twins, where the batch rides the build-time df), which the
+    // engine must reach from its stored tf rows without corpus access
+    "q168_sparse_rebuild_stored" ->
+      s"""WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents),
+         |mdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + o AS doc_id, text || ' xrebtok xrebtok' AS text
+         |  FROM documents, off WHERE doc_id % 37 = 0),
+         |stoks AS (
+         |  SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term
+         |  FROM mdocs),
+         |stf AS (SELECT id, term, count(*) AS tf FROM stoks GROUP BY id, term),
+         |sdf AS (SELECT term, count(*) AS df FROM stf GROUP BY term),
+         |sw AS (
+         |  SELECT id, stf.term, df, tf * (10000 // df) AS w
+         |  FROM stf JOIN sdf ON stf.term = sdf.term)
+         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS n_postings,
+         |  CAST(sum(w) AS BIGINT) AS sum_w
+         |FROM sw GROUP BY df ORDER BY df""".stripMargin,
+
 
     // PQ deletion census: the base build's code rows minus the deleted
     // ids — the engine physically dropped them from the stored bands
@@ -395,29 +450,12 @@ object CurationOracles {
     // O(batch) text append: the q152 stale-IDF census semantics at the
     // %29 batch recipe — append and keyed upsert must be
     // indistinguishable on disk for genuinely-new doc ids
-    "q162_sparse_append_stored" ->
-      s"""WITH $sparseWeightCtes,
-         |off AS (SELECT max(doc_id) + 1 AS o FROM documents),
-         |nstoks AS (
-         |  SELECT doc_id,
-         |    unnest(string_split(text || ' xfreshtok xfreshtok', ' '))
-         |      AS term
-         |  FROM documents WHERE doc_id % 29 = 0),
-         |ntf AS (
-         |  SELECT s.doc_id + o.o AS id, term, count(*) AS tf
-         |  FROM nstoks s CROSS JOIN off o GROUP BY s.doc_id + o.o, term),
-         |bdf AS (SELECT term, max(df) AS df FROM sw GROUP BY term),
-         |nw AS (
-         |  SELECT ntf.term, id, coalesce(bdf.df, 1) AS df,
-         |    tf * (10000 // coalesce(bdf.df, 1)) AS w
-         |  FROM ntf LEFT JOIN bdf ON bdf.term = ntf.term),
-         |allw AS (
-         |  SELECT term, id, df, w FROM sw
-         |  UNION ALL SELECT term, id, df, w FROM nw)
-         |SELECT df, CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
-         |  CAST(count(*) AS BIGINT) AS n_postings,
-         |  CAST(sum(w) AS BIGINT) AS sum_w
-         |FROM allw GROUP BY df ORDER BY df""".stripMargin,
+    "q162_sparse_append_stored" -> sparseAppendSql,
+
+    // text compaction census: the fold back into the clustered layout
+    // must preserve every posting row — same oracle as the append it
+    // follows
+    "q165_sparse_compact_stored" -> sparseAppendSql,
 
     // stored sparse search at q151's own query set — the SHARED scoring
     // text at a different pred

@@ -203,6 +203,7 @@ class PlanSpec extends SparkSpec {
       "q140_personalized_pagerank", // the same link-synthesis max-id scalar
       "q143_ivf_build_stored", // broadcast-K centroid grid (assignment)
       "q144_ivf_search_stored", // broadcast-K STORED centroid grid (probe)
+      "q169_ivf_token_search",  // q144's probe at the token-gated entry
       "q145_ivf_extend_stored", // broadcast-K stored grid (batch assignment)
       "q146_ivf_pq_build_stored", // broadcast-K cell grid (routing/encode)
       "q147_ivf_pq_search_stored", // broadcast-K STORED cell grid (probe)
