@@ -364,6 +364,42 @@ object Curation {
     graft.operators.TfIdf.sparseRebuildStored(idx)
   }
 
+  // TOKEN-GATED sparse serving (q169's contract for the text store): the
+  // caller holds the corpus version token (sparseCorpusToken — memoized
+  // under the corpus's file-manifest identity, so warm calls launch no
+  // corpus job) and the search compares it O(1) against the index's
+  // stored covered-corpus token. Shares q150/q151's read-only "text"
+  // store; own CONSTANT-SIZE query window (40..46 — a modulus pred
+  // would grow the query side with the corpus, the q158 scale trap)
+  // keeps the gates independent of q151's %89 set.
+  def q170SparseTokenSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir)("documents")
+    val idx = textIndex(s, dir)
+    val token = graft.operators.TfIdf.sparseCorpusToken(docs, "doc_id",
+      "text", index = idx)
+    graft.operators.TfIdf.sparseSearchStored(docs, "doc_id", "text",
+      queryPred = col("id") >= 40 && col("id") < 46, k = 5, index = idx,
+      maxDf = 400L, corpusToken = Some(token))
+  }
+
+  // TOKEN-GATED PQ serving (q169's contract for the compressed store):
+  // caller-held ivfPqCorpusToken compared O(1) against the stored
+  // covered-corpus token — no fingerprint scan on the fresh path.
+  // Shares q146/q147's read-only "pq" store; query window 16..24 keeps
+  // the gates independent (q147 owns 8..16).
+  def q171IvfPqTokenSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir)("embeddings")
+    val idx = pqIndex(s, dir)
+    val token = graft.operators.Similarity.ivfPqCorpusToken(emb, "vec_id",
+      "embedding", nCells = 16, m = 16, kCodes = 16, scale = 1000000L,
+      index = idx)
+    graft.operators.Similarity.ivfPqSearchStored(emb, "vec_id",
+      "embedding", nCells = 16, nProbe = 4, m = 16, kCodes = 16,
+      scale = 1000000L, queryPred = col("id") >= 16 && col("id") < 24,
+      rerank = 30, k = 5, index = idx, corpusToken = Some(token))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   // Composed curation pass (q67 extended with the dedup ladder a training
   // corpus actually runs): re-crawl simulation (every 7th doc duplicated
   // under a shifted id) → quality gate (langId = en, quality ≥ 5000) →

@@ -468,6 +468,22 @@ object CurationOracles {
         |  FROM sscored) x
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // token-gated sparse serving at q170's own constant-size query
+    // window — the engine's O(1)-token path must lose nothing vs the
+    // recomputed pipeline
+    "q170_sparse_token_search" ->
+      s"""WITH ${sparseScoredCtes("q.id >= 40 AND q.id < 46")}
+        |SELECT qid, CAST(rank AS INTEGER) AS rank, nid, sim2_ppm FROM (
+        |  SELECT qid, nid, sim2_ppm,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim2_ppm DESC, nid) AS rank
+        |  FROM sscored) x
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+    // token-gated PQ serving at q171's own query window
+    "q171_ivf_pq_token_search" ->
+      pqSearchSql("id >= 16 AND id < 24", nProbe = 4),
+
     // composed curation ladder replayed: the q67 quality gate over the
     // cloned corpus, min-id exact dedup, then the SHARED SemDeDup CTEs
     // over the survivors' embeddings; per-doc verdict joined back

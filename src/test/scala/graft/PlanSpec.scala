@@ -207,6 +207,7 @@ class PlanSpec extends SparkSpec {
       "q145_ivf_extend_stored", // broadcast-K stored grid (batch assignment)
       "q146_ivf_pq_build_stored", // broadcast-K cell grid (routing/encode)
       "q147_ivf_pq_search_stored", // broadcast-K STORED cell grid (probe)
+      "q171_ivf_pq_token_search", // q147's probe at the token-gated entry
       "q158_hybrid_stored_rrf", // q144's broadcast-K STORED centroid probe (dense arm)
       "q105_cooccur_pmi", // broadcast single-row token-total scalar
       "q109_triangles", // broadcast single-row max-id + edge-count scalars

@@ -247,6 +247,38 @@ class TokenSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("text token search: serving never evaluates document text") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"), (2L, "alpha beta delta common"),
+      (3L, "epsilon zeta eta common"), (4L, "theta iota kappa common"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("tok-text-poison")
+    docs.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val idx = new TextIndex(spark, tmpDir("tok-text-poison-idx"))
+    val token = TfIdf.sparseCorpusToken(corpus, "doc_id", "text", idx)
+    TfIdf.sparseBuildStored(corpus, "doc_id", "text", idx).collect()
+    assert(idx.isCurrent(token))
+    // the sparse serving path reads postings + norms ONLY — queries are
+    // drawn from the posting id column — so with a held token, EVERY
+    // text row can be poisoned and the search must still serve
+    val poisoned = spark.read.parquet(dir).select(col("doc_id"),
+      raise_error(concat(lit("poison doc "),
+        col("doc_id").cast("string"))).cast("string").as("text"))
+    val got = TfIdf.sparseSearchStored(poisoned, "doc_id", "text",
+      queryPred = col("id") <= 2, k = 3, index = idx, maxDf = 10L,
+      corpusToken = Some(token)).collect()
+    assert(got.nonEmpty,
+      "token-gated sparse search must serve from the index alone")
+    // the audit path (no token) fingerprints text — and trips
+    val ex = intercept[Exception] {
+      TfIdf.sparseSearchStored(poisoned, "doc_id", "text",
+        queryPred = col("id") <= 2, k = 3, index = idx, maxDf = 10L)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("absent/behind token is conservative: token search self-heals") {
     val dir = tmpDir("tok-heal")
     emb.write.mode("overwrite").parquet(dir)
