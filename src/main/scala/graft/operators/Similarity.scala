@@ -1119,7 +1119,13 @@ object Similarity {
     * codebooks, and the cid-clustered code rows into `index` — the
     * compressed production index ([[ivfBuildStored]] stores raw vectors in
     * its posting lists; this stores m codes per vector, the dim/m ×
-    * smaller footprint that makes 100 TB ANN memory-feasible). Returns the
+    * smaller footprint that makes 100 TB ANN memory-feasible). The
+    * compression is the documented rebuild asymmetry: codes are LOSSY, so
+    * unlike [[ivfRebuildStored]] (raw vectors ride the postings) and
+    * [[TfIdf.sparseRebuildStored]] (tf rides every posting row), a PQ
+    * codebook re-train cannot run from the index's own rows — the
+    * rebuild cadence for this store is this build over the corpus, which
+    * is exactly the trade that bought the dim/m footprint. Returns the
     * per-cell code census read back from disk. */
   def ivfPqBuildStored(emb: DataFrame, idCol: String, vecCol: String,
                        nCells: Int, m: Int, kCodes: Int, scale: Long,
