@@ -208,6 +208,29 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     else glob.map(_.getPath.getName.substring(partCol.length + 1).toInt).toSet
   }
 
+  /** Partitions holding at least `minFiles` data files — the targeted-
+    * compaction candidate set. File METADATA only (one listing per live
+    * dir, no data read): at production scale appends fragment only the
+    * partitions their batches touched, and a compaction that rewrites
+    * every partition to fold a few is a whole-table job for O(touched)
+    * work. `minFiles <= 1` degenerates to every live partition (the
+    * full-fold rebuild-cadence form). */
+  protected def fragmentedParts(table: String, partCol: String,
+                                minFiles: Int): Seq[Int] = {
+    if (minFiles <= 1) return existingParts(table, partCol).toSeq.sorted
+    recoverPartitions(table, partCol)
+    val dirs = fs.globStatus(new Path(s"${path(table)}/$partCol=*"))
+    (if (dirs == null) Array[org.apache.hadoop.fs.FileStatus]() else dirs)
+      .filter { d =>
+        fs.listStatus(d.getPath).count { f =>
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        } >= minFiles
+      }
+      .map(_.getPath.getName.substring(partCol.length + 1).toInt)
+      .sorted.toSeq
+  }
+
   /** Replace ONLY the listed partitions of a partitioned table. `content`
     * must hold the full replacement rows for exactly those partitions
     * (including `partCol`); it may read the live partitions — the single
@@ -503,15 +526,22 @@ final class VectorIndex(spark: SparkSession, root: String,
   }
 
   /** Fold append-accumulated files back into the clustered layout — one
-    * [[swapPartitions]] pass over every live band. A whole-table
-    * maintenance op BY DESIGN (run on the rebuild cadence, not per
-    * batch); rows and censuses are unchanged, file counts drop back to
-    * the build's. */
-  def compactPostings(): Unit = {
-    val parts = existingParts("postings", "cid_band").toSeq.sorted
+    * [[swapPartitions]] pass over the selected bands. The default
+    * (`minFiles = 1`) folds every live band — the rebuild-cadence
+    * whole-table form; `minFiles >= 2` folds only bands whose file count
+    * reached the threshold ([[IndexStore.fragmentedParts]], file metadata
+    * only), so steady-state compaction cost is ∝ the bands appends
+    * actually fragmented, never the whole table. Rows and censuses are
+    * unchanged either way; untouched bands' files are not rewritten. */
+  def compactPostings(minFiles: Int = 1): Unit = {
+    val parts = fragmentedParts("postings", "cid_band", minFiles)
+    if (parts.isEmpty) return
     swapPartitions("postings", "cid_band", parts.toIndexedSeq,
       postingSchema,
-      clusteredFor(postingsWithBand(), "cid_band", col("cid"), col("id")))
+      clusteredFor(
+        postingsWithBand()
+          .where(col("cid_band").isin(parts.map(Integer.valueOf): _*)),
+        "cid_band", col("cid"), col("id")))
   }
 
   /** Remove `ids` (one column, `id`) from the posting lists — the
@@ -719,16 +749,24 @@ final class TextIndex(spark: SparkSession, root: String,
 
   /** [[VectorIndex.compactPostings]] for the text store: fold
     * append-accumulated files in BOTH tables back into the clustered
-    * layout. */
-  def compact(): Unit = {
-    val pParts = existingParts("postings", "term_bucket").toSeq.sorted
-    swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
-      postingSchema,
-      clusteredFor(postingsWithBucket(), "term_bucket", col("term"),
-        col("id")))
-    val nParts = existingParts("norms", "id_bucket").toSeq.sorted
-    swapPartitions("norms", "id_bucket", nParts.toIndexedSeq, normSchema,
-      clusteredFor(normsWithBucket(), "id_bucket", col("id"), col("id")))
+    * layout — every live bucket by default, only buckets at the
+    * `minFiles` fragmentation threshold when given. */
+  def compact(minFiles: Int = 1): Unit = {
+    val pParts = fragmentedParts("postings", "term_bucket", minFiles)
+    if (pParts.nonEmpty)
+      swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
+        postingSchema,
+        clusteredFor(
+          postingsWithBucket()
+            .where(col("term_bucket").isin(pParts.map(Integer.valueOf): _*)),
+          "term_bucket", col("term"), col("id")))
+    val nParts = fragmentedParts("norms", "id_bucket", minFiles)
+    if (nParts.nonEmpty)
+      swapPartitions("norms", "id_bucket", nParts.toIndexedSeq, normSchema,
+        clusteredFor(
+          normsWithBucket()
+            .where(col("id_bucket").isin(nParts.map(Integer.valueOf): _*)),
+          "id_bucket", col("id"), col("id")))
   }
 
   /** Remove documents from the index — the text-side forget path: drop
@@ -889,10 +927,14 @@ final class PqIndex(spark: SparkSession, root: String,
   }
 
   /** [[VectorIndex.compactPostings]] for the code rows. */
-  def compactCodes(): Unit = {
-    val parts = existingParts("codes", "cid_band").toSeq.sorted
+  def compactCodes(minFiles: Int = 1): Unit = {
+    val parts = fragmentedParts("codes", "cid_band", minFiles)
+    if (parts.isEmpty) return
     swapPartitions("codes", "cid_band", parts.toIndexedSeq, codeSchema,
-      clusteredFor(codesWithBand(), "cid_band", col("cid"), col("id")))
+      clusteredFor(
+        codesWithBand()
+          .where(col("cid_band").isin(parts.map(Integer.valueOf): _*)),
+        "cid_band", col("cid"), col("id")))
   }
 
   /** Remove `ids` from the stored code rows — the PQ forget path. No

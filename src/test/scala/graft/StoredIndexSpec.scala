@@ -361,6 +361,68 @@ class StoredIndexSpec extends SparkSpec {
     assert(idxA.readNorms().collect().toSet == nBefore)
   }
 
+  test("targeted compaction folds ONLY fragmented partitions") {
+    // a single appended doc fragments exactly its terms' posting buckets
+    // and its id's norm bucket — compact(minFiles = 2) must rewrite
+    // those and leave every other bucket's files LITERALLY untouched
+    // (same names: the steady-state compaction cost is ∝ fragmented
+    // partitions, not the table)
+    val docs = Seq(
+      (1L, "alpha beta gamma common"), (2L, "alpha beta delta common"),
+      (3L, "epsilon zeta eta common"), (4L, "theta iota kappa common"))
+      .toDF("doc_id", "text")
+    val root = tmpDir("tidx-targeted")
+    val idx = new graft.sources.TextIndex(spark, root)
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
+      .collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def listing(table: String): Map[String, Seq[String]] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$root/$table/*=*"))
+        .map { d =>
+          d.getPath.getName ->
+            fs.listStatus(d.getPath).map(_.getPath.getName)
+              .filterNot(n => n.startsWith("_") || n.startsWith("."))
+              .sorted.toSeq
+        }.toMap
+    graft.operators.TfIdf.sparseAppendStored(
+      Seq((10L, "alpha omega fresh")).toDF("doc_id", "text"),
+      "doc_id", "text", idx).collect()
+    val pAfterApp = listing("postings")
+    val nAfterApp = listing("norms")
+    val pFrag = pAfterApp.filter(_._2.size >= 2).keySet
+    val nFrag = nAfterApp.filter(_._2.size >= 2).keySet
+    assert(pFrag.nonEmpty && pFrag.size < pAfterApp.size,
+      s"fixture must fragment a strict subset of posting buckets: $pFrag")
+    val pRows = idx.readPostings().collect().toSet
+    val nRows = idx.readNorms().collect().toSet
+
+    idx.compact(minFiles = 2)
+    val pAfter = listing("postings")
+    val nAfter = listing("norms")
+    // rows preserved, fragmented buckets folded, untouched buckets
+    // byte-identical (same file names — never rewritten)
+    assert(idx.readPostings().collect().toSet == pRows)
+    assert(idx.readNorms().collect().toSet == nRows)
+    pFrag.foreach(b => assert(pAfter(b).size < pAfterApp(b).size,
+      s"fragmented bucket $b must fold: ${pAfterApp(b)} -> ${pAfter(b)}"))
+    (pAfterApp.keySet -- pFrag).foreach(b =>
+      assert(pAfter(b) == pAfterApp(b),
+        s"unfragmented bucket $b must not be rewritten"))
+    (nAfterApp.keySet -- nFrag).foreach(b =>
+      assert(nAfter(b) == nAfterApp(b),
+        s"unfragmented norm bucket $b must not be rewritten"))
+    // a second targeted pass is a no-op (nothing left at the threshold)
+    val snap = (listing("postings"), listing("norms"))
+    idx.compact(minFiles = 2)
+    assert((listing("postings"), listing("norms")) == snap,
+      "targeted compaction must be idempotent at the threshold")
+    // the full fold still works after a targeted pass
+    idx.compact()
+    assert(idx.readPostings().collect().toSet == pRows)
+    assert(idx.readNorms().collect().toSet == nRows)
+  }
+
   test("text store: per-bucket crashed swap recovers from the .old marker") {
     val root = tmpDir("tidx-pcrash")
     val docs = Seq(
