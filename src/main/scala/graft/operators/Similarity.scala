@@ -377,16 +377,11 @@ object Similarity {
   private[graft] def ivfScanToken(emb: DataFrame, idCol: String,
                                   vecCol: String, nCentroids: Int,
                                   kmeansIters: Int, portable: Boolean,
-                                  bands: Int): String = {
-    def dec(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
-    val r = emb.where(col(vecCol).isNotNull)
-      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
-        sum(xxhash64(col(idCol), toDouble(col(vecCol)))
-          .cast("decimal(38,0)"))).first()
-    s"ivf3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
-      s"|K=$nCentroids|iters=$kmeansIters|portable=$portable|bands=$bands"
-  }
+                                  bands: Int): String =
+    graft.sources.CorpusToken.render("ivf3",
+      graft.sources.CorpusToken.terms(emb.where(col(vecCol).isNotNull),
+        col(idCol), xxhash64(col(idCol), toDouble(col(vecCol)))),
+      s"K=$nCentroids|iters=$kmeansIters|portable=$portable|bands=$bands")
 
   /** The corpus version token for (emb, params) — what [[ivfSearchStored]]
     * compares against the index's stored token. Memoized per session
@@ -1081,16 +1076,11 @@ object Similarity {
   private[graft] def pqScanToken(emb: DataFrame, idCol: String,
                                  vecCol: String, nCells: Int, m: Int,
                                  kCodes: Int, scale: Long,
-                                 bands: Int): String = {
-    def dec(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
-    val r = emb.where(col(vecCol).isNotNull)
-      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
-        sum(xxhash64(col(idCol), col(vecCol)).cast("decimal(38,0)")))
-      .first()
-    s"ivfpq3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
-      s"|cells=$nCells|m=$m|codes=$kCodes|scale=$scale|bands=$bands"
-  }
+                                 bands: Int): String =
+    graft.sources.CorpusToken.render("ivfpq3",
+      graft.sources.CorpusToken.terms(emb.where(col(vecCol).isNotNull),
+        col(idCol), xxhash64(col(idCol), col(vecCol))),
+      s"cells=$nCells|m=$m|codes=$kCodes|scale=$scale|bands=$bands")
 
   /** [[ivfCorpusToken]] for the compressed store. */
   def ivfPqCorpusToken(emb: DataFrame, idCol: String, vecCol: String,

@@ -291,16 +291,11 @@ object TfIdf {
     * norm ledger so maintenance token folds never re-read text. */
   private[graft] def textScanToken(docs: DataFrame, idCol: String,
                                    textCol: String, idfScale: Long,
-                                   buckets: Int): String = {
-    def dec(r: org.apache.spark.sql.Row, i: Int): String =
-      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
-    val r = docs.where(col(textCol).isNotNull)
-      .agg(count(lit(1)), sum(col(idCol).cast("decimal(38,0)")),
-        sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)")))
-      .first()
-    s"text3|n=${r.getLong(0)}|sumid=${dec(r, 1)}|chk=${dec(r, 2)}" +
-      s"|idf=$idfScale|buckets=$buckets"
-  }
+                                   buckets: Int): String =
+    graft.sources.CorpusToken.render("text3",
+      graft.sources.CorpusToken.terms(docs.where(col(textCol).isNotNull),
+        col(idCol), xxhash64(col(idCol), col(textCol))),
+      s"idf=$idfScale|buckets=$buckets")
 
   /** The corpus version token for (docs, params) —
     * [[graft.operators.Similarity.ivfCorpusToken]]'s contract for the
@@ -430,7 +425,11 @@ object TfIdf {
         coalesce(col("df"), lit(1L)).as("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
       .localCheckpoint(true)
-    index.upsert(w, normLedger(newDocs, idCol, textCol, w))
+    // eviction keys from the BATCH, not the ledger: a doc re-posted with
+    // NULL text produces no ledger row (it leaves the covered corpus)
+    // but its old rows must still be evicted
+    index.upsert(w, normLedger(newDocs, idCol, textCol, w),
+      evictIds = Some(newDocs.select(col(idCol).as("id"))))
     sparseCensus(index)
   }
 
@@ -500,12 +499,10 @@ object TfIdf {
         col("fp"))
     // fingerprint reconstructed from the ledger — identical by the
     // fold-invariance contract to textScanToken over the merged corpus
-    val r = n.agg(count(lit(1)), sum(col("id").cast("decimal(38,0)")),
-      sum(col("fp").cast("decimal(38,0)"))).first()
-    def dec(i: Int): String =
-      if (r.isNullAt(i)) "0" else r.getDecimal(i).toBigInteger.toString
-    val meta = s"text3|n=${r.getLong(0)}|sumid=${dec(1)}|chk=${dec(2)}" +
-      s"|idf=$idfScale|buckets=${index.nBuckets}"
+    // (ONE render implementation, so the formats cannot drift)
+    val meta = graft.sources.CorpusToken.render("text3",
+      graft.sources.CorpusToken.terms(n, col("id"), col("fp")),
+      s"idf=$idfScale|buckets=${index.nBuckets}")
     index.writeIndex(w, ledger, meta)
     sparseCensus(index)
   }

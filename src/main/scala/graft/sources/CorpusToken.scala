@@ -29,9 +29,33 @@ import org.apache.spark.sql.DataFrame
   * caching is a pure optimization, never a correctness assumption.
   */
 object CorpusToken {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{count, lit, sum}
 
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The commutative fingerprint terms (n, Σid, Σhash) of a frame — THE
+    * one aggregation every family's scan token, maintenance fold delta,
+    * and rebuild reconstruction share. One implementation on purpose:
+    * the freshness contract is string equality between a scan, a fold,
+    * and a rebuild, so a null/overflow-handling fix that reached only
+    * one copy would silently break the others' equality. */
+  private[graft] def terms(df: DataFrame, id: Column,
+                           hash: Column): (Long, BigInt, BigInt) = {
+    val r = df.agg(count(lit(1)), sum(id.cast("decimal(38,0)")),
+      sum(hash.cast("decimal(38,0)"))).first()
+    (r.getLong(0),
+      if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger),
+      if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger))
+  }
+
+  /** The one serialization of fingerprint terms + params — shared by
+    * every scan token and every rebuild's reconstruction so the formats
+    * can never drift apart. */
+  private[graft] def render(tag: String, t: (Long, BigInt, BigInt),
+                            params: String): String =
+    s"$tag|n=${t._1}|sumid=${t._2}|chk=${t._3}|$params"
 
   /** Metadata-only identity of a file-backed frame, or None when the
     * frame has no source files (then every call recomputes). */
@@ -42,16 +66,33 @@ object CorpusToken {
       try {
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
         val md = java.security.MessageDigest.getInstance("MD5")
+        // one listStatus per PARENT DIRECTORY, not one getFileStatus per
+        // file: this sits on the serving hot path, and a 100k-file corpus
+        // must not pay 100k serial namenode/object-store round-trips to
+        // consult a cache — O(dirs) listings carry the same manifest
+        val dirs = files.map(f => new Path(f).getParent).distinct
+        val stats = dirs.iterator.flatMap { dir =>
+          dir.getFileSystem(conf).listStatus(dir).iterator.map { st =>
+            st.getPath.toUri.getPath ->
+              (st.getLen, st.getModificationTime)
+          }
+        }.toMap
         files.sorted.foreach { f =>
-          val p = new Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          md.update(s"$f|${st.getLen}|${st.getModificationTime}\n".getBytes(
+          // a file listed by the plan but absent from its directory has
+          // vanished mid-flight — identity is not stable, recompute
+          val (len, mtime) = stats(new Path(f).toUri.getPath)
+          md.update(s"$f|$len|$mtime\n".getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         }
-        // exprIds are minted per read — strip them so two reads of the
-        // same path produce the same plan text
-        val plan = df.queryExecution.analyzed.toString
-          .replaceAll("#\\d+", "#")
+        // the CANONICALIZED plan: Catalyst itself normalizes exprIds (two
+        // reads of the same path agree) without the lossy regex a string
+        // rewrite would need (a literal '#7' in a filter must NOT
+        // collapse), and the tree string is rendered with an unbounded
+        // field budget so wide schemas can't truncate two different
+        // projections into the same text
+        val plan = df.queryExecution.analyzed.canonicalized
+          .treeString(verbose = true, addSuffix = false,
+            maxFields = Int.MaxValue, printOperatorId = false)
         md.update(plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         Some(md.digest().map("%02x".format(_)).mkString)
       } catch {

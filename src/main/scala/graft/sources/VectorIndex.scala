@@ -217,8 +217,11 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * full-fold rebuild-cadence form). */
   protected def fragmentedParts(table: String, partCol: String,
                                 minFiles: Int): Seq[Int] = {
-    if (minFiles <= 1) return existingParts(table, partCol).toSeq.sorted
+    // recover FIRST even on the full-fold path: a partition sitting in a
+    // crashed-swap .old-* state has no live dir and would be invisible
+    // to the listing — the fold would silently skip it this round
     recoverPartitions(table, partCol)
+    if (minFiles <= 1) return existingParts(table, partCol).toSeq.sorted
     val dirs = fs.globStatus(new Path(s"${path(table)}/$partCol=*"))
     (if (dirs == null) Array[org.apache.hadoop.fs.FileStatus]() else dirs)
       .filter { d =>
@@ -346,13 +349,8 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * [[foldToken]] adds/subtracts. `hash` must be the same per-row hash
     * the family's fingerprint scan uses. */
   protected def deltaOf(df: DataFrame,
-                        hash: Column): (Long, BigInt, BigInt) = {
-    val r = df.agg(count(lit(1)), sum(col("id").cast("decimal(38,0)")),
-      sum(hash.cast("decimal(38,0)"))).first()
-    (r.getLong(0),
-      if (r.isNullAt(1)) BigInt(0) else BigInt(r.getDecimal(1).toBigInteger),
-      if (r.isNullAt(2)) BigInt(0) else BigInt(r.getDecimal(2).toBigInteger))
-  }
+                        hash: Column): (Long, BigInt, BigInt) =
+    CorpusToken.terms(df, col("id"), hash)
 
   private val tokenRe =
     """^([^|]+)\|n=(-?\d+)\|sumid=(-?\d+)\|chk=(-?\d+)\|(.*)$""".r
@@ -362,10 +360,17 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * table swap — a crash between swap and fold leaves the token BEHIND
     * the data, which is the conservative direction (a token-gated search
     * sees a mismatch and self-heals with a rebuild; it can never serve a
-    * corpus version the index does not actually cover). A full retry of
-    * the crashed op re-runs against the already-swapped state, so its
-    * added and removed terms cancel and the fold nets zero. An absent
-    * token stays absent. */
+    * corpus version the index does not actually cover). For SWAP-based
+    * ops a full retry re-runs against the already-swapped state, so its
+    * added and removed terms cancel and the fold nets zero — the token
+    * converges. For the APPEND paths the retry's presence filter
+    * excludes the already-landed rows, so a crash between appendFiles
+    * and the fold leaves the token permanently behind: the DATA is
+    * complete and correct after the retry, but the next token-gated
+    * search pays one self-healing rebuild. Folding before the file
+    * moves would invert the failure into the non-conservative direction
+    * (a token AHEAD of missing rows serves wrong results), so behind-
+    * and-rebuild is the chosen trade. An absent token stays absent. */
   protected def foldToken(added: (Long, BigInt, BigInt),
                           removed: (Long, BigInt, BigInt)): Unit =
     storedToken() match {
@@ -657,7 +662,8 @@ final class TextIndex(spark: SparkSession, root: String,
     * — it vouches for the base build the extension rides on — while the
     * covered-corpus `_token` folds the batch in and the evicted docs'
     * ledger terms out. */
-  def upsert(postings: DataFrame, norms: DataFrame): Unit = {
+  def upsert(postings: DataFrame, norms: DataFrame,
+             evictIds: Option[DataFrame] = None): Unit = {
     val incP = postings
       .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
       .withColumn("term_bucket",
@@ -666,10 +672,17 @@ final class TextIndex(spark: SparkSession, root: String,
     val incN = norms.select(col("id"), col("n2"), col("fp"))
       .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
       .localCheckpoint(true)
-    val ids = incN.select(col("id")).distinct()
+    // the EVICTION set: the batch's doc ids, which may be WIDER than the
+    // ledger rows — a doc re-posted with NULL text yields no norm row
+    // (it leaves the covered corpus) but its old posting + ledger rows
+    // must still be evicted and their token terms folded out
+    val ids = evictIds
+      .map(_.select(col("id")).distinct().localCheckpoint(true))
+      .getOrElse(incN.select(col("id")).distinct())
 
-    val nTouched = incN.select(col("id_bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val nTouched = ids
+      .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
     val nb = normsWithBucket()
     // evicted docs' token terms from the norm ledger, bucket-pruned,
     // read BEFORE the swap replaces those buckets
@@ -679,7 +692,7 @@ final class TextIndex(spark: SparkSession, root: String,
     val added = deltaOf(incN, col("fp"))
     swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
       nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-        .join(incN.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .join(ids, Seq("id"), "left_anti")
         .unionByName(incN)
         .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
 

@@ -105,6 +105,20 @@ class TokenSpec extends SparkSpec {
     TfIdf.sparseDeleteStored(Seq(1L, 11L).toDF("id"), idx).collect()
     val cov4 = cov3.where(!col("doc_id").isin(1L, 11L))
     assert(idx.storedToken().contains(scan(cov4)))
+
+    // re-post a doc with NULL text: it leaves the covered corpus — the
+    // eviction set must come from the batch's ids, not the ledger (a
+    // null-text doc yields no ledger row), so its old posting + norm
+    // rows are dropped and the token folds its term out
+    val nulled = Seq((3L, null: String)).toDF("doc_id", "text")
+    TfIdf.sparseExtendStored(nulled, "doc_id", "text", idx).collect()
+    val cov5 = cov4.where(col("doc_id") =!= 3L)
+    assert(idx.readPostings().where(col("id") === 3L).count() == 0,
+      "a null-text re-post must evict the doc's posting rows")
+    assert(idx.readNorms().where(col("id") === 3L).count() == 0,
+      "a null-text re-post must evict the doc's ledger row")
+    assert(idx.storedToken().contains(scan(cov5)),
+      "the token must fold a null-text re-post out of the covered corpus")
   }
 
   test("PQ: extend/append/delete fold the token ≡ a fresh corpus scan") {
