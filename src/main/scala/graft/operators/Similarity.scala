@@ -517,11 +517,21 @@ object Similarity {
     * use [[ivfExtendStored]]. Returns the per-cell census read back
     * from disk. */
   def ivfAppendStored(newEmb: DataFrame, idCol: String, vecCol: String,
-                      index: graft.sources.VectorIndex): DataFrame = {
-    val assigned = assignVectors(newEmb, idCol, vecCol,
-      index.readCentroids())
-    index.appendPostings(
-      assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
+                      index: graft.sources.VectorIndex,
+                      expectToken: Option[String] = None): DataFrame = {
+    // the O(1) append-once contract the atomic commit enables:
+    // `expectToken` is the PRE-BATCH corpus version the caller holds —
+    // the append applies only while the index still covers exactly that
+    // version. The append either fully happened (token folded, atomic
+    // with the files) or not at all, so a retry after a crash — or a
+    // re-run of the same ingest step — is a token-file read and a no-op
+    // when the batch already landed; no id-presence scan over the index.
+    if (expectToken.forall(index.isCurrent)) {
+      val assigned = assignVectors(newEmb, idCol, vecCol,
+        index.readCentroids())
+      index.appendPostings(
+        assigned.select(col("cid"), col("id"), col("v"), col("nrm")))
+    }
     ivfCensus(index)
   }
 
@@ -1226,9 +1236,13 @@ object Similarity {
     * back from disk. */
   def ivfPqAppendStored(newEmb: DataFrame, idCol: String, vecCol: String,
                         m: Int, scale: Long,
-                        index: graft.sources.PqIndex): DataFrame = {
-    index.appendCodes(encodeAgainstStored(newEmb, idCol, vecCol, m, scale,
-      index))
+                        index: graft.sources.PqIndex,
+                        expectToken: Option[String] = None): DataFrame = {
+    // [[ivfAppendStored]]'s append-once contract: apply only while the
+    // index still covers the caller's pre-batch corpus version
+    if (expectToken.forall(index.isCurrent))
+      index.appendCodes(encodeAgainstStored(newEmb, idCol, vecCol, m,
+        scale, index))
     pqCensus(index)
   }
 

@@ -446,7 +446,13 @@ object TfIdf {
     * the per-df census read back from disk. */
   def sparseAppendStored(newDocs: DataFrame, idCol: String, textCol: String,
                          index: graft.sources.TextIndex,
-                         idfScale: Long = 10000L): DataFrame = {
+                         idfScale: Long = 10000L,
+                         expectToken: Option[String] = None): DataFrame = {
+    // [[graft.operators.Similarity.ivfAppendStored]]'s append-once
+    // contract: apply only while the index still covers the caller's
+    // pre-batch corpus version (O(1) token-file read)
+    if (expectToken.exists(t => !index.isCurrent(t)))
+      return sparseCensus(index)
     val tf = newDocs
       .select(col(idCol).as("id"),
         explode(graft.functions.TextFunctions.termCounts(

@@ -274,20 +274,28 @@ object Analytics {
   // genuinely-new batch (every 23rd vector negated, ids offset by
   // max+1 — distinct recipe from q145's %13 so the gates stay
   // independent) assigns to the STORED grid and its files land INSIDE
-  // the cid bands — no existing byte rewritten. Own index root
-  // ("appendable"). Readout: the per-cell census from disk — identical
-  // by construction to what the upsert path would produce for new ids,
-  // which is exactly what the oracle replays.
+  // the cid bands — no existing byte rewritten, files and token under
+  // ONE commit marker. Own index root ("appendable"). Idempotent across
+  // driver re-runs via the append-once contract: expectToken is the
+  // pre-batch corpus version, so a run that finds the batch already
+  // folded in skips the append with an O(1) token read — the production
+  // retry discipline, replacing the old per-append id-presence scan.
+  // Readout: the per-cell census from disk — identical by construction
+  // to what the upsert path would produce for new ids, which is exactly
+  // what the oracle replays.
   def q161IvfAppendStored(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir)("embeddings")
     val idx = vindex(s, dir, "appendable")
     Similarity.ivfEnsureStored(emb, "vec_id", "embedding",
       nCentroids = 16, index = idx, portable = true)
+    val token = Similarity.ivfCorpusToken(emb, "vec_id", "embedding",
+      nCentroids = 16, index = idx, portable = true)
     val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
     val batch = emb.where(col("vec_id") % 23 === 0)
       .select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding"))
-    Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx)
+    Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx,
+      expectToken = Some(token))
   }
 
   // COMPACTION, oracle-gated: fold the append-accumulated files back

@@ -174,9 +174,15 @@ object AnalyticsOracles {
   /** One MMR greedy round: `selPrev` (qid, nid, rank, score) → pick the
     * argmax of 70·rel − 30·max-sim-to-selected among unselected shortlist
     * members, union into `selCur`. Generated so the five q153 rounds
-    * cannot drift from each other. */
+    * cannot drift from each other. Every round CTE is MATERIALIZED: each
+    * references its predecessor three times (anti-join, penalty join,
+    * union), so inlined CTEs re-expand the whole upstream candidate
+    * chain ~3^5 times across five rounds — the q153/q160 oracles burned
+    * ~30 min of DuckDB CPU EACH at the 10× decade on exactly that
+    * (results are identical either way; this is purely the oracle's
+    * evaluation strategy). */
   private def mmrRound(selPrev: String, selCur: String, r: Int): String =
-    s"""pick$r AS (
+    s"""pick$r AS MATERIALIZED (
        |  SELECT qid, nid, $r AS rank, score FROM (
        |    SELECT rl.qid, rl.nid,
        |      70 * rl.rel - 30 * coalesce(mx.pen, 0) AS score,
@@ -192,7 +198,7 @@ object AnalyticsOracles {
        |      ON mx.qid = rl.qid AND mx.nid = rl.nid
        |    WHERE s.nid IS NULL) x
        |  WHERE rn = 1),
-       |$selCur AS (
+       |$selCur AS MATERIALIZED (
        |  SELECT qid, nid, rank, score FROM $selPrev
        |  UNION ALL SELECT qid, nid, rank, score FROM pick$r)""".stripMargin
 
@@ -297,18 +303,19 @@ object AnalyticsOracles {
     // 12, ppm-integer relevance and pair penalties, five generated
     // argmax rounds (tie: smaller nid) — the full trajectory must match
     "q153_mmr_diverse" ->
-      s"""WITH el AS (
+      s"""WITH el AS MATERIALIZED (
          |  SELECT vec_id,
          |    CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
          |    CAST(unnest(embedding) AS DOUBLE) AS v
          |  FROM embeddings),
-         |nrm AS (SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM el GROUP BY vec_id),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(sum(v*v)) AS nrm FROM el GROUP BY vec_id),
          |dots AS (
          |  SELECT q.vec_id AS qid, d.vec_id AS nid, sum(q.v * d.v) AS dt
          |  FROM el q JOIN el d ON q.pos = d.pos AND d.vec_id <> q.vec_id
          |  WHERE q.vec_id < 8
          |  GROUP BY q.vec_id, d.vec_id),
-         |relp AS (
+         |relp AS MATERIALIZED (
          |  SELECT qid, nid,
          |    CAST(round(sim * 1000000) AS BIGINT) AS rel
          |  FROM (
@@ -320,7 +327,7 @@ object AnalyticsOracles {
          |    JOIN nrm nq ON nq.vec_id = qid
          |    JOIN nrm nd ON nd.vec_id = nid) x
          |  WHERE rank <= 12),
-         |ps AS (
+         |ps AS MATERIALIZED (
          |  SELECT a.qid, a.nid, b.nid AS other,
          |    CAST(round(round(pd.dt / (na.nrm * nb.nrm), 6) * 1000000)
          |         AS BIGINT) AS psim

@@ -281,16 +281,22 @@ object Curation {
   // hash into every bucket, making the keyed upsert a full rewrite by
   // construction): every 29th doc with a fresh sentinel token, ids
   // offset by max+1, weighted under the SAME stale-IDF contract, files
-  // landing inside their term buckets. Own root ("texta").
+  // landing inside their term buckets — BOTH tables and the token under
+  // one commit marker. Own root ("texta"). Idempotent across driver
+  // re-runs via the append-once contract (expectToken = the pre-batch
+  // corpus version — q161's discipline).
   def q162SparseAppendStored(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir)("documents")
     val idx = textIndex(s, dir, "texta")
     graft.operators.TfIdf.sparseEnsureStored(docs, "doc_id", "text", idx)
+    val token = graft.operators.TfIdf.sparseCorpusToken(docs, "doc_id",
+      "text", idx)
     val off = docs.agg(max(col("doc_id"))).first().getLong(0) + 1L
     val batch = docs.where(col("doc_id") % 29 === 0)
       .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" xfreshtok xfreshtok")).as("text"))
-    graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text", idx)
+    graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text", idx,
+      expectToken = Some(token))
   }
 
   // O(batch) PQ APPEND ingest (q155's rewrite-free sibling, completing
@@ -302,12 +308,16 @@ object Curation {
     val idx = pqIndex(s, dir, "pqa")
     graft.operators.Similarity.ivfPqEnsureStored(emb, "vec_id", "embedding",
       nCells = 16, m = 16, kCodes = 16, scale = 1000000L, index = idx)
+    val token = graft.operators.Similarity.ivfPqCorpusToken(emb, "vec_id",
+      "embedding", nCells = 16, m = 16, kCodes = 16, scale = 1000000L,
+      index = idx)
     val off = emb.agg(max(col("vec_id"))).first().getLong(0) + 1L
     val batch = emb.where(col("vec_id") % 31 === 0)
       .select((col("vec_id") + off).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding"))
     graft.operators.Similarity.ivfPqAppendStored(batch, "vec_id",
-      "embedding", m = 16, scale = 1000000L, index = idx)
+      "embedding", m = 16, scale = 1000000L, index = idx,
+      expectToken = Some(token))
   }
 
   // COMPACTION for the text store, oracle-gated (q164's discipline

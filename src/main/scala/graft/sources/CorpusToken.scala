@@ -32,8 +32,31 @@ object CorpusToken {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{count, lit, sum}
 
+  /** Memo capacity: small because entries are per-(corpus version,
+    * params) and only the CURRENT version of each corpus is ever asked
+    * for again — a rewrite changes the manifest and strands the old
+    * entry, so without a bound a long-lived service recomputing tokens
+    * over churning corpora grows the map one dead entry per rewrite. */
+  private[graft] val MaxEntries = 256
+
+  /** Access-ordered LRU, bounded at [[MaxEntries]]: N rewrites of one
+    * corpus hold the map at O(capacity), never O(N). All access is
+    * through the synchronized helpers below — the map itself is not
+    * thread-safe. */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.LinkedHashMap[String, String](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, String]): Boolean =
+        size() > MaxEntries
+    }
+
+  private def cacheGet(k: String): Option[String] =
+    cache.synchronized(Option(cache.get(k)))
+  private def cachePut(k: String, v: String): Unit =
+    cache.synchronized(cache.put(k, v))
+
+  /** Current memo size (specs pin the bound). */
+  private[graft] def cacheSize: Int = cache.synchronized(cache.size())
 
   /** The commutative fingerprint terms (n, Σid, Σhash) of a frame — THE
     * one aggregation every family's scan token, maintenance fold delta,
@@ -71,16 +94,24 @@ object CorpusToken {
         // must not pay 100k serial namenode/object-store round-trips to
         // consult a cache — O(dirs) listings carry the same manifest
         val dirs = files.map(f => new Path(f).getParent).distinct
+        // keyed by the FULLY-QUALIFIED path (scheme + authority + path):
+        // stripping to the bare URI path would collide two source dirs
+        // with identical paths on different filesystems, letting one
+        // file's (len, mtime) answer for the other's — a corpus rewrite
+        // could then produce an unchanged signature and a stale token
         val stats = dirs.iterator.flatMap { dir =>
-          dir.getFileSystem(conf).listStatus(dir).iterator.map { st =>
-            st.getPath.toUri.getPath ->
+          val dfs = dir.getFileSystem(conf)
+          dfs.listStatus(dir).iterator.map { st =>
+            dfs.makeQualified(st.getPath).toString ->
               (st.getLen, st.getModificationTime)
           }
         }.toMap
         files.sorted.foreach { f =>
           // a file listed by the plan but absent from its directory has
           // vanished mid-flight — identity is not stable, recompute
-          val (len, mtime) = stats(new Path(f).toUri.getPath)
+          val p = new Path(f)
+          val (len, mtime) =
+            stats(p.getFileSystem(conf).makeQualified(p).toString)
           md.update(s"$f|$len|$mtime\n".getBytes(
             java.nio.charset.StandardCharsets.UTF_8))
         }
@@ -110,10 +141,17 @@ object CorpusToken {
     signature(df) match {
       case None => compute
       case Some(sig) =>
-        cache.computeIfAbsent(sig + "|" + params, _ => compute)
+        val k = sig + "|" + params
+        cacheGet(k).getOrElse {
+          // compute OUTSIDE the map lock: the fingerprint scan is a Spark
+          // job and must not serialize every other corpus's cache hit
+          // behind it; a racing duplicate computes the same token
+          val v = compute
+          cachePut(k, v)
+          v
+        }
     }
 
-  /** Drop every memoized token (specs; a long-lived service would size
-    * the map instead — entries are a few hundred bytes each). */
-  private[graft] def invalidate(): Unit = cache.clear()
+  /** Drop every memoized token (specs). */
+  private[graft] def invalidate(): Unit = cache.synchronized(cache.clear())
 }

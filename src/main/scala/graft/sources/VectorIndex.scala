@@ -98,6 +98,7 @@ private[sources] abstract class IndexStore(spark: SparkSession,
   }
 
   protected def read(table: String, schema: StructType): DataFrame = {
+    recoverCommits()
     recoverSwap(table)
     require(fs.exists(new Path(path(table))),
       s"index table $table missing under $root — build the index first")
@@ -115,6 +116,7 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * pruning — only the named dirs' files are listed and read). */
   protected def readPartitioned(table: String, partCol: String,
                                 schema: StructType): DataFrame = {
+    recoverCommits()
     recoverSwap(table)
     recoverPartitions(table, partCol)
     require(fs.exists(new Path(path(table))),
@@ -166,36 +168,143 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     df.repartitionByRange(col(partCol), sortKey, spreadKey)
       .sortWithinPartitions(col(partCol), sortKey)
 
-  /** O(batch) file-level append into a partitioned table — the
-    * LSM/segment discipline: `df` (carrying `partCol`) is written into a
-    * dot-tmp dir, then each produced FILE moves into its live partition
-    * dir. No existing byte is read or rewritten; cost is the batch write
-    * plus O(files) renames. File moves are atomic and the writer's part
-    * names are globally unique (UUIDs), so a crash mid-move leaves a
-    * clean prefix of files live — callers make retries idempotent by
-    * filtering to not-yet-present keys first. Appends accumulate small
-    * files; [[swapPartitions]]-based compaction folds them back. */
-  protected def appendFiles(table: String, partCol: String, df: DataFrame,
-                            schema: StructType): Unit = {
-    recoverPartitions(table, partCol)
-    val uuid = java.util.UUID.randomUUID()
-    val tmp = new Path(s"${path(table)}/.tmp-$uuid")
-    val full = withPart(schema, partCol)
-    df.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      .write.mode("errorifexists").partitionBy(partCol).parquet(tmp.toString)
-    val parts = fs.globStatus(new Path(tmp, s"$partCol=*"))
-    (if (parts == null) Array[org.apache.hadoop.fs.FileStatus]() else parts)
-      .foreach { p =>
-        val dest = new Path(s"${path(table)}/${p.getPath.getName}")
-        if (!fs.exists(dest)) fs.mkdirs(dest)
-        fs.listStatus(p.getPath)
-          .filterNot(_.getPath.getName.startsWith("_"))
-          .foreach { f =>
-            require(fs.rename(f.getPath, new Path(dest, f.getPath.getName)),
-              s"appendFiles($table): moving ${f.getPath} -> $dest failed")
+  // ------------------------------------------------------------------
+  // atomic multi-table append: staged files + single commit marker
+  //
+  // The LSM/segment discipline (batch files land INSIDE live partition
+  // dirs, no existing byte read or rewritten) made ATOMIC: the batch is
+  // written under a dot-stage dir (invisible to Spark's listing), then a
+  // single `_commit-<uuid>` marker — carrying every file move AND the
+  // post-append token verbatim — publishes with one atomic rename.
+  // Before the marker lands, nothing happened (the stage is unreferenced
+  // garbage, swept by the next writer); once it lands, the append is
+  // guaranteed to complete — [[recoverCommits]] rolls the marker forward
+  // from every read and maintenance entry point, so a crash between any
+  // two file moves, or between the moves and the token publish, heals
+  // into the COMMITTED state with zero self-healing rebuilds (the
+  // pre-round-17 design folded the token after non-atomic moves, leaving
+  // a crash window where the token fell permanently behind and the next
+  // token-gated search paid a full rebuild). The caller-side retry
+  // contract is O(1): pass the pre-batch corpus token as `expectToken` —
+  // if the crashed attempt actually committed, the stored token moved on
+  // and the retry is a no-op; no per-append id-presence scan over the
+  // index is needed (appends are for genuinely-new ids; a re-ingest
+  // goes through the keyed upsert).
+
+  private def markerName(uuid: String) = s"_commit-$uuid"
+
+  /** Append `tables`' batches (each (table, partCol, rows, schema)) and
+    * fold `added` into the covered-corpus token, atomically: one commit
+    * marker covers every table's file moves and the token, so a crash
+    * can never land one table's rows without the other's (the old
+    * two-append text-store window) or the rows without the token. */
+  protected def atomicAppend(
+      tables: Seq[(String, String, DataFrame, StructType)],
+      added: (Long, BigInt, BigInt)): Unit = {
+    recoverCommits(sweepStages = true)
+    tables.foreach { case (t, pc, _, _) => recoverPartitions(t, pc) }
+    val uuid = java.util.UUID.randomUUID().toString
+    val stageRel = s".stage-$uuid"
+    val stage = new Path(root, stageRel)
+    val moves = tables.flatMap { case (table, partCol, df, schema) =>
+      val full = withPart(schema, partCol)
+      val tdir = new Path(stage, table)
+      df.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
+        .write.mode("errorifexists").partitionBy(partCol)
+        .parquet(tdir.toString)
+      val parts = fs.globStatus(new Path(tdir, s"$partCol=*"))
+      (if (parts == null) Array[org.apache.hadoop.fs.FileStatus]()
+       else parts).toSeq.flatMap { p =>
+        fs.listStatus(p.getPath).toSeq
+          .filterNot { f =>
+            val n = f.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .map { f =>
+            (s"$stageRel/$table/${p.getPath.getName}/${f.getPath.getName}",
+              s"$table/${p.getPath.getName}/${f.getPath.getName}")
           }
       }
-    fs.delete(tmp, true)
+    }
+    IndexStore.maybeCrash("staged")
+    // the post-append token is computed BEFORE the marker and recorded
+    // in it VERBATIM, so recovery republishes — never re-folds (a redo
+    // that re-folded would double-count the batch)
+    val target = storedToken().map(foldedOf(_, added,
+      (0L, BigInt(0), BigInt(0))))
+    writeAtomic(markerName(uuid),
+      ("graft-commit-v1" +:
+        s"stage=$stageRel" +:
+        s"token=${target.getOrElse("-")}" +:
+        moves.map { case (s, d) => s"$s\t$d" }).mkString("\n"))
+    IndexStore.maybeCrash("marker")
+    replayCommit(new Path(path(markerName(uuid))))
+  }
+
+  /** Roll a commit marker forward: redo its file moves (each idempotent
+    * — a move whose src is gone and dest present already happened),
+    * publish the recorded token, then drop the marker and its stage dir.
+    * Serialized per store root within the process; cross-process
+    * replayers racing on the same marker are tolerated by re-checking
+    * the destination after a failed rename. */
+  private def replayCommit(marker: Path): Unit =
+    IndexStore.lockFor(root).synchronized {
+      if (!fs.exists(marker)) return // a racing replayer finished it
+      val in = fs.open(marker)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val lines = text.split("\n").toSeq
+      require(lines.headOption.contains("graft-commit-v1"),
+        s"unreadable commit marker $marker")
+      val stageRel = lines.collectFirst {
+        case l if l.startsWith("stage=") => l.stripPrefix("stage=") }.get
+      val token = lines.collectFirst {
+        case l if l.startsWith("token=") => l.stripPrefix("token=") }.get
+      val moves = lines.drop(3).filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1))
+      }
+      moves.zipWithIndex.foreach { case ((src, dest), i) =>
+        val s = new Path(root, src)
+        val d = new Path(root, dest)
+        if (fs.exists(s)) {
+          if (!fs.exists(d.getParent)) fs.mkdirs(d.getParent)
+          if (!fs.rename(s, d))
+            // a cross-process replayer can win the rename between our
+            // exists check and here; the move is done iff dest holds it
+            require(fs.exists(d) && !fs.exists(s),
+              s"replayCommit: moving $s -> $d failed")
+        } else require(fs.exists(d),
+          s"replayCommit: $src gone and $dest absent — staged file lost")
+        IndexStore.maybeCrash(s"move-$i")
+      }
+      if (token != "-") publishToken(token)
+      IndexStore.maybeCrash("token")
+      fs.delete(marker, false)
+      fs.delete(new Path(root, stageRel), true)
+    }
+
+  /** Roll forward any committed-but-unfinished appends (called from
+    * every read and maintenance entry point — the [[recoverSwap]]
+    * discipline for the append path). `sweepStages` additionally deletes
+    * UNREFERENCED stage dirs — crashed pre-commit appends that never
+    * happened; only the single writer may sweep (a reader must not
+    * delete a stage an in-flight append is still writing). */
+  protected def recoverCommits(sweepStages: Boolean = false): Unit = {
+    val glob = fs.globStatus(new Path(root, "_commit-*"))
+    val all = if (glob == null) Array[org.apache.hadoop.fs.FileStatus]()
+      else glob
+    all.filterNot(_.getPath.getName.contains(".tmp-"))
+      .foreach(st => replayCommit(st.getPath))
+    if (sweepStages) {
+      // writeAtomic leftovers of a crashed marker publish, then stage
+      // dirs no surviving marker references — pre-commit garbage
+      all.filter(_.getPath.getName.contains(".tmp-"))
+        .foreach(st => fs.delete(st.getPath, false))
+      val stages = fs.globStatus(new Path(root, ".stage-*"))
+      (if (stages == null) Array[org.apache.hadoop.fs.FileStatus]()
+       else stages).foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   /** Partition values currently present on disk — one directory listing,
@@ -225,7 +334,16 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     val dirs = fs.globStatus(new Path(s"${path(table)}/$partCol=*"))
     (if (dirs == null) Array[org.apache.hadoop.fs.FileStatus]() else dirs)
       .filter { d =>
-        fs.listStatus(d.getPath).count { f =>
+        // a dir can vanish between the glob and this listing (a
+        // concurrent delete emptied the partition) — treat it as 0
+        // files (not fragmented this round) instead of aborting the op
+        val files =
+          try fs.listStatus(d.getPath)
+          catch {
+            case _: java.io.FileNotFoundException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus]
+          }
+        files.count { f =>
           val n = f.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
         } >= minFiles
@@ -291,6 +409,16 @@ private[sources] abstract class IndexStore(spark: SparkSession,
   protected def clearMeta(): Unit = {
     fs.delete(new Path(path("_meta")), false)
     fs.delete(new Path(path("_token")), false)
+    // a full build supersedes any pending append: a commit marker
+    // replayed AFTER the rebuilt tables swap in would inject a stale
+    // batch's files into the fresh layout — purge markers and stages
+    // instead of rolling them forward (rebuild-with-carryover paths
+    // read the index first, which already rolled them forward)
+    Seq("_commit-*", ".stage-*").foreach { pat =>
+      val glob = fs.globStatus(new Path(root, pat))
+      (if (glob == null) Array[org.apache.hadoop.fs.FileStatus]()
+       else glob).foreach(st => fs.delete(st.getPath, true))
+    }
   }
 
   private def writeAtomic(name: String, content: String): Unit = {
@@ -328,6 +456,10 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * its table swap and its token fold — all conservative: a token-gated
     * search treats None as stale). */
   def storedToken(): Option[String] = {
+    // roll any committed-but-unfinished append forward FIRST: the token
+    // gate must answer for the committed state, not a crash's leftovers
+    // (one root listing — still corpus-independent)
+    recoverCommits()
     val t = new Path(path("_token"))
     if (!fs.exists(t)) None
     else {
@@ -355,33 +487,126 @@ private[sources] abstract class IndexStore(spark: SparkSession,
   private val tokenRe =
     """^([^|]+)\|n=(-?\d+)\|sumid=(-?\d+)\|chk=(-?\d+)\|(.*)$""".r
 
-  /** Fold a maintenance delta into the stored token: n/Σid/Σhash move by
-    * (added − removed); the params suffix is untouched. Called AFTER the
+  /** Pure token fold: n/Σid/Σhash move by (added − removed); the params
+    * suffix is untouched. */
+  private def foldedOf(cur: String, added: (Long, BigInt, BigInt),
+                       removed: (Long, BigInt, BigInt)): String =
+    cur match {
+      case tokenRe(tag, n, sumid, chk, rest) =>
+        s"$tag|n=${n.toLong + added._1 - removed._1}" +
+          s"|sumid=${BigInt(sumid) + added._2 - removed._2}" +
+          s"|chk=${BigInt(chk) + added._3 - removed._3}|$rest"
+      case other =>
+        throw new IllegalStateException(s"unparseable _token: '$other'")
+    }
+
+  /** Fold a maintenance delta into the stored token. Called AFTER a
     * table swap — a crash between swap and fold leaves the token BEHIND
     * the data, which is the conservative direction (a token-gated search
     * sees a mismatch and self-heals with a rebuild; it can never serve a
-    * corpus version the index does not actually cover). For SWAP-based
-    * ops a full retry re-runs against the already-swapped state, so its
-    * added and removed terms cancel and the fold nets zero — the token
-    * converges. For the APPEND paths the retry's presence filter
-    * excludes the already-landed rows, so a crash between appendFiles
-    * and the fold leaves the token permanently behind: the DATA is
-    * complete and correct after the retry, but the next token-gated
-    * search pays one self-healing rebuild. Folding before the file
-    * moves would invert the failure into the non-conservative direction
-    * (a token AHEAD of missing rows serves wrong results), so behind-
-    * and-rebuild is the chosen trade. An absent token stays absent. */
+    * corpus version the index does not actually cover), and a full retry
+    * of a SWAP-based op re-runs against the already-swapped state, so
+    * its added and removed terms cancel and the fold nets zero — the
+    * token converges. The APPEND paths do not use this: their fold rides
+    * the [[atomicAppend]] commit marker, so token and data move
+    * together. An absent token stays absent. */
   protected def foldToken(added: (Long, BigInt, BigInt),
                           removed: (Long, BigInt, BigInt)): Unit =
-    storedToken() match {
-      case None => ()
-      case Some(tokenRe(tag, n, sumid, chk, rest)) =>
-        publishToken(s"$tag|n=${n.toLong + added._1 - removed._1}" +
-          s"|sumid=${BigInt(sumid) + added._2 - removed._2}" +
-          s"|chk=${BigInt(chk) + added._3 - removed._3}|$rest")
-      case Some(other) =>
-        throw new IllegalStateException(s"unparseable _token: '$other'")
+    storedToken().foreach(t => publishToken(foldedOf(t, added, removed)))
+
+  // ------------------------------------------------------------------
+  // single-writer lease
+  //
+  // The swap-write + commit-marker protocols assume ONE maintainer per
+  // index at a time (two concurrent upserts could interleave their
+  // partition swaps and token folds). The lease makes that contract
+  // enforced instead of assumed: every mutating op runs under
+  // `_lease` — acquired with an atomic create-if-absent, so two
+  // maintainers racing on the same store get one winner and one
+  // actionable error, never interleaved writes. A maintainer that DIED
+  // holding the lease (no finally ran) is healed by the TTL: the next
+  // acquirer breaks an expired lease. Readers never touch the lease —
+  // searches stay lock-free on the swapped-in state.
+
+  /** Run `body` holding this store's maintenance lease. Throws (does not
+    * wait) when another live maintainer holds it: maintenance is batch
+    * work — the caller's scheduler owns queueing, not a file lock. */
+  protected def withLease[T](op: String)(body: => T): T = {
+    val lease = new Path(path("_lease"))
+    val me = java.util.UUID.randomUUID().toString
+    def readLease(): Option[String] =
+      if (!fs.exists(lease)) None
+      else
+        try {
+          val in = fs.open(lease)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+    def tryAcquire(): Boolean =
+      try {
+        // overwrite = false: atomic create-if-absent — the lock
+        val out = fs.create(lease, false)
+        try out.write(
+          s"$me|${System.currentTimeMillis() + IndexStore.LeaseTtlMs}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def acquire(attempt: Int): Unit =
+      if (!tryAcquire()) {
+        val cur = readLease()
+        val expired = cur.forall { s =>
+          val i = s.lastIndexOf('|')
+          i < 0 || scala.util.Try(s.substring(i + 1).trim.toLong)
+            .toOption.forall(_ < System.currentTimeMillis())
+        }
+        if (expired && attempt < 3) {
+          cur.foreach(_ => fs.delete(lease, false)) // break a dead lease
+          acquire(attempt + 1)
+        } else throw new IllegalStateException(
+          s"$op: index at $root is being maintained by another writer " +
+            s"(lease ${cur.getOrElse("vanished mid-check")}); retry after " +
+            "it finishes or its lease expires " +
+            s"(TTL ${IndexStore.LeaseTtlMs / 60000} min)")
+      }
+    acquire(0)
+    try body
+    finally {
+      // release only OUR lease: an expiry-breaker may have replaced it
+      if (readLease().exists(_.startsWith(me + "|")))
+        fs.delete(lease, false)
     }
+  }
+}
+
+private[graft] object IndexStore {
+  /** Maintenance-lease TTL — how long a DEAD maintainer (crashed without
+    * running its release) blocks the next one. */
+  private[graft] val LeaseTtlMs: Long = 15L * 60 * 1000
+
+  /** Test-only failpoint: [[atomicAppend]]/[[replayCommit]] call
+    * `maybeCrash(step)` at every publish step ("staged", "marker",
+    * "move-<i>", "token"); a spec sets this predicate to kill the append
+    * at an exact step and then proves recovery rolls the commit forward.
+    * Always false outside specs. */
+  @volatile private[graft] var crashAt: String => Boolean = _ => false
+
+  private[graft] final class InjectedCrash(step: String)
+      extends RuntimeException(s"injected crash at $step")
+
+  private[sources] def maybeCrash(step: String): Unit =
+    if (crashAt(step)) throw new InjectedCrash(step)
+
+  private val rootLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-root monitor serializing commit replay within the process (two
+    * threads — a reader's recovery and the writer — must not interleave
+    * one marker's moves; cross-process races are tolerated by the
+    * idempotent move handling). */
+  private[sources] def lockFor(root: String): Object =
+    rootLocks.computeIfAbsent(root, _ => new Object)
 }
 
 object VectorIndex {
@@ -441,7 +666,7 @@ final class VectorIndex(spark: SparkSession, root: String,
     * which would be unstable and break the cid run lengths) and each
     * band dir's files keep tight cid min/max row-group stats. */
   def writeIndex(centroids: DataFrame, postings: DataFrame,
-                 meta: String): Unit = {
+                 meta: String): Unit = withLease("writeIndex") {
     clearMeta()
     swapIn("centroids", centroids, centroidSchema)
     swapIn("postings",
@@ -466,7 +691,8 @@ final class VectorIndex(spark: SparkSession, root: String,
     * (added batch terms in, evicted rows' terms out — the latter read
     * from the stored fp column, band-pruned), so [[isCurrent]] keeps
     * tracking exactly what the index covers. */
-  def upsertPostings(incoming: DataFrame): Unit = {
+  def upsertPostings(incoming: DataFrame): Unit =
+    withLease("upsertPostings") {
     // batch-sized; materialized once because the plan below reads it for
     // the band census, the eviction keys, and the union content
     val inc = fpOf(incoming
@@ -504,31 +730,32 @@ final class VectorIndex(spark: SparkSession, root: String,
 
   /** O(batch) ingest for GENUINELY-NEW ids — the LSM/segment-style
     * append: the batch's posting files land INSIDE their cid bands
-    * without reading or rewriting any existing byte
+    * without reading or rewriting ANY existing byte
     * ([[upsertPostings]]' kept-side rewrite exists to EVICT re-ingested
     * ids; when there is nothing to evict, the rewrite is pure waste).
-    * Ids already present are filtered out by one (id)-column scan — the
-    * same scan that makes a crash-interrupted append's retry idempotent
-    * (file moves are atomic, so a retry appends exactly the missing
-    * remainder; the per-id filter matches the crash granularity HERE
-    * because a vector is exactly one posting row — the multi-row-per-id
-    * stores filter at row granularity, see [[TextIndex.appendDocs]]);
-    * a CHANGED vector under an existing id must go through
-    * [[upsertPostings]]. Appends accumulate small files per band;
-    * [[compactPostings]] folds them back on the rebuild cadence. */
-  def appendPostings(incoming: DataFrame): Unit = {
-    val inc = fpOf(incoming
-        .select(col("cid"), col("id"), col("v"), col("nrm")))
-      .withColumn("cid_band", band(col("cid"), liveBands("postings")))
-      .localCheckpoint(true)
-    // materialized: consumed by the file write AND the token delta
-    val fresh = inc.join(postingsWithBand().select(col("id")),
-      Seq("id"), "left_anti").localCheckpoint(true)
-    appendFiles("postings", "cid_band",
-      clusteredFor(fresh, "cid_band", col("cid"), col("id")),
-      postingSchema)
-    foldToken(deltaOf(fresh, col("fp")), (0L, BigInt(0), BigInt(0)))
-  }
+    * Files and token publish under ONE commit marker
+    * ([[IndexStore.atomicAppend]]): the append either fully happened
+    * (token folded) or not at all, so the retry discipline is the O(1)
+    * token check (`expectToken` on the operator entry points) — no
+    * per-append id-presence scan over the index. The caller owns the
+    * new-ids guarantee (its corpus versioning already knows); a CHANGED
+    * vector under an existing id must go through [[upsertPostings]].
+    * Appends accumulate small files per band; [[compactPostings]] folds
+    * them back on the rebuild cadence. */
+  def appendPostings(incoming: DataFrame): Unit =
+    withLease("appendPostings") {
+      // batch-sized; materialized once — consumed by the staged file
+      // write AND the token delta
+      val inc = fpOf(incoming
+          .select(col("cid"), col("id"), col("v"), col("nrm")))
+        .withColumn("cid_band", band(col("cid"), liveBands("postings")))
+        .localCheckpoint(true)
+      atomicAppend(
+        Seq(("postings", "cid_band",
+          clusteredFor(inc, "cid_band", col("cid"), col("id")),
+          postingSchema)),
+        deltaOf(inc, col("fp")))
+    }
 
   /** Fold append-accumulated files back into the clustered layout — one
     * [[swapPartitions]] pass over the selected bands. The default
@@ -538,7 +765,8 @@ final class VectorIndex(spark: SparkSession, root: String,
     * only), so steady-state compaction cost is ∝ the bands appends
     * actually fragmented, never the whole table. Rows and censuses are
     * unchanged either way; untouched bands' files are not rewritten. */
-  def compactPostings(minFiles: Int = 1): Unit = {
+  def compactPostings(minFiles: Int = 1): Unit =
+    withLease("compactPostings") {
     val parts = fragmentedParts("postings", "cid_band", minFiles)
     if (parts.isEmpty) return
     swapPartitions("postings", "cid_band", parts.toIndexedSeq,
@@ -559,7 +787,8 @@ final class VectorIndex(spark: SparkSession, root: String,
     * rewritten. `_meta` stays, like [[upsertPostings]]: the base build
     * it vouches for is still the index's lineage; the covered-corpus
     * `_token` drops the forgotten rows' terms. */
-  def deletePostings(ids0: DataFrame): Unit = {
+  def deletePostings(ids0: DataFrame): Unit =
+    withLease("deletePostings") {
     val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
     val pb = postingsWithBand()
     val touched = pb.select(col("cid_band"), col("id"))
@@ -634,7 +863,7 @@ final class TextIndex(spark: SparkSession, root: String,
     readPartitioned("norms", "id_bucket", normSchema)
 
   def writeIndex(postings: DataFrame, norms: DataFrame,
-                 meta: String): Unit = {
+                 meta: String): Unit = withLease("writeIndex") {
     clearMeta()
     swapIn("postings",
       postings.withColumn("term_bucket",
@@ -663,7 +892,8 @@ final class TextIndex(spark: SparkSession, root: String,
     * covered-corpus `_token` folds the batch in and the evicted docs'
     * ledger terms out. */
   def upsert(postings: DataFrame, norms: DataFrame,
-             evictIds: Option[DataFrame] = None): Unit = {
+             evictIds: Option[DataFrame] = None): Unit =
+    withLease("upsert") {
     val incP = postings
       .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
       .withColumn("term_bucket",
@@ -675,10 +905,18 @@ final class TextIndex(spark: SparkSession, root: String,
     // the EVICTION set: the batch's doc ids, which may be WIDER than the
     // ledger rows — a doc re-posted with NULL text yields no norm row
     // (it leaves the covered corpus) but its old posting + ledger rows
-    // must still be evicted and their token terms folded out
+    // must still be evicted and their token terms folded out. A caller's
+    // evictIds is UNIONED with the batch's own ids, never trusted alone:
+    // this set drives the touched-bucket arithmetic, and an evictIds
+    // narrower than the batch would leave incN rows in buckets outside
+    // nTouched — silently dropped by the swap while deltaOf(incN) still
+    // folds their terms in, putting the token AHEAD of the data (the
+    // one direction the foldToken contract forbids)
+    val batchIds = incN.select(col("id")).distinct()
     val ids = evictIds
-      .map(_.select(col("id")).distinct().localCheckpoint(true))
-      .getOrElse(incN.select(col("id")).distinct())
+      .map(_.select(col("id")).unionByName(batchIds).distinct()
+        .localCheckpoint(true))
+      .getOrElse(batchIds)
 
     val nTouched = ids
       .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
@@ -724,47 +962,39 @@ final class TextIndex(spark: SparkSession, root: String,
     * it matters most: a broad-vocabulary batch touches every term
     * bucket, so the keyed [[upsert]] degenerates to a full rewrite by
     * construction, while this append writes exactly the batch's rows).
-    * Already-present rows are filtered out at CRASH granularity
-    * (idempotent retries): a doc's postings span up to
-    * [[TextIndex.TermBuckets]] separate files and [[IndexStore.
-    * appendFiles]] moves files one at a time, so a crash can land a
-    * PREFIX of a doc's posting rows — the retry filter is therefore a
-    * (term, id) anti-join, not a bare-id presence test, which would see
-    * the partially-landed doc as "present" and drop its unmoved rows
-    * forever. Norms are one row per id, so bare id IS row granularity
-    * there. Re-posted docs must go through [[upsert]] for eviction. */
-  def appendDocs(postings: DataFrame, norms: DataFrame): Unit = {
-    val incP = postings
-      .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
-      .withColumn("term_bucket",
-        tBucket(col("term"), liveBands("postings")))
-      .localCheckpoint(true)
-    val incN = norms.select(col("id"), col("n2"), col("fp"))
-      .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
-      .localCheckpoint(true)
-    // each table filters against ITS OWN present rows: a crash between
-    // the two appends must leave the retry appending exactly the missing
-    // table's rows (filtering both against norms would drop the
-    // postings of a batch whose norms landed before the crash)
-    val freshN = incN.join(normsWithBucket().select(col("id")), Seq("id"),
-      "left_anti").localCheckpoint(true) // file write + token delta
-    appendFiles("norms", "id_bucket",
-      clusteredFor(freshN, "id_bucket", col("id"), col("id")),
-      normSchema)
-    appendFiles("postings", "term_bucket",
-      clusteredFor(
-        incP.join(postingsWithBucket().select(col("term"), col("id")),
-          Seq("term", "id"), "left_anti"),
-        "term_bucket", col("term"), col("id")),
-      postingSchema)
-    foldToken(deltaOf(freshN, col("fp")), (0L, BigInt(0), BigInt(0)))
-  }
+    * BOTH tables' files and the token publish under ONE commit marker
+    * ([[IndexStore.atomicAppend]]) — a crash can never land the norms
+    * without the postings (the pre-round-17 two-append window), or a
+    * prefix of a doc's posting files, or the rows without the token; the
+    * retry discipline is the caller's O(1) token check, with no
+    * presence anti-join over either table. Re-posted docs must go
+    * through [[upsert]] for eviction. */
+  def appendDocs(postings: DataFrame, norms: DataFrame): Unit =
+    withLease("appendDocs") {
+      val incP = postings
+        .select(col("term"), col("id"), col("df"), col("tf"), col("w"))
+        .withColumn("term_bucket",
+          tBucket(col("term"), liveBands("postings")))
+        .localCheckpoint(true)
+      val incN = norms.select(col("id"), col("n2"), col("fp"))
+        .withColumn("id_bucket", nBucket(col("id"), liveBands("norms")))
+        .localCheckpoint(true)
+      atomicAppend(
+        Seq(
+          ("norms", "id_bucket",
+            clusteredFor(incN, "id_bucket", col("id"), col("id")),
+            normSchema),
+          ("postings", "term_bucket",
+            clusteredFor(incP, "term_bucket", col("term"), col("id")),
+            postingSchema)),
+        deltaOf(incN, col("fp")))
+    }
 
   /** [[VectorIndex.compactPostings]] for the text store: fold
     * append-accumulated files in BOTH tables back into the clustered
     * layout — every live bucket by default, only buckets at the
     * `minFiles` fragmentation threshold when given. */
-  def compact(minFiles: Int = 1): Unit = {
+  def compact(minFiles: Int = 1): Unit = withLease("compact") {
     val pParts = fragmentedParts("postings", "term_bucket", minFiles)
     if (pParts.nonEmpty)
       swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
@@ -790,7 +1020,7 @@ final class TextIndex(spark: SparkSession, root: String,
     * SURVIVING rows keep their build-time counts (the stale-df contract,
     * same as ingest — df drift is absorbed at the next full rebuild).
     * Absent ids are a no-op, so the call is idempotent. */
-  def delete(ids0: DataFrame): Unit = {
+  def delete(ids0: DataFrame): Unit = withLease("delete") {
     val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
     val pbk = postingsWithBucket()
     val pTouched = pbk.select(col("term_bucket"), col("id"))
@@ -865,7 +1095,7 @@ final class PqIndex(spark: SparkSession, root: String,
     readPartitioned("codes", "cid_band", codeSchema)
 
   def writeIndex(cells: DataFrame, codebooks: DataFrame, codes: DataFrame,
-                 meta: String): Unit = {
+                 meta: String): Unit = withLease("writeIndex") {
     clearMeta()
     swapIn("cells", cells, cellSchema)
     swapIn("codebooks", codebooks, codebookSchema)
@@ -885,7 +1115,8 @@ final class PqIndex(spark: SparkSession, root: String,
     * untouched — additive extension over the base build's grid and
     * codebooks — while the covered-corpus `_token` folds the per-vector
     * terms riding the s = 0 code rows. */
-  def upsertCodes(incoming: DataFrame): Unit = {
+  def upsertCodes(incoming: DataFrame): Unit =
+    withLease("upsertCodes") {
     val inc = incoming
       .select(col("cid"), col("id"), col("s"), col("code"), col("fp"))
       .withColumn("cid_band", band(col("cid"), liveBands("codes")))
@@ -917,30 +1148,30 @@ final class PqIndex(spark: SparkSession, root: String,
 
   /** O(batch) code ingest for GENUINELY-NEW ids ([[VectorIndex.
     * appendPostings]]' contract for the compressed store); re-encoded
-    * existing ids must go through [[upsertCodes]] for eviction. The
-    * retry filter is the (id, s) anti-join — row granularity, matching
-    * the crash granularity of [[IndexStore.appendFiles]]' one-file-at-a-
-    * time moves: an id's m subspace rows can straddle a writer file
-    * boundary, and a bare-id presence test after such a crash would see
-    * the id as "present" and drop its unmoved rows forever (the
-    * [[TextIndex.appendDocs]] lesson). */
-  def appendCodes(incoming: DataFrame): Unit = {
-    val inc = incoming
-      .select(col("cid"), col("id"), col("s"), col("code"), col("fp"))
-      .withColumn("cid_band", band(col("cid"), liveBands("codes")))
-      .localCheckpoint(true)
-    // materialized: consumed by the file write AND the token delta
-    val fresh = inc.join(codesWithBand().select(col("id"), col("s")),
-      Seq("id", "s"), "left_anti").localCheckpoint(true)
-    appendFiles("codes", "cid_band",
-      clusteredFor(fresh, "cid_band", col("cid"), col("id")),
-      codeSchema)
-    foldToken(deltaOf(fresh.where(col("s") === 0), col("fp")),
-      (0L, BigInt(0), BigInt(0)))
-  }
+    * existing ids must go through [[upsertCodes]] for eviction. Files
+    * and token publish under ONE commit marker ([[IndexStore.
+    * atomicAppend]]): an id's m subspace rows can straddle a writer
+    * file boundary, and the marker's roll-forward is what guarantees a
+    * crash can never strand a prefix of them — the retry discipline is
+    * the caller's O(1) token check, with no (id, s) presence scan over
+    * the code rows. */
+  def appendCodes(incoming: DataFrame): Unit =
+    withLease("appendCodes") {
+      // materialized: consumed by the staged file write AND the delta
+      val inc = incoming
+        .select(col("cid"), col("id"), col("s"), col("code"), col("fp"))
+        .withColumn("cid_band", band(col("cid"), liveBands("codes")))
+        .localCheckpoint(true)
+      atomicAppend(
+        Seq(("codes", "cid_band",
+          clusteredFor(inc, "cid_band", col("cid"), col("id")),
+          codeSchema)),
+        deltaOf(inc.where(col("s") === 0), col("fp")))
+    }
 
   /** [[VectorIndex.compactPostings]] for the code rows. */
-  def compactCodes(minFiles: Int = 1): Unit = {
+  def compactCodes(minFiles: Int = 1): Unit =
+    withLease("compactCodes") {
     val parts = fragmentedParts("codes", "cid_band", minFiles)
     if (parts.isEmpty) return
     swapPartitions("codes", "cid_band", parts.toIndexedSeq, codeSchema,
@@ -955,7 +1186,8 @@ final class PqIndex(spark: SparkSession, root: String,
     * complete removal (cells and codebooks are summaries, untouched
     * between rebuilds). Only bands holding doomed rows are rewritten;
     * absent ids are a no-op, so the call is idempotent. */
-  def deleteCodes(ids0: DataFrame): Unit = {
+  def deleteCodes(ids0: DataFrame): Unit =
+    withLease("deleteCodes") {
     val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
     val cb = codesWithBand()
     val touched = cb.select(col("cid_band"), col("id"))

@@ -295,20 +295,25 @@ class StoredIndexSpec extends SparkSpec {
     val batch = emb.where(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 100L).as("vec_id"),
         transform(col("embedding"), x => -x).as("embedding"))
-    val a1 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding", idxA))
+    // the pre-batch corpus version — the append-once guard
+    val base = Similarity.ivfCorpusToken(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idxA, portable = true)
+    val a1 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding",
+      idxA, expectToken = Some(base)))
     val u1 = census(Similarity.ivfExtendStored(batch, "vec_id", "embedding", idxU))
     assert(a1 == u1, "append and upsert must be disk-indistinguishable " +
       s"for new ids: $a1 vs $u1")
-    // idempotent: the presence filter makes a re-append a no-op
-    val a2 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding", idxA))
+    // append-once: a re-run guarded by the PRE-BATCH token is an O(1)
+    // no-op — the stored token moved past it when the batch committed
+    // (the production retry discipline; no id-presence scan runs)
+    val a2 = census(Similarity.ivfAppendStored(batch, "vec_id", "embedding",
+      idxA, expectToken = Some(base)))
     assert(a2 == a1)
-    // a mixed batch appends ONLY the genuinely-new id (existing id 0's
-    // row count stays 1 — no duplicate, no eviction)
-    val mixed = emb.where(col("vec_id") === 0L)
-      .unionByName(Seq((300L, Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)))
-        .toDF("vec_id", "embedding"))
-    Similarity.ivfAppendStored(mixed, "vec_id", "embedding", idxA).collect()
-    assert(idxA.readPostings().where(col("id") === 0L).count() == 1)
+    // an UNguarded append of a further new id still lands
+    Similarity.ivfAppendStored(
+      Seq((300L, Seq(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idxA).collect()
     assert(idxA.readPostings().where(col("id") === 300L).count() == 1)
     // compaction: row set identical, file count back down
     def files(root: String) = {
@@ -346,13 +351,16 @@ class StoredIndexSpec extends SparkSpec {
     val batch = Seq((10L, "alpha omega fresh common")).toDF("doc_id", "text")
     def cens(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val base = graft.operators.TfIdf.sparseCorpusToken(docs, "doc_id",
+      "text", idxA)
     val a = cens(graft.operators.TfIdf.sparseAppendStored(batch, "doc_id",
-      "text", idxA))
+      "text", idxA, expectToken = Some(base)))
     val u = cens(graft.operators.TfIdf.sparseExtendStored(batch, "doc_id",
       "text", idxU))
     assert(a == u, s"append ≡ upsert for a new doc: $a vs $u")
     assert(cens(graft.operators.TfIdf.sparseAppendStored(batch, "doc_id",
-      "text", idxA)) == a, "re-append must be a no-op")
+      "text", idxA, expectToken = Some(base))) == a,
+      "a re-append guarded by the pre-batch token must be a no-op")
     assert(idxA.readNorms().count() == 5)
     val pBefore = idxA.readPostings().collect().toSet
     val nBefore = idxA.readNorms().collect().toSet
@@ -487,50 +495,195 @@ class StoredIndexSpec extends SparkSpec {
     assert(idx8.readPostings().count() == 40)
   }
 
-  test("text append retry at (term,id) granularity: partial landing heals") {
+  test("atomic append: a crash at EVERY publish step converges to the " +
+      "committed state with zero self-healing rebuilds") {
+    import graft.sources.IndexStore
+    val batch = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    def build(root: String): VectorIndex = {
+      val idx = new VectorIndex(spark, root)
+      Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+        nCentroids = 5, index = idx, portable = true).collect()
+      idx
+    }
+    def rows(i: VectorIndex) = i.readPostings().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def centroidFiles(root: String) = {
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/centroids"))
+        .map(_.getPath.getName).toSet
+    }
+    // control: a clean append fixes the committed token + row set (the
+    // token is corpus-content-derived, so it is root-independent)
+    val ctrl = build(tmpDir("vidx-atom-ctrl"))
+    Similarity.ivfAppendStored(batch, "vec_id", "embedding", ctrl).collect()
+    val wantTok = ctrl.storedToken().get
+    val wantRows = rows(ctrl)
+    // kill at every step of the publish protocol: before the commit
+    // marker ("staged"), right after it ("marker"), after EVERY file
+    // move, and after the token publish but before cleanup ("token")
+    val steps = Seq("staged", "marker") ++
+      (0 until 8).map(i => s"move-$i") :+ "token"
+    val fired = scala.collection.mutable.Set[String]()
+    steps.foreach { step =>
+      val root = tmpDir(s"vidx-atom")
+      val idx = build(root)
+      val grid = centroidFiles(root)
+      val base = idx.storedToken().get
+      IndexStore.crashAt = (_ == step)
+      val crashed =
+        try {
+          Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx,
+            expectToken = Some(base)).collect()
+          false
+        } catch { case _: IndexStore.InjectedCrash => true }
+        finally IndexStore.crashAt = _ => false
+      if (step == "staged") {
+        assert(crashed, "the staged crash point must exist")
+        // PRE-commit crash: the append never happened — base token
+        // intact, no batch row on disk; the guarded retry applies it
+        assert(idx.isCurrent(base),
+          s"[$step] a pre-commit crash must leave the base token")
+        assert(rows(idx) != wantRows)
+        Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx,
+          expectToken = Some(base)).collect()
+      } else if (crashed) {
+        fired += step
+        // POST-commit crash: the next READ rolls the marker forward —
+        // data AND token land together, no maintenance call needed; a
+        // guarded retry is then an O(1) no-op
+        assert(idx.storedToken().contains(wantTok),
+          s"[$step] roll-forward must publish the committed token")
+        Similarity.ivfAppendStored(batch, "vec_id", "embedding", idx,
+          expectToken = Some(base)).collect()
+      }
+      assert(idx.storedToken().contains(wantTok),
+        s"[$step] token must converge to the committed value")
+      assert(rows(idx) == wantRows,
+        s"[$step] rows must converge to the committed state")
+      // ZERO self-healing rebuilds: a rebuild would have swapped in a
+      // fresh centroid table (new file names) — the grid never moved
+      assert(centroidFiles(root) == grid,
+        s"[$step] recovery must never trigger a rebuild")
+    }
+    assert(fired.contains("marker") && fired.contains("move-0") &&
+      fired.contains("token"),
+      s"the sweep must actually exercise the commit protocol: $fired")
+  }
+
+  test("text atomic append: one commit covers BOTH tables — a crash " +
+      "can never land norms without postings") {
+    import graft.sources.IndexStore
     val docs = Seq(
       (1L, "alpha beta gamma common"),
       (2L, "epsilon zeta eta common")).toDF("doc_id", "text")
-    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-partial"))
+    val batch = Seq((10L, "alpha omega fresh common")).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-atom"))
     graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
       .collect()
-    // the full batch for a new doc: 4 posting rows + 1 norm-ledger row
-    val p = Seq(("alpha", 10L, 1L, 1L, 100L), ("omega", 10L, 1L, 1L, 200L),
-      ("fresh", 10L, 1L, 1L, 300L), ("common", 10L, 2L, 1L, 50L))
-      .toDF("term", "id", "df", "tf", "w")
-    val n = Seq((10L, BigDecimal(140000), 77L)).toDF("id", "n2", "fp")
-    // simulate a crash that landed only a PREFIX of the doc's posting
-    // files: the norm row and two of four term rows are on disk
-    idx.appendDocs(p.where(col("term").isin("alpha", "omega")), n)
-    // retry with the full batch: a bare-id presence filter would see doc
-    // 10 as "present" and drop fresh/common forever; the (term, id)
-    // filter appends exactly the missing rows
-    idx.appendDocs(p, n)
+    val base = graft.operators.TfIdf.sparseCorpusToken(docs, "doc_id",
+      "text", idx)
+    // kill after the FIRST file move: the pre-r17 two-append design
+    // landed the norms append before the postings one, so this crash
+    // stranded a norm row with no posting rows until a retry scan
+    IndexStore.crashAt = (_ == "move-0")
+    intercept[IndexStore.InjectedCrash] {
+      graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text",
+        idx, expectToken = Some(base))
+    }
+    IndexStore.crashAt = _ => false
+    // the first READ of EITHER table rolls the whole commit forward:
+    // both tables complete together, token included
     assert(idx.readPostings().where(col("id") === 10L).count() == 4,
-      "retry must land the rows the crash dropped")
-    assert(idx.readNorms().where(col("id") === 10L).count() == 1)
-    // and a further retry is a no-op
-    idx.appendDocs(p, n)
+      "roll-forward must land the batch's posting rows")
+    assert(idx.readNorms().where(col("id") === 10L).count() == 1,
+      "roll-forward must land the batch's norm-ledger row")
+    assert(!idx.isCurrent(base), "the token must have moved with the data")
+    // a guarded retry is a no-op — no duplicate rows
+    graft.operators.TfIdf.sparseAppendStored(batch, "doc_id", "text",
+      idx, expectToken = Some(base))
     assert(idx.readPostings().where(col("id") === 10L).count() == 4)
     assert(idx.readNorms().where(col("id") === 10L).count() == 1)
   }
 
-  test("PQ append retry at (id,s) granularity: straddled code rows heal") {
-    val idx = new graft.sources.PqIndex(spark, tmpDir("pqidx-partial"))
+  test("PQ atomic append: a committed crash rolls forward all of an " +
+      "id's subspace rows together") {
+    import graft.sources.IndexStore
+    val idx = new graft.sources.PqIndex(spark, tmpDir("pqidx-atom"))
     Similarity.ivfPqBuildStored(emb, "vec_id", "embedding",
       nCells = 5, m = 4, kCodes = 6, scale = 1000000L, index = idx).collect()
-    // an id's 4 subspace rows, landed half-and-half across a simulated
-    // crash (a writer file boundary can split them in production)
+    val base = idx.storedToken().get
+    // an id's 4 subspace rows can straddle a writer file boundary; the
+    // single commit marker is what keeps them atomic
     val full = (0 until 4).map(s =>
         (3L, 500L, s, (s % 6).toLong, if (s == 0) Some(99L) else None))
       .toDF("cid", "id", "s", "code", "fp")
-    idx.appendCodes(full.where(col("s") < 2))
-    idx.appendCodes(full)
+    IndexStore.crashAt = (_ == "marker")
+    intercept[IndexStore.InjectedCrash] { idx.appendCodes(full) }
+    IndexStore.crashAt = _ => false
     assert(idx.readCodes().where(col("id") === 500L).count() == 4,
-      "retry must land the subspace rows the crash dropped")
-    idx.appendCodes(full)
-    assert(idx.readCodes().where(col("id") === 500L).count() == 4,
-      "a further retry must be a no-op")
+      "roll-forward must land every subspace row of the batch")
+    assert(!idx.isCurrent(base), "token moves atomically with the rows")
+  }
+
+  test("maintenance lease: a live second writer is refused; an expired " +
+      "lease (dead maintainer) is broken") {
+    val root = tmpDir("vidx-lease")
+    val idx = new VectorIndex(spark, root)
+    Similarity.ivfBuildStored(emb, "vec_id", "embedding",
+      nCentroids = 5, index = idx, portable = true).collect()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/_lease")
+    def plant(expiresAt: Long): Unit = {
+      val out = fs.create(lease, true)
+      try out.write(s"other-writer|$expiresAt".getBytes("UTF-8"))
+      finally out.close()
+    }
+    // a LIVE foreign lease refuses the op with an actionable error
+    plant(System.currentTimeMillis() + 3600L * 1000)
+    val e = intercept[IllegalStateException] {
+      idx.deletePostings(Seq(39L).toDF("id"))
+    }
+    assert(e.getMessage.contains("another writer"), e.getMessage)
+    assert(idx.readPostings().where(col("id") === 39L).count() == 1,
+      "the refused op must not have touched the index")
+    // an EXPIRED lease (maintainer died without releasing) is broken
+    plant(System.currentTimeMillis() - 1)
+    idx.deletePostings(Seq(39L).toDF("id"))
+    assert(idx.readPostings().where(col("id") === 39L).count() == 0)
+    assert(!fs.exists(lease), "the op must release its own lease")
+  }
+
+  test("text upsert: evictIds narrower than the batch cannot drop rows " +
+      "or run the token ahead of the data") {
+    val docs = Seq(
+      (1L, "alpha beta gamma common"),
+      (2L, "epsilon zeta eta common")).toDF("doc_id", "text")
+    val idx = new graft.sources.TextIndex(spark, tmpDir("tidx-narrow"))
+    val twin = new graft.sources.TextIndex(spark, tmpDir("tidx-narrow-tw"))
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", idx)
+      .collect()
+    graft.operators.TfIdf.sparseBuildStored(docs, "doc_id", "text", twin)
+      .collect()
+    // two new docs in DIFFERENT norm buckets (10 mod 16 ≠ 11 mod 16)
+    val p = Seq(("alpha", 10L, 1L, 1L, 100L), ("omega", 11L, 1L, 1L, 200L))
+      .toDF("term", "id", "df", "tf", "w")
+    val n = Seq((10L, BigDecimal(10000), 77L), (11L, BigDecimal(40000), 88L))
+      .toDF("id", "n2", "fp")
+    // caller passes evictIds covering only id 10: the batch's own ids
+    // must still drive the touched-bucket arithmetic, or id 11's rows
+    // are silently dropped while its token terms fold in (token AHEAD —
+    // the forbidden direction)
+    idx.upsert(p, n, evictIds = Some(Seq(10L).toDF("id")))
+    twin.upsert(p, n, evictIds = None)
+    assert(idx.readNorms().where(col("id") === 11L).count() == 1,
+      "a narrow evictIds must not drop batch rows outside its buckets")
+    assert(idx.readPostings().where(col("id") === 11L).count() == 1)
+    assert(idx.storedToken() == twin.storedToken(),
+      "the token must agree with the batch the data actually holds")
   }
 
   test("pure-eviction delete removes the partition dir, no .old residue") {

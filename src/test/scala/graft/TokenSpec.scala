@@ -326,4 +326,33 @@ class TokenSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("corpus token"))
   }
+
+  test("token memo is bounded: endless corpus versions hold the map at " +
+      "O(capacity), and live entries still hit") {
+    CorpusToken.invalidate()
+    // one real file-backed frame (a stable signature); version churn is
+    // modeled by the params axis of the cache key — each distinct
+    // (signature, params) pair is one entry, exactly what a rewritten
+    // corpus produces via a changed manifest digest
+    val dir = tmpDir("tok-lru")
+    emb.write.mode("overwrite").parquet(s"$dir/emb")
+    val df = spark.read.parquet(s"$dir/emb")
+    var computes = 0
+    def ask(i: Int): String =
+      CorpusToken.cachedToken(df, s"v$i") { computes += 1; s"tok$i" }
+    val n = CorpusToken.MaxEntries + 64
+    (0 until n).foreach(ask)
+    assert(CorpusToken.cacheSize <= CorpusToken.MaxEntries,
+      s"memo must stay bounded: ${CorpusToken.cacheSize}")
+    assert(computes == n)
+    // the most recent entries survived (LRU evicts the oldest): asking
+    // again must hit, not recompute
+    ask(n - 1)
+    assert(computes == n, "a live entry must be served from the memo")
+    // the evicted oldest entry recomputes — correctness never depended
+    // on residency
+    assert(ask(0) == "tok0")
+    assert(computes == n + 1)
+    CorpusToken.invalidate()
+  }
 }
