@@ -643,13 +643,35 @@ object Similarity {
   /** The greedy MMR core over ANY (qid, nid, rel-ppm) shortlist and ANY
     * (nid, nv, nn) vector source — the composition seam that lets the
     * shortlist come from brute force, a stored index, or any future
-    * ranker without touching the selection semantics. */
+    * ranker without touching the selection semantics.
+    *
+    * FUSED single-pass form (optimization round 17; the pre-r17 shape ran
+    * k driver-sequenced rounds, each one keyed anti-join + penalty join +
+    * window pick + eager localCheckpoint — k shuffle rounds over every
+    * query plus k blocking driver jobs, ~7 jobs at catalog params and a
+    * k× shuffle bill at production query volume). Candidates and their
+    * pair sims are grouped per qid ONCE (both frames are
+    * shortlist-bounded per query by construction, so the grouped state is
+    * O(shortlist²) structs — bounded by a query parameter, never by the
+    * corpus), and the full k-round greedy trajectory runs inside one
+    * `aggregate` expression over that row: identical integer ppm
+    * arithmetic, identical (score desc, nid asc) tie-break, so the
+    * selection is bit-equal to the iterative form (pinned by
+    * DedupSimilaritySpec's trajectory test, a fused-vs-reference spec,
+    * and the q153/q160 oracle hashes). The HOF lambdas are interpreted,
+    * not codegen'd — acceptable here because each evaluates once per
+    * QUERY over ≤ shortlist² elements (k·s² ≈ 10³ scalar ops at catalog
+    * params), not once per corpus row; the corpus-proportional work
+    * (shortlist ranking, pair sims) stays in codegen'd kernels. */
   private def mmrSelect(rel0: DataFrame, vecs: DataFrame, k: Int,
                         lambdaPct: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(lambdaPct >= 0 && lambdaPct <= 100,
       s"lambdaPct must be a percentage, got $lambdaPct")
     def ppm(c: Column): Column = mmrPpm(c)
+    // checkpointed once: read by the pair-sim join AND the candidate
+    // grouping, and the upstream ranker (brute force or a stored-index
+    // probe) must not execute twice
     val rel = rel0.localCheckpoint()
     val withV = rel.select(col("qid"), col("nid")).join(vecs, "nid")
     val pairSims = withV.as("x")
@@ -659,34 +681,46 @@ object Similarity {
         col("y.nid").as("other"),
         ppm(round(dotFast(col("x.nv"), col("y.nv"))
           / (col("x.nn") * col("y.nn")), 6)).as("psim"))
-      .localCheckpoint()
-    val spark = rel.sparkSession
-    val empty = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "qid BIGINT, nid BIGINT, rank INT, score BIGINT"))
-    (1 to k).foldLeft(empty) { (sel, r) =>
-      val remaining = rel.join(sel.select(col("qid"), col("nid")),
-        Seq("qid", "nid"), "left_anti")
-      val pen = remaining.select(col("qid"), col("nid"))
-        .join(pairSims, Seq("qid", "nid"))
-        .join(sel.select(col("qid"), col("nid").as("other")),
-          Seq("qid", "other"))
-        .groupBy(col("qid"), col("nid")).agg(max(col("psim")).as("pen"))
-      val pick = remaining
-        .join(pen, Seq("qid", "nid"), "left")
-        .select(col("qid"), col("nid"),
-          (lit(lambdaPct.toLong) * col("rel") -
-            lit((100 - lambdaPct).toLong) * coalesce(col("pen"), lit(0L)))
-            .as("score"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid"))
-            .orderBy(col("score").desc, col("nid"))))
-        .where(col("rn") === 1)
-        .select(col("qid"), col("nid"), lit(r).as("rank"), col("score"))
-        .localCheckpoint()
-      sel.unionByName(pick)
-    }
+    val cands = rel.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("rel"))).as("cands"))
+    val pairs = pairSims.groupBy(col("qid"))
+      .agg(collect_list(struct(col("nid"), col("other"), col("psim")))
+        .as("pairs"))
+    // One aggregate() drives all k rounds: each round filters the not-yet-
+    // selected candidates, scores them (penalty = max pair sim against the
+    // selected set; a NULL `pairs` array — single-candidate query — NULL-
+    // propagates into coalesce(_, 0)), sorts by (score desc, nid asc) and
+    // appends the winner via slice+transform (slice of an empty remainder
+    // is empty, so a query with fewer than k candidates just stops — the
+    // iterative form's behavior).
+    val lam = lambdaPct.toLong
+    val mlam = (100 - lambdaPct).toLong
+    val sel = s"""
+      aggregate(
+        sequence(1, $k),
+        cast(array() as array<struct<nid: bigint, rank: int, score: bigint>>),
+        (sel, r) -> concat(sel, transform(
+          slice(array_sort(
+            transform(
+              filter(cands, c -> NOT exists(sel, s -> s.nid = c.nid)),
+              c -> named_struct(
+                'score', CAST($lam AS BIGINT) * c.rel
+                  - CAST($mlam AS BIGINT) * coalesce(array_max(transform(
+                      filter(pairs, p -> p.nid = c.nid
+                        AND exists(sel, s -> s.nid = p.other)),
+                      p -> p.psim)), CAST(0 AS BIGINT)),
+                'nid', c.nid)),
+            (a, b) -> CASE WHEN a.score > b.score THEN -1
+                           WHEN a.score < b.score THEN 1
+                           WHEN a.nid < b.nid THEN -1
+                           WHEN a.nid > b.nid THEN 1 ELSE 0 END),
+          1, 1),
+          p -> named_struct('nid', p.nid, 'rank', CAST(r AS INT),
+            'score', p.score))))"""
+    cands.join(pairs, Seq("qid"), "left")
+      .select(col("qid"), explode(expr(sel)).as("s"))
+      .select(col("qid"), col("s.nid").as("nid"), col("s.rank").as("rank"),
+        col("s.score").as("score"))
   }
 
   /** Banding parameters (bitsPerTable, tables) for [[cosineNearDupPairs]],

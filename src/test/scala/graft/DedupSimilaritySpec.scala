@@ -328,4 +328,59 @@ class DedupSimilaritySpec extends SparkSpec {
     val cells = got.groupBy("cid").count().collect()
     assert(cells.length == 10)
   }
+
+  test("fused MMR trajectory ≡ reference greedy replay (r17 fusion gate)") {
+    // 40 vectors on a 3-sphere spiral, 3 queries, shortlist 9, k 6 — wide
+    // enough that rounds disagree if the fused aggregate's filter/penalty/
+    // tie-break drifts from the spec'd greedy recurrence. The reference
+    // replays the selection in plain Scala from the SAME brute-force sims
+    // (identical ppm rounding), so any divergence is in the fused
+    // selection expression itself.
+    val emb = (0 until 40).map { i =>
+      val a = i * 0.37
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+        math.cos(3 * a).toFloat, math.sin(5 * a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val k = 6; val shortlist = 9; val lambdaPct = 70
+    val got = Similarity.mmrDiverseTopK(emb, "vec_id", "embedding",
+        queryPred = col("id") < 3, shortlist = shortlist, k = k,
+        lambdaPct = lambdaPct)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getLong(1), r.getLong(3))).toMap
+    // reference: brute-force shortlist + exact pairwise sims in Scala
+    def ppm(x: Double): Long = math.round(x * 1e6)
+    val vecs = (0 until 40).map { i =>
+      val a = i * 0.37
+      val v = Seq(math.cos(a).toFloat.toDouble, math.sin(a).toFloat.toDouble,
+        math.cos(3 * a).toFloat.toDouble, math.sin(5 * a).toFloat.toDouble)
+      i.toLong -> v
+    }.toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0L until 3L).foreach { q =>
+      val rel = vecs.keys.filter(_ != q).toSeq
+        .map(n => n -> ppm(cos(vecs(q), vecs(n))))
+        .sortBy { case (n, s) => (-s, n) }.take(shortlist)
+      var sel = Vector.empty[(Long, Long)] // (nid, score)
+      (1 to k).foreach { r =>
+        val remaining = rel.filterNot(c => sel.exists(_._1 == c._1))
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { case (nid, rl) =>
+            val pen = sel.map { case (s, _) =>
+              ppm(cos(vecs(nid), vecs(s))) }.maxOption.getOrElse(0L)
+            (nid, lambdaPct.toLong * rl - (100L - lambdaPct) * pen)
+          }
+          val pick = scored.minBy { case (nid, sc) => (-sc, nid) }
+          sel = sel :+ pick
+          assert(got((q, r)) == pick,
+            s"q=$q round=$r: fused ${got((q, r))} != reference $pick")
+        }
+      }
+    }
+  }
 }
