@@ -441,10 +441,19 @@ object Curation {
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.where(col("doc_id") % 7 === 0)
         .select((col("doc_id") + cloneOff).as("doc_id"), col("text")))
+    // checkpointed proxy (r17): fpd is consumed twice (the keeper
+    // aggregate and the final verdict join). Un-materialized, each
+    // consumer re-ran the full text scan + md5/xxhash64/quality pass —
+    // two corpus text scans and two hash passes per run. The proxy rows
+    // are ~40 bytes (id + two hashes + a bool) regardless of document
+    // size, so materializing it once and letting both consumers read it
+    // is the §2.3 "shuffle keys, not payloads" move applied to a scan:
+    // the text is now read and hashed exactly once at any corpus size.
     val fpd = corpus.select(col("doc_id"),
       unhex(md5(col("text"))).as("f1"), xxhash64(col("text")).as("f2"),
       (TextFunctions.langId(col("text")) === "en" &&
         TextFunctions.qualityScoreBp(col("text")) >= 5000).as("ok"))
+      .localCheckpoint()
     val exact = fpd.where(col("ok")).groupBy(col("f1"), col("f2"))
       .agg(min(col("doc_id")).as("keeper"))
     val surv = exact.select(col("keeper").as("doc_id"))
