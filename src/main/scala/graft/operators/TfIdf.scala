@@ -305,11 +305,19 @@ object TfIdf {
                         idfScale: Long = 10000L): String =
     textMeta(docs, idCol, textCol, idfScale, index)
 
+  /** The memo key for (docs, params) — ONE definition shared by the scan
+    * path ([[textMeta]]) and the build's ledger-derived fold
+    * ([[sparseBuildStored]]), so the two can never populate different
+    * cache slots for the same corpus. */
+  private def textKey(idCol: String, textCol: String, idfScale: Long,
+                      index: graft.sources.TextIndex): String =
+    s"text3|$idCol|$textCol|idf=$idfScale|buckets=${index.nBuckets}"
+
   private def textMeta(docs: DataFrame, idCol: String, textCol: String,
                        idfScale: Long,
                        index: graft.sources.TextIndex): String =
     graft.sources.CorpusToken.cachedToken(docs,
-      s"text3|$idCol|$textCol|idf=$idfScale|buckets=${index.nBuckets}")(
+      textKey(idCol, textCol, idfScale, index))(
       textScanToken(docs, idCol, textCol, idfScale, index.nBuckets))
 
   /** The per-doc norm LEDGER rows for a batch: one row per doc with
@@ -340,24 +348,51 @@ object TfIdf {
   def sparseBuildStored(docs: DataFrame, idCol: String, textCol: String,
                         index: graft.sources.TextIndex,
                         idfScale: Long = 10000L): DataFrame = {
-    val tf = docs
+    // ONE corpus text pass (r17): the pre-r17 build read the text three
+    // times — the tokenize→tf pipeline, normLedger's fingerprint scan,
+    // and (memo-cold) textScanToken's corpus checksum. Tokenization,
+    // the ledger fp, and the token's fingerprint terms all derive from
+    // this one checkpointed per-doc projection instead; at 100 TB that
+    // is one corpus read where there were three.
+    val perDoc = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.termCounts(
-          tokens(col(textCol)))).as("tc"))
+        xxhash64(col(idCol), col(textCol)).as("fp"),
+        graft.functions.TextFunctions.termCounts(tokens(col(textCol)))
+          .as("tcs"))
+      .localCheckpoint(true)
+    val tf = perDoc
+      .select(col("id"), explode(col("tcs")).as("tc"))
       .select(col("id"), col("tc.term").as("term"),
         col("tc.tf").cast("long").as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // materialized ONCE: the weight relation feeds the norms write, the
     // range-partitioner's SAMPLING pass, and the postings shuffle — an
-    // unmaterialized plan would re-run the tokenize → tf → df pipeline
+    // unmaterialized plan would re-run the explode → tf → df pipeline
     // three times (the inline path's localCheckpoint lesson, applied to
     // the offline build)
     val w = tf.join(dfreq, "term")
       .select(col("term"), col("id"), col("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
       .localCheckpoint(true)
-    index.writeIndex(w, normLedger(docs, idCol, textCol, w),
-      textMeta(docs, idCol, textCol, idfScale, index))
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    val ledger = perDoc.select(col("id"), col("fp"))
+      .join(n2, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n2"), lit(0).cast("decimal(38,0)")).as("n2"),
+        col("fp"))
+    // the token's fingerprint terms fold from the checkpointed per-doc
+    // rows — identical by the fold-invariance contract to textScanToken
+    // over the corpus (ONE render/terms implementation, so the formats
+    // cannot drift; sparseRebuildStored reconstructs from the ledger the
+    // same way). Still routed through the session memo under the CORPUS
+    // frame's identity, so later audit-path searches hit without a scan.
+    val meta = graft.sources.CorpusToken.cachedToken(docs,
+      textKey(idCol, textCol, idfScale, index))(
+      graft.sources.CorpusToken.render("text3",
+        graft.sources.CorpusToken.terms(perDoc, col("id"), col("fp")),
+        s"idf=$idfScale|buckets=${index.nBuckets}"))
+    index.writeIndex(w, ledger, meta)
     sparseCensus(index)
   }
 
