@@ -397,13 +397,22 @@ object Similarity {
                      portable: Boolean = false): String =
     indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable, index)
 
+  /** The memo key for (emb, params) — ONE definition shared by the scan
+    * path ([[indexMeta]]) and the build's posting-derived fold
+    * ([[ivfBuildStored]]), so the two can never populate different cache
+    * slots for the same corpus. */
+  private def ivfKey(idCol: String, vecCol: String, nCentroids: Int,
+                     kmeansIters: Int, portable: Boolean,
+                     index: graft.sources.VectorIndex): String =
+    s"ivf3|$idCol|$vecCol|K=$nCentroids|iters=$kmeansIters" +
+      s"|portable=$portable|bands=${index.nBands}"
+
   private def indexMeta(emb: DataFrame, idCol: String, vecCol: String,
                         nCentroids: Int, kmeansIters: Int,
                         portable: Boolean,
                         index: graft.sources.VectorIndex): String =
     graft.sources.CorpusToken.cachedToken(emb,
-      s"ivf3|$idCol|$vecCol|K=$nCentroids|iters=$kmeansIters" +
-        s"|portable=$portable|bands=${index.nBands}")(
+      ivfKey(idCol, vecCol, nCentroids, kmeansIters, portable, index))(
       ivfScanToken(emb, idCol, vecCol, nCentroids, kmeansIters, portable,
         index.nBands))
 
@@ -427,11 +436,24 @@ object Similarity {
     val posting = assigned
       .select(col("cid"), col("id"), col("v"), col("nrm"))
       .localCheckpoint(true)
+    // token folded from the checkpointed posting rows instead of a
+    // second (memo-cold) corpus scan (r17; the sparseBuildStored
+    // discipline): v IS toDouble(vec) and the isNotNull filter mirrors
+    // the scan's, so the fold is string-equal to ivfScanToken by the
+    // fold-invariance contract — one render/terms implementation. Still
+    // routed through the session memo under the CORPUS frame's identity
+    // so later audit-path searches hit without a scan.
+    val meta = graft.sources.CorpusToken.cachedToken(emb,
+      ivfKey(idCol, vecCol, nCentroids, kmeansIters, portable, index))(
+      graft.sources.CorpusToken.render("ivf3",
+        graft.sources.CorpusToken.terms(posting.where(col("v").isNotNull),
+          col("id"), xxhash64(col("id"), col("v"))),
+        s"K=$nCentroids|iters=$kmeansIters|portable=$portable" +
+          s"|bands=${index.nBands}"))
     index.writeIndex(
       centroids.select(col("cid"), col("cv"), col("cn")),
       posting,
-      indexMeta(emb, idCol, vecCol, nCentroids, kmeansIters, portable,
-        index))
+      meta)
     ivfCensus(index)
   }
 
@@ -1132,12 +1154,19 @@ object Similarity {
                        index: graft.sources.PqIndex): String =
     pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale, index)
 
+  /** The memo key for (emb, params) — shared by the scan path
+    * ([[pqMeta]]) and the build's code-row fold ([[ivfPqBuildStored]]). */
+  private def pqKey(idCol: String, vecCol: String, nCells: Int, m: Int,
+                    kCodes: Int, scale: Long,
+                    index: graft.sources.PqIndex): String =
+    s"ivfpq3|$idCol|$vecCol|cells=$nCells|m=$m|codes=$kCodes" +
+      s"|scale=$scale|bands=${index.nBands}"
+
   private def pqMeta(emb: DataFrame, idCol: String, vecCol: String,
                      nCells: Int, m: Int, kCodes: Int, scale: Long,
                      index: graft.sources.PqIndex): String =
     graft.sources.CorpusToken.cachedToken(emb,
-      s"ivfpq3|$idCol|$vecCol|cells=$nCells|m=$m|codes=$kCodes" +
-        s"|scale=$scale|bands=${index.nBands}")(
+      pqKey(idCol, vecCol, nCells, m, kCodes, scale, index))(
       pqScanToken(emb, idCol, vecCol, nCells, m, kCodes, scale,
         index.nBands))
 
@@ -1176,11 +1205,24 @@ object Similarity {
       .select(col("cid"), col("id"), col("s"), col("code"),
         when(col("s") === 0, col("fp")).as("fp"))
       .localCheckpoint(true)
+    // token folded from the checkpointed s = 0 code rows instead of a
+    // second (memo-cold) corpus scan (r17; the sparseBuildStored
+    // discipline): pqFps' inner join already confined codesCid to the
+    // non-null-vector ids and its fp is exactly the scan's hash term,
+    // so the fold is string-equal to pqScanToken. Routed through the
+    // session memo under the CORPUS frame's identity as before.
+    val meta = graft.sources.CorpusToken.cachedToken(emb,
+      pqKey(idCol, vecCol, nCells, m, kCodes, scale, index))(
+      graft.sources.CorpusToken.render("ivfpq3",
+        graft.sources.CorpusToken.terms(codesCid.where(col("s") === 0),
+          col("id"), col("fp")),
+        s"cells=$nCells|m=$m|codes=$kCodes|scale=$scale" +
+          s"|bands=${index.nBands}"))
     index.writeIndex(
       cells.select(col("cid"), col("cv")),
       subC.select(col("s"), col("ccid"), col("csub")),
       codesCid,
-      pqMeta(emb, idCol, vecCol, nCells, m, kCodes, scale, index))
+      meta)
     pqCensus(index)
   }
 
