@@ -115,7 +115,10 @@ object Bench {
           // fn() runs INSIDE the timer each attempt: some queries do eager
           // work there by design (q65's bucketed table writes, q14's store
           // upsert — all idempotent), and that cost is part of the number.
-          val attempts = (1 to runs).map { _ =>
+          val attempts = (1 to runs).map { i =>
+            // guide §1.5: label every job so the UI/event log maps stages
+            // back to the query (and attempt) that launched them
+            spark.sparkContext.setJobDescription(s"$name attempt $i")
             val t0 = System.nanoTime()
             val df = fn(spark, sfDir)
             df.write.mode("overwrite").format("noop").save()

@@ -557,6 +557,12 @@ object Dedup {
     require(n >= 1, s"window length must be >= 1, got $n")
     val toks = df.select(col(idCol).as("id"), tokens(col(textCol)).as("a"))
       .select(col("id"), col("a"), size(col("a")).as("n_tokens"))
+    // materialized ONCE (r17): occ is consumed by the cross-doc census
+    // AND the semi-join probe side — un-checkpointed, the executed plan
+    // held two full tokenize→explode→window-md5 pipelines (the build's
+    // dominant pass, every token window hashed twice). The checkpoint
+    // rows are (id, pos, gk) — 24 bytes per window regardless of text
+    // size — so materializing beats re-hashing at any corpus size.
     val occ = toks.where(col("n_tokens") >= n)
       .select(col("id"), col("a"),
         explode(sequence(lit(0), col("n_tokens") - n)).as("pos"))
@@ -564,6 +570,7 @@ object Dedup {
         graft.functions.PortableHash.md5Head60(
           concat_ws(" ", slice(col("a"), col("pos") + lit(1), lit(n))))
           .as("gk"))
+      .localCheckpoint(true)
     val crossDoc = occ.groupBy(col("gk"))
       .agg(min(col("id")).as("lo"), max(col("id")).as("hi"))
       .where(col("lo") =!= col("hi"))
