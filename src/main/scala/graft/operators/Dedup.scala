@@ -476,7 +476,13 @@ object Dedup {
                                    maxBucket: Int,
                                    portable: Boolean = false): DataFrame =
     cappedBuckets(
-      simhash(df, idCol, textCol, portable)
+      // materialized ONCE (r17): the banded relation is consumed by the
+      // bucket-size census and by BOTH sides of the pair self-join, so
+      // an un-checkpointed plan re-runs the full text→simhash kernel up
+      // to four times. The checkpoint rows are (id, simhash) — 16 bytes
+      // per doc regardless of text size; the band explode downstream is
+      // recomputed per consumer from those 16-byte rows, which is noise.
+      simhash(df, idCol, textCol, portable).localCheckpoint(true)
         .select(col("id"), col("simhash"),
           explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
         .select(col("id"), col("simhash"),
@@ -502,8 +508,13 @@ object Dedup {
                           maxBucket: Int = Int.MaxValue): DataFrame =
     bandedPairs(
       cappedBuckets(
-        hashed.select(col("id"), col("simhash"),
-          explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
+        // the simhashBanded materialize-once discipline for the caller-
+        // supplied hash: q141's dhash63 kernel (hex + 63-way explode
+        // over multi-KB payloads) ran once per consumer — four times —
+        // before this checkpoint; the rows are 16 bytes per doc
+        hashed.select(col("id"), col("simhash")).localCheckpoint(true)
+          .select(col("id"), col("simhash"),
+            explode(array(simhashBandStructs(maxHamming): _*)).as("e"))
           .select(col("id"), col("simhash"),
             col("e.band").as("band"), col("e.bv").as("bv")),
         Seq("band", "bv"), maxBucket),
