@@ -742,8 +742,12 @@ object Curation {
         "embedding", nCentroids = 16, nProbe = 14,
         queryPred = col("id") < 8, k = 5, portable = true)
       .select(col("qid"), col("nid"))
+    // materialized ONCE (r17): asg feeds both sides of the same-cell
+    // join — un-checkpointed, the corpus-wide n·K assignment argmax ran
+    // once per side. The rows are (id, cid), 16 bytes per vector.
     val asg = graft.operators.Similarity.ivfAssignments(emb, "vec_id",
       "embedding", nCentroids = 16, portable = true)
+      .localCheckpoint()
     val cand = asg.where(col("id") < 8)
       .select(col("id").as("qid"), col("cid"))
       .join(asg.select(col("id").as("nid"), col("cid")), "cid")
