@@ -1380,9 +1380,14 @@ object Analytics {
       .select(col("p.w1"), col("p.w2"))
       .where(col("w2").isNotNull) // +2 window walks off the array tail
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+    // materialized ONCE (r17): uni feeds TWO broadcast joins (w1 and w2
+    // sides) plus the corpus-total scalar — each with its own projection,
+    // so exchange reuse never fires and the tokenize → explode → count
+    // pipeline ran once per consumer. The relation is vocabulary-sized.
     val uni = toks
       .select(explode(col("a")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val total = uni.agg(sum(col("c")).as("t"))
     val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     pairs
