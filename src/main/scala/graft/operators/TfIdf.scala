@@ -320,23 +320,6 @@ object TfIdf {
       textKey(idCol, textCol, idfScale, index))(
       textScanToken(docs, idCol, textCol, idfScale, index.nBuckets))
 
-  /** The per-doc norm LEDGER rows for a batch: one row per doc with
-    * non-null text (n2 = 0 when the doc yields no terms) carrying the
-    * fingerprint term fp = xxhash64(id, text) — what token folds and
-    * rebuilds read instead of the corpus. */
-  private def normLedger(docs: DataFrame, idCol: String, textCol: String,
-                         w: DataFrame): DataFrame = {
-    val n2 = w.groupBy(col("id"))
-      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
-    docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        xxhash64(col(idCol), col(textCol)).as("fp"))
-      .join(n2, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n2"), lit(0).cast("decimal(38,0)")).as("n2"),
-        col("fp"))
-  }
-
   /** OFFLINE inverted-index build: run the tokenize → tf → df → integer
     * weight pipeline once and persist the weighted posting lists + per-doc
     * norms into `index` — the sparse counterpart of the dense stored-ANN
@@ -439,15 +422,44 @@ object TfIdf {
     * [[sparseBuildStored]]). Upsert is keyed on doc id: a re-ingested doc
     * evicts its old rows from every term list. Returns the per-df census
     * read back from disk. */
+  /** One checkpointed text pass over an ingest batch — (id, fp, term
+    * counts) — feeding tokenization AND the ledger fingerprint (the
+    * [[sparseBuildStored]] single-pass discipline applied to the batch
+    * paths; pre-r17 each ingest read the batch text twice). */
+  private def batchPerDoc(newDocs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    newDocs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        xxhash64(col(idCol), col(textCol)).as("fp"),
+        graft.functions.TextFunctions.termCounts(tokens(col(textCol)))
+          .as("tcs"))
+      .localCheckpoint(true)
+
+  private def tfOf(perDoc: DataFrame): DataFrame =
+    perDoc.select(col("id"), explode(col("tcs")).as("tc"))
+      .select(col("id"), col("tc.term").as("term"),
+        col("tc.tf").cast("long").as("tf"))
+
+  /** The per-doc norm LEDGER rows — one row per doc with non-null text
+    * (n2 = 0 when the doc yields no terms) carrying the fingerprint term
+    * fp = xxhash64(id, text), read by token folds and rebuilds instead
+    * of the corpus — derived from the checkpointed per-doc pass, so no
+    * second text scan. */
+  private def ledgerOf(perDoc: DataFrame, w: DataFrame): DataFrame = {
+    val n2 = w.groupBy(col("id"))
+      .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    perDoc.select(col("id"), col("fp"))
+      .join(n2, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n2"), lit(0).cast("decimal(38,0)")).as("n2"),
+        col("fp"))
+  }
+
   def sparseExtendStored(newDocs: DataFrame, idCol: String, textCol: String,
                          index: graft.sources.TextIndex,
                          idfScale: Long = 10000L): DataFrame = {
-    val tf = newDocs
-      .select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.termCounts(
-          tokens(col(textCol)))).as("tc"))
-      .select(col("id"), col("tc.term").as("term"),
-        col("tc.tf").cast("long").as("tf"))
+    val perDoc = batchPerDoc(newDocs, idCol, textCol)
+    val tf = tfOf(perDoc)
     // one row per term: every posting of a term carries the same build df
     val storedDf = index.readPostings()
       .groupBy(col("term")).agg(max(col("df")).as("df"))
@@ -462,8 +474,9 @@ object TfIdf {
       .localCheckpoint(true)
     // eviction keys from the BATCH, not the ledger: a doc re-posted with
     // NULL text produces no ledger row (it leaves the covered corpus)
-    // but its old rows must still be evicted
-    index.upsert(w, normLedger(newDocs, idCol, textCol, w),
+    // but its old rows must still be evicted — so they come from newDocs
+    // (an id-only column-pruned scan), never from the text-filtered pass
+    index.upsert(w, ledgerOf(perDoc, w),
       evictIds = Some(newDocs.select(col(idCol).as("id"))))
     sparseCensus(index)
   }
@@ -488,12 +501,8 @@ object TfIdf {
     // pre-batch corpus version (O(1) token-file read)
     if (expectToken.exists(t => !index.isCurrent(t)))
       return sparseCensus(index)
-    val tf = newDocs
-      .select(col(idCol).as("id"),
-        explode(graft.functions.TextFunctions.termCounts(
-          tokens(col(textCol)))).as("tc"))
-      .select(col("id"), col("tc.term").as("term"),
-        col("tc.tf").cast("long").as("tf"))
+    val perDoc = batchPerDoc(newDocs, idCol, textCol)
+    val tf = tfOf(perDoc)
     val storedDf = index.readPostings()
       .groupBy(col("term")).agg(max(col("df")).as("df"))
     // batch-sized materialization before any file lands (the
@@ -503,7 +512,7 @@ object TfIdf {
         coalesce(col("df"), lit(1L)).as("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div coalesce(df, 1)")).as("w"))
       .localCheckpoint(true)
-    index.appendDocs(w, normLedger(newDocs, idCol, textCol, w))
+    index.appendDocs(w, ledgerOf(perDoc, w))
     sparseCensus(index)
   }
 
