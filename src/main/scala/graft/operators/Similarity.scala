@@ -297,8 +297,17 @@ object Similarity {
           transform(col("ps"), p => p("x")).as("cv"))
         .withColumn("cn", l2Norm(col("cv")))
 
-    val centroids = (1 to kmeansIters).foldLeft(seeds: DataFrame) {
-      case (cs, _) => recenter(assign(cs))
+    // Every centroid GENERATION is materialized (r17): the centroid
+    // frame is consumed at least twice (the probe/write side and the
+    // final assignment; each Lloyd round's input likewise) and the
+    // relation is K rows — without the checkpoint, every consumer
+    // re-executed the whole upstream chain, so q73's iters = 2 plan
+    // held the corpus-wide n·K assignment THREE extra times (8 corpus
+    // scans in the executed plan vs 5 for iters = 0). Checkpointing
+    // K-row frames costs nothing and makes each round's assignment run
+    // exactly once at any corpus size.
+    val centroids = (1 to kmeansIters).foldLeft(seeds.localCheckpoint()) {
+      case (cs, _) => recenter(assign(cs)).localCheckpoint()
     }
     (base, centroids, assign(centroids))
   }
