@@ -1081,13 +1081,18 @@ object Similarity {
       .limit(n)
       .select(col("id").as(outId), col("qv").as("cv"))
 
-    // IVF routing: every vector to its (integer-L2) nearest cell
-    val cells = mdSeeds("ivf:", nCells, "cid")
+    // IVF routing: every vector to its (integer-L2) nearest cell.
+    // cells/subC are materialized once (r17, the ivfIndex centroid
+    // discipline): both are consumed by the assignment/encode argmins
+    // AND the search/write sides, and each is a seed-count-sized frame
+    // whose upstream is a corpus-wide TakeOrdered — un-checkpointed,
+    // that corpus pass re-ran once per consumer.
+    val cells = mdSeeds("ivf:", nCells, "cid").localCheckpoint()
     val assigned = argminTo(q.crossJoin(broadcast(cells)), "id",
       call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
     // PQ encode (whole corpus — the index-build cost)
     val seeds = mdSeeds("pq:", kCodes, "ccid")
-    val subC = subspaces(seeds, "cv", "csub", m, sd)
+    val subC = subspaces(seeds, "cv", "csub", m, sd).localCheckpoint()
     val d2sub = call_function("long_sq_dist", col("sub"), col("csub"))
     val codes = argminTo(
       subspaces(q, "qv", "sub", m, sd).join(broadcast(subC), "s")
