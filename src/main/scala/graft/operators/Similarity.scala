@@ -1440,12 +1440,17 @@ object Similarity {
     // BloomPrune.buildSized; the oracle recomputes it in SQL
     val n = q.count()
     val k = math.max(minK, ((n + targetCell - 1) / targetCell).toInt)
+    // seeds/supers are materialized once (r17, the ivfIndex centroid
+    // discipline): each is a seed-count-sized frame whose upstream is a
+    // corpus-wide TakeOrdered, and each has two consumers below —
+    // un-checkpointed, that corpus pass re-ran per consumer.
     val seeds = q
       .withColumn("h", graft.functions.PortableHash.md5Head60(
         concat(lit("sem:"), col("id").cast("string"))))
       .orderBy(col("h"), col("id"))
       .limit(k)
       .select(col("id").as("cid"), col("qv").as("cv"))
+      .localCheckpoint()
     // codegen'd long kernels — exact long sums commute, so the kernel is
     // bit-identical to the aggregate(zip_with) composition it replaces
     // (parity pinned in VectorExpressionsSpec); the interpreted lambdas
@@ -1473,6 +1478,7 @@ object Similarity {
       .orderBy(col("h"), col("id"))
       .limit(sCount)
       .select(col("id").as("sid"), col("qv").as("sv"))
+      .localCheckpoint()
     def argminTo(pairs: DataFrame, idC: String, distC: org.apache.spark.sql.Column,
                  keyC: String, outC: String): DataFrame =
       pairs
@@ -1489,10 +1495,17 @@ object Similarity {
     // then pick the cell among that super-cell's seeds (expected √K rows)
     val cellCands = q.join(docSuper, Seq("id"))
       .join(broadcast(seeds.join(seedSuper, Seq("cid"))), Seq("sid"))
+    // materialized ONCE (r17): assigned is consumed THREE times (both
+    // sides of the within-cell pair join and the final readout) — un-
+    // checkpointed, each consumer re-executed the entire two-level
+    // routing chain (super-route, cell-route, vector rejoin). The pair
+    // join needs (qv, n2) on both sides anyway, so materializing the
+    // relation once strictly beats recomputing the routing per consumer.
     val assigned = argminTo(cellCands, "id",
       call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
       .join(q, Seq("id"))
       .withColumn("n2", call_function("long_dot", col("qv"), col("qv")))
+      .localCheckpoint()
     val dot = call_function("long_dot", col("x.qv"), col("y.qv"))
     val t2 = thresholdPct.toLong * thresholdPct
     val near = dot > 0 &&
