@@ -1096,16 +1096,20 @@ object Analytics {
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("a"))
       .withColumn("n_chunks", floor(size(col("a")) / lit(C)).cast("int"))
       .where(col("n_chunks") >= 1)
+    // materialized ONCE (r17, the q93 discipline): occ feeds the owner
+    // census and — via the distinct below — the per-doc chunk count, so
+    // the tokenize → chunk-explode pipeline runs once instead of twice.
     val occ = base.select(col("doc_id"), col("n_chunks"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
           i => concat_ws(" ", slice(col("a"), i * C + 1, lit(C))))))
       .toDF("doc_id", "n_chunks", "pos", "chunk")
+      .localCheckpoint()
     val owners = occ
       .groupBy(col("chunk"))
       .agg(min(col("doc_id") * enc + col("pos")).as("k0"))
       .select(expr(s"CAST(k0 div $enc AS BIGINT)").as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kept"))
-    base.select(col("doc_id"), col("n_chunks"))
+    occ.select(col("doc_id"), col("n_chunks")).distinct()
       .join(owners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("kept"), lit(0L)).cast("int").as("n_kept"))
@@ -1325,11 +1329,19 @@ object Analytics {
       .select(col("doc_id"), TextFunctions.tokens(planted).as("a"))
       .withColumn("n_chunks", floor(size(col("a")) / lit(C)).cast("int"))
       .where(col("n_chunks") >= 1)
+    // materialized ONCE (r17): occ feeds the boilerplate census AND the
+    // anti-join rebuild — un-checkpointed each consumer re-ran the
+    // tokenize → chunk-explode → md5 pipeline, and the final join added
+    // a third tokenize for n_chunks. One text pass remains; the doc
+    // list below derives n_chunks from the checkpointed chunk rows
+    // (pos ∈ [0, n_chunks), so max(pos)+1 is exact — every base doc has
+    // n_chunks ≥ 1 and therefore appears).
     val occ = base.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
           i => concat_ws(" ", slice(col("a"), i * C + 1, lit(C))))))
       .toDF("doc_id", "pos", "chunk")
       .withColumn("h", graft.functions.PortableHash.md5Head60(col("chunk")))
+      .localCheckpoint()
     val boiler = occ.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 3).select(col("h"))
@@ -1339,7 +1351,8 @@ object Analytics {
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("chunk")))),
           x => x.getField("chunk")), " ").as("cleaned"))
-    base.select(col("doc_id"), col("n_chunks"))
+    occ.groupBy(col("doc_id"))
+      .agg((max(col("pos")) + 1).cast("int").as("n_chunks"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
