@@ -1722,10 +1722,16 @@ object Analytics {
       .select(col("doc_id"),
         (graft.functions.PortableHash.md5Head60(concat(lit("fh:"), col("w")))
           % 256).cast("int").as("bucket"))
-    val occ = tok.groupBy(col("bucket")).agg(count(lit(1)).as("n_tokens"))
-    val docs = tok.select(col("bucket"), col("doc_id")).distinct()
-      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
-    occ.join(docs, Seq("bucket")).orderBy(col("bucket"))
+    // ONE aggregation (r17): the occurrence count and the distinct-doc
+    // count previously ran as two aggregations over separate plans of
+    // tok — two tokenize+hash passes — joined back on bucket.
+    // count_distinct inside the same groupBy is the identical result
+    // (Spark plans it as a (bucket, doc_id) partial expand, still one
+    // scan) with zero joins.
+    tok.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("bucket"))
   }
 
   // Incremental rollup maintenance (see operators/IncrAgg): the orders
