@@ -451,8 +451,12 @@ object Similarity {
     // the scan's, so the fold is string-equal to ivfScanToken by the
     // fold-invariance contract — one render/terms implementation. Still
     // routed through the session memo under the CORPUS frame's identity
-    // so later audit-path searches hit without a scan.
-    val meta = graft.sources.CorpusToken.cachedToken(emb,
+    // so later audit-path searches hit without a scan. `def`, not `val`:
+    // writeIndex takes the token by name and evaluates this fold on a
+    // driver thread OVERLAPPED with its table swaps (guide §2.6) — the
+    // fingerprint aggregate reads only the checkpointed posting rows, so
+    // it is independent of both writes.
+    def meta = graft.sources.CorpusToken.cachedToken(emb,
       ivfKey(idCol, vecCol, nCentroids, kmeansIters, portable, index))(
       graft.sources.CorpusToken.render("ivf3",
         graft.sources.CorpusToken.terms(posting.where(col("v").isNotNull),
@@ -1224,8 +1228,10 @@ object Similarity {
     // discipline): pqFps' inner join already confined codesCid to the
     // non-null-vector ids and its fp is exactly the scan's hash term,
     // so the fold is string-equal to pqScanToken. Routed through the
-    // session memo under the CORPUS frame's identity as before.
-    val meta = graft.sources.CorpusToken.cachedToken(emb,
+    // session memo under the CORPUS frame's identity as before. `def`:
+    // evaluated by writeIndex on a driver thread overlapped with its
+    // three table swaps (guide §2.6) — reads only checkpointed code rows.
+    def meta = graft.sources.CorpusToken.cachedToken(emb,
       pqKey(idCol, vecCol, nCells, m, kCodes, scale, index))(
       graft.sources.CorpusToken.render("ivfpq3",
         graft.sources.CorpusToken.terms(codesCid.where(col("s") === 0),

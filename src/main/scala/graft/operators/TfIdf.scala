@@ -370,7 +370,9 @@ object TfIdf {
     // cannot drift; sparseRebuildStored reconstructs from the ledger the
     // same way). Still routed through the session memo under the CORPUS
     // frame's identity, so later audit-path searches hit without a scan.
-    val meta = graft.sources.CorpusToken.cachedToken(docs,
+    // `def`: evaluated by writeIndex on a driver thread overlapped with
+    // its two table swaps (guide §2.6) — reads only checkpointed perDoc.
+    def meta = graft.sources.CorpusToken.cachedToken(docs,
       textKey(idCol, textCol, idfScale, index))(
       graft.sources.CorpusToken.render("text3",
         graft.sources.CorpusToken.terms(perDoc, col("id"), col("fp")),
@@ -529,8 +531,11 @@ object TfIdf {
   def sparseRebuildStored(index: graft.sources.TextIndex,
                           idfScale: Long = 10000L): DataFrame = {
     val p = index.readPostings()
-    // the ledger is read AFTER the postings swap — materialize first
-    val n = index.readNorms().localCheckpoint(true)
+    // the ledger is read AFTER the postings swap — materialize first; on
+    // a driver thread overlapped with the weight checkpoint below (guide
+    // §2.6: different tables, both reads strictly before any swap)
+    val nT = graft.sources.Overlap.future(
+      index.readNorms().localCheckpoint(true))
     val dfNew = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // materialized: feeds the norms, the range-partitioner's sampling
     // pass, and the postings shuffle — and its plan reads the posting
@@ -542,6 +547,7 @@ object TfIdf {
       .localCheckpoint(true)
     val n2 = w.groupBy(col("id"))
       .agg(sum(col("w").cast("decimal(38,0)") * col("w")).as("n2"))
+    val n = nT()
     val ledger = n.select(col("id"), col("fp"))
       .join(n2, Seq("id"), "left")
       .select(col("id"),
@@ -549,8 +555,10 @@ object TfIdf {
         col("fp"))
     // fingerprint reconstructed from the ledger — identical by the
     // fold-invariance contract to textScanToken over the merged corpus
-    // (ONE render implementation, so the formats cannot drift)
-    val meta = graft.sources.CorpusToken.render("text3",
+    // (ONE render implementation, so the formats cannot drift). `def`:
+    // evaluated by writeIndex overlapped with its swaps (guide §2.6) —
+    // reads only the checkpointed ledger frame `n`.
+    def meta = graft.sources.CorpusToken.render("text3",
       graft.sources.CorpusToken.terms(n, col("id"), col("fp")),
       s"idf=$idfScale|buckets=${index.nBuckets}")
     index.writeIndex(w, ledger, meta)

@@ -705,15 +705,24 @@ object Curation {
   // branches are k-bounded before the join, making the fusion's state
   // queries×(2k) regardless of corpus size.
   def q138HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val dense = graft.operators.Similarity.ivfTopK(
-        t(s, dir)("embeddings"), "vec_id", "embedding",
-        nCentroids = 16, nProbe = 14, queryPred = col("id") < 8, k = 5,
-        portable = true)
-      .select(col("qid"), col("nid"), col("rank").as("dr"))
+    // The two arms are independent until the fusion join (dense reads
+    // embeddings, sparse reads documents) and each runs eager driver
+    // work at construction (k-means seed/assignment checkpoints; the
+    // weight-relation checkpoint) — build the dense arm on a driver
+    // thread so both arms' blocking jobs overlap (guide §2.6) instead of
+    // serializing. Purely a scheduling change: each arm's plan, rows,
+    // and the fused result are byte-identical.
+    val denseT = graft.sources.Overlap.future(
+      graft.operators.Similarity.ivfTopK(
+          t(s, dir)("embeddings"), "vec_id", "embedding",
+          nCentroids = 16, nProbe = 14, queryPred = col("id") < 8, k = 5,
+          portable = true)
+        .select(col("qid"), col("nid"), col("rank").as("dr")))
     val sparse = graft.operators.TfIdf.sparseCosineTopK(
         t(s, dir)("documents"), "doc_id", "text",
         queryPred = col("id") < 8, k = 5, maxDf = 400L)
       .select(col("qid"), col("nid"), col("rank").as("sr"))
+    val dense = denseT()
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rrf_micro").desc, col("nid"))
     dense.join(sparse, Seq("qid", "nid"), "full_outer")

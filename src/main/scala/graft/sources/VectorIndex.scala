@@ -666,16 +666,28 @@ final class VectorIndex(spark: SparkSession, root: String,
     * which would be unstable and break the cid run lengths) and each
     * band dir's files keep tight cid min/max row-group stats. */
   def writeIndex(centroids: DataFrame, postings: DataFrame,
-                 meta: String): Unit = withLease("writeIndex") {
+                 meta: => String): Unit = withLease("writeIndex") {
     clearMeta()
-    swapIn("centroids", centroids, centroidSchema)
-    swapIn("postings",
-      fpOf(postings)
-        .withColumn("cid_band", band(col("cid"), configuredBands))
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
-      withPart(postingSchema, "cid_band"), partitionBy = Some("cid_band"))
-    publishToken(meta)
-    publishMeta(meta)
+    // Overlapped independent jobs (guide §2.6): the two table swaps write
+    // different directories, and `meta` (by-name: the builds pass the
+    // token fold over their already-checkpointed posting frame) reads no
+    // index table — the K-row centroid swap and the fingerprint aggregate
+    // back-fill the corpus-sized postings write's tail instead of
+    // serializing after it. Crash safety is unchanged: _meta/_token were
+    // cleared first and land only after EVERY swap finished, so any
+    // partial combination reads as stale and rebuild-gates.
+    val tok = Overlap.future(meta)
+    Overlap.jobs(
+      () => swapIn("postings",
+        fpOf(postings)
+          .withColumn("cid_band", band(col("cid"), configuredBands))
+          .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
+        withPart(postingSchema, "cid_band"),
+        partitionBy = Some("cid_band")),
+      () => swapIn("centroids", centroids, centroidSchema))
+    val m = tok()
+    publishToken(m)
+    publishMeta(m)
   }
 
   /** Incremental maintenance: upsert `incoming` (cid, id, v, nrm) rows
@@ -863,20 +875,30 @@ final class TextIndex(spark: SparkSession, root: String,
     readPartitioned("norms", "id_bucket", normSchema)
 
   def writeIndex(postings: DataFrame, norms: DataFrame,
-                 meta: String): Unit = withLease("writeIndex") {
+                 meta: => String): Unit = withLease("writeIndex") {
     clearMeta()
-    swapIn("postings",
-      postings.withColumn("term_bucket",
-          tBucket(col("term"), configuredBands))
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))),
-      withPart(postingSchema, "term_bucket"),
-      partitionBy = Some("term_bucket"))
-    swapIn("norms",
-      norms.withColumn("id_bucket", nBucket(col("id"), configuredBands))
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
-      withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))
-    publishToken(meta)
-    publishMeta(meta)
+    // Overlapped independent jobs (guide §2.6; the
+    // [[VectorIndex.writeIndex]] rationale): the postings and norms swaps
+    // write different directories — the build paths hand in frames that
+    // read only checkpointed batch/corpus rows, never these tables — and
+    // the by-name `meta` fold reads no index table. _meta/_token still
+    // land only after every swap finished, so crash combinations read as
+    // stale exactly as before.
+    val tok = Overlap.future(meta)
+    Overlap.jobs(
+      () => swapIn("postings",
+        postings.withColumn("term_bucket",
+            tBucket(col("term"), configuredBands))
+          .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))),
+        withPart(postingSchema, "term_bucket"),
+        partitionBy = Some("term_bucket")),
+      () => swapIn("norms",
+        norms.withColumn("id_bucket", nBucket(col("id"), configuredBands))
+          .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
+        withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket")))
+    val m = tok()
+    publishToken(m)
+    publishMeta(m)
   }
 
   /** Keyed ingest: replace-or-add `postings` rows and `norms` rows by doc
@@ -918,42 +940,60 @@ final class TextIndex(spark: SparkSession, root: String,
         .localCheckpoint(true))
       .getOrElse(batchIds)
 
-    val nTouched = ids
-      .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val nb = normsWithBucket()
-    // evicted docs' token terms from the norm ledger, bucket-pruned,
-    // read BEFORE the swap replaces those buckets
-    val removed = deltaOf(
-      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
     val added = deltaOf(incN, col("fp"))
-    swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
-      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .unionByName(incN)
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
-
-    val pbk = postingsWithBucket()
-    val newB = incP.select(col("term_bucket")).distinct()
-      .collect().map(_.getInt(0))
-    // a broad-vocabulary batch (e.g. whole re-posted documents) touches
-    // every bucket by construction — the covered-partitions check makes
-    // that case pay zero lookup cost; the scan only runs for term-narrow
-    // batches, where it is also what makes the rewrite narrow
-    val oldB =
-      if (existingParts("postings", "term_bucket").subsetOf(newB.toSet))
-        Array.empty[Int]
-      else pbk.select(col("term_bucket"), col("id"))
-        .join(ids, Seq("id"), "left_semi")
-        .select(col("term_bucket")).distinct().collect().map(_.getInt(0))
-    val pTouched = (newB ++ oldB).distinct.sorted
-    swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
-      postingSchema,
-      pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .unionByName(incP)
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
+    // Overlapped independent jobs (guide §2.6): the norms side (touched
+    // buckets, evicted-ledger delta, swap) and the postings side (touched
+    // buckets, swap) read and replace DIFFERENT tables; both batch frames
+    // and `ids` are checkpointed above, so neither side's plan can see
+    // the other's swap. The eviction delta still runs strictly before the
+    // norms swap (same thread); the token fold still runs after BOTH
+    // swaps — `Overlap.jobs` joins every thread before returning, and a
+    // crash mid-either-swap leaves the token behind the data, the same
+    // conservative direction the sequential order had.
+    var removed: (Long, BigInt, BigInt) = null
+    Overlap.jobs(
+      () => {
+        val pbk = postingsWithBucket()
+        val newB = incP.select(col("term_bucket")).distinct()
+          .collect().map(_.getInt(0))
+        // a broad-vocabulary batch (e.g. whole re-posted documents)
+        // touches every bucket by construction — the covered-partitions
+        // check makes that case pay zero lookup cost; the scan only runs
+        // for term-narrow batches, where it is also what makes the
+        // rewrite narrow
+        val oldB =
+          if (existingParts("postings", "term_bucket").subsetOf(newB.toSet))
+            Array.empty[Int]
+          else pbk.select(col("term_bucket"), col("id"))
+            .join(ids, Seq("id"), "left_semi")
+            .select(col("term_bucket")).distinct().collect()
+            .map(_.getInt(0))
+        val pTouched = (newB ++ oldB).distinct.sorted
+        swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
+          postingSchema,
+          pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .unionByName(incP)
+            .transform(clusteredFor(_, "term_bucket", col("term"),
+              col("id"))))
+      },
+      () => {
+        val nTouched = ids
+          .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val nb = normsWithBucket()
+        // evicted docs' token terms from the norm ledger, bucket-pruned,
+        // read BEFORE the swap replaces those buckets
+        removed = deltaOf(
+          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_semi"), col("fp"))
+        swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq,
+          normSchema,
+          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .unionByName(incN)
+            .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+      })
     foldToken(added, removed)
   }
 
@@ -995,21 +1035,31 @@ final class TextIndex(spark: SparkSession, root: String,
     * layout — every live bucket by default, only buckets at the
     * `minFiles` fragmentation threshold when given. */
   def compact(minFiles: Int = 1): Unit = withLease("compact") {
-    val pParts = fragmentedParts("postings", "term_bucket", minFiles)
-    if (pParts.nonEmpty)
-      swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
-        postingSchema,
-        clusteredFor(
-          postingsWithBucket()
-            .where(col("term_bucket").isin(pParts.map(Integer.valueOf): _*)),
-          "term_bucket", col("term"), col("id")))
-    val nParts = fragmentedParts("norms", "id_bucket", minFiles)
-    if (nParts.nonEmpty)
-      swapPartitions("norms", "id_bucket", nParts.toIndexedSeq, normSchema,
-        clusteredFor(
-          normsWithBucket()
-            .where(col("id_bucket").isin(nParts.map(Integer.valueOf): _*)),
-          "id_bucket", col("id"), col("id")))
+    // Overlapped independent jobs (guide §2.6): the two folds read and
+    // swap DIFFERENT tables (each side's content plan reads only its own
+    // table), so they share no state beyond the lease held here.
+    Overlap.jobs(
+      () => {
+        val pParts = fragmentedParts("postings", "term_bucket", minFiles)
+        if (pParts.nonEmpty)
+          swapPartitions("postings", "term_bucket", pParts.toIndexedSeq,
+            postingSchema,
+            clusteredFor(
+              postingsWithBucket()
+                .where(col("term_bucket")
+                  .isin(pParts.map(Integer.valueOf): _*)),
+              "term_bucket", col("term"), col("id")))
+      },
+      () => {
+        val nParts = fragmentedParts("norms", "id_bucket", minFiles)
+        if (nParts.nonEmpty)
+          swapPartitions("norms", "id_bucket", nParts.toIndexedSeq,
+            normSchema,
+            clusteredFor(
+              normsWithBucket()
+                .where(col("id_bucket").isin(nParts.map(Integer.valueOf): _*)),
+              "id_bucket", col("id"), col("id")))
+      })
   }
 
   /** Remove documents from the index — the text-side forget path: drop
@@ -1022,26 +1072,40 @@ final class TextIndex(spark: SparkSession, root: String,
     * Absent ids are a no-op, so the call is idempotent. */
   def delete(ids0: DataFrame): Unit = withLease("delete") {
     val ids = ids0.select(col("id")).distinct().localCheckpoint(true)
-    val pbk = postingsWithBucket()
-    val pTouched = pbk.select(col("term_bucket"), col("id"))
-      .join(ids, Seq("id"), "left_semi")
-      .select(col("term_bucket")).distinct().collect().map(_.getInt(0)).sorted
-    swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
-      postingSchema,
-      pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "term_bucket", col("term"), col("id"))))
-    val nTouched = ids.select(nBucket(col("id"), liveBands("norms")).as("id_bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val nb = normsWithBucket()
-    // forgotten docs' token terms from the ledger, before their rows go
-    val removed = deltaOf(
-      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
-    swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq, normSchema,
-      nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+    // Overlapped independent jobs (guide §2.6; the [[upsert]] rationale):
+    // postings side and norms side touch different tables; the ledger
+    // delta still runs strictly before the norms swap, the token fold
+    // after both sides joined.
+    var removed: (Long, BigInt, BigInt) = null
+    Overlap.jobs(
+      () => {
+        val pbk = postingsWithBucket()
+        val pTouched = pbk.select(col("term_bucket"), col("id"))
+          .join(ids, Seq("id"), "left_semi")
+          .select(col("term_bucket")).distinct().collect()
+          .map(_.getInt(0)).sorted
+        swapPartitions("postings", "term_bucket", pTouched.toIndexedSeq,
+          postingSchema,
+          pbk.where(col("term_bucket").isin(pTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .transform(clusteredFor(_, "term_bucket", col("term"),
+              col("id"))))
+      },
+      () => {
+        val nTouched = ids
+          .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        val nb = normsWithBucket()
+        // forgotten docs' token terms from the ledger, before their rows go
+        removed = deltaOf(
+          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_semi"), col("fp"))
+        swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq,
+          normSchema,
+          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+      })
     foldToken((0L, BigInt(0), BigInt(0)), removed)
   }
 }
@@ -1095,16 +1159,23 @@ final class PqIndex(spark: SparkSession, root: String,
     readPartitioned("codes", "cid_band", codeSchema)
 
   def writeIndex(cells: DataFrame, codebooks: DataFrame, codes: DataFrame,
-                 meta: String): Unit = withLease("writeIndex") {
+                 meta: => String): Unit = withLease("writeIndex") {
     clearMeta()
-    swapIn("cells", cells, cellSchema)
-    swapIn("codebooks", codebooks, codebookSchema)
-    swapIn("codes",
-      codes.withColumn("cid_band", band(col("cid"), configuredBands))
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
-      withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band"))
-    publishToken(meta)
-    publishMeta(meta)
+    // Overlapped independent jobs (guide §2.6; the
+    // [[VectorIndex.writeIndex]] rationale): three different directories,
+    // inputs checkpointed by the build, token fold reads no table;
+    // _meta/_token land only after every swap finished.
+    val tok = Overlap.future(meta)
+    Overlap.jobs(
+      () => swapIn("codes",
+        codes.withColumn("cid_band", band(col("cid"), configuredBands))
+          .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
+        withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band")),
+      () => swapIn("cells", cells, cellSchema),
+      () => swapIn("codebooks", codebooks, codebookSchema))
+    val m = tok()
+    publishToken(m)
+    publishMeta(m)
   }
 
   /** Keyed code ingest: upsert `incoming` (cid, id, s, code) rows by
