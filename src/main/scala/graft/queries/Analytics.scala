@@ -373,9 +373,21 @@ object Analytics {
       .orderBy(col("qid"), col("rank"))
 
   // Language-ID heuristic.
+  //
+  // localCheckpoint before the final orderBy (here and in q27/q28/q29/
+  // q72/q84): a range sort EXECUTES ITS CHILD TWICE — the range
+  // partitioner's sampling pass runs the full child plan before the
+  // shuffle's write pass runs it again — so a corpus-sized expensive
+  // projection (text kernels, regexes, JSON parses) directly under the
+  // final sort silently costs 2x its scan at any scale. Materializing
+  // the NARROW projected rows once caps the double execution at the
+  // cheap checkpointed frame; rows, schema, and ordering are unchanged.
+  // (The operators already do this before clustered writes — same
+  // sampling pass, same fix, applied to the query tails.)
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
 
   // Quality signals + combined score.
@@ -388,6 +400,7 @@ object Analytics {
         TextFunctions.stopwordRatioBp(col("text")).as("stopword_ratio_bp"),
         TextFunctions.symbolCount(col("text")).as("symbol_count"),
         TextFunctions.qualityScoreBp(col("text")).as("quality_bp"))
+      .localCheckpoint(true) // run the 5 kernels once, not 2x (q26 note)
       .orderBy(col("doc_id"))
 
   // Token counting: whitespace + BPE-ish regex runs.
@@ -397,12 +410,14 @@ object Analytics {
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_ws"),
         TextFunctions.regexTokenCount(col("text")).as("n_re"))
+      .localCheckpoint(true) // run both tokenizers once, not 2x (q26 note)
       .orderBy(col("doc_id"))
 
   // Cross-engine-stable document fingerprint.
   def q29Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
+      .localCheckpoint(true) // hash the corpus once, not 2x (q26 note)
       .orderBy(col("doc_id"))
 
   // Tumbling-window event rollup (batch twin of the streaming ingest).
@@ -1077,6 +1092,10 @@ object Analytics {
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         md5(col("r")).as("redacted_md5"),
         length(col("r")).as("redacted_len"))
+      // run the 3 regex counts + redaction once, not 2x (the q26 note:
+      // the final sort's sampling pass re-executes the child) — at scale
+      // this halves the operator's regex bill
+      .localCheckpoint(true)
       .orderBy(col("doc_id"))
   }
 
@@ -1513,14 +1532,25 @@ object Analytics {
     val base = t(s, dir)("orders")
       .select(key, col("o_orderstatus"),
         cents(col("o_totalprice")).as("price_c"))
-    def op(pred: org.apache.spark.sql.Column, seq: Long, o: String,
-           price: org.apache.spark.sql.Column) =
-      t(s, dir)("orders").where(pred)
-        .select(key, col("o_orderstatus"), price.as("price_c"),
-          lit(seq).as("seq"), lit(o).as("op"))
-    val feed = op(key % 5 === 0, 1L, "U", cents(col("o_totalprice")) + 100000L)
-      .unionByName(op(key % 7 === 0, 2L, "D", lit(0L)))
-      .unionByName(op(key % 14 === 0, 3L, "I", lit(9999L)))
+    // the synthetic change feed from ONE pruned scan instead of a
+    // 3-branch union that re-read orders per op kind (4 orders scans in
+    // the executed plan; guide §1.2 — don't run passes you can fuse):
+    // each matching row emits its (seq, op, price) variants via a
+    // null-compacted array explode — identical feed rows, and row order
+    // is irrelevant to the keyed (key, seq) merge downstream
+    def opS(pred: org.apache.spark.sql.Column, seq: Long, o: String,
+            price: org.apache.spark.sql.Column) =
+      when(pred, struct(price.as("price_c"), lit(seq).as("seq"),
+        lit(o).as("op")))
+    val feed = t(s, dir)("orders")
+      .where(key % 5 === 0 || key % 7 === 0)
+      .select(key, col("o_orderstatus"),
+        explode(array_compact(array(
+          opS(key % 5 === 0, 1L, "U", cents(col("o_totalprice")) + 100000L),
+          opS(key % 7 === 0, 2L, "D", lit(0L)),
+          opS(key % 14 === 0, 3L, "I", lit(9999L))))).as("c"))
+      .select(key, col("o_orderstatus"), col("c.price_c"), col("c.seq"),
+        col("c.op"))
     graft.operators.CdcMerge.merge(base, feed,
         "o_orderkey", "seq", "op")
       .groupBy(col("o_orderstatus"))

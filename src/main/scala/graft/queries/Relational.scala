@@ -723,6 +723,11 @@ object Relational {
         col("parsed").getField("m").getField("u").as("u"),
         col("parsed").getField("m").getField("c").as("c"),
         element_at(col("parsed").getField("ids"), 1).as("first_id"))
+      // parse once, not 2x: the final sort's range-sampling pass
+      // re-executes the whole child (the Analytics.q26 note), which
+      // would silently double the per-row JSON build + parse this query
+      // exists to measure
+      .localCheckpoint(true)
       .orderBy(col("event_id"))
   }
 }
