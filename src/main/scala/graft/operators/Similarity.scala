@@ -952,8 +952,17 @@ object Similarity {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
-    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
+    // ONE plan-time scalar job for dim AND the pack radix — these were
+    // two separate corpus aggregates (the dim max and idRadix's id
+    // max/min), i.e. two full passes for three scalars one pass yields
+    val hd = q.agg(max(size(col("qv"))), max(col("id")), min(col("id")))
+      .head()
+    val dim = hd.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(hd.isNullAt(2) || hd.getLong(2) >= 0L,
+      s"decimal-packed argmin requires non-negative ids; saw min(id)=" +
+        s"${hd.getLong(2)}")
+    val mEx = if (hd.isNullAt(1)) 1L else hd.getLong(1) + 1L
     val sd = dim / m
     val seeds = q
       .withColumn("h",
@@ -965,7 +974,12 @@ object Similarity {
       df.withColumn("s", explode(sequence(lit(0), lit(m - 1))))
         .withColumn(out, expr(s"slice($vec, s * $sd + 1, $sd)"))
         .drop(vec)
-    val subC = subspaces(seeds, "cv", "csub")
+    // materialized ONCE (m·kCodes rows, broadcast-sized): subC feeds two
+    // separate broadcast exchanges (the encode join and the ADC table
+    // join), and each would otherwise re-execute the corpus-wide seed
+    // TakeOrdered chain — the ivfPqIndex discipline applied to the
+    // inline path
+    val subC = subspaces(seeds, "cv", "csub").localCheckpoint(true)
     // codegen'd exact long Σ(a−b)² (plans.LongSquaredDistance) — the
     // aggregate(zip_with) lambda it replaces ran interpreted with a boxed
     // frame per element; identical sums over the equal-length slices
@@ -975,8 +989,8 @@ object Similarity {
     // min_by(cid, struct(d2, cid)) struct buffer planned SortAggregateExec
     // and sorted all N·m·kCodes candidate rows; min(d2·M + cid) over
     // decimal(38,0) is the identical (d2, cid) order in a mutable buffer
-    // — map-side-combining HashAggregate. M = max(id)+1, plan-time scalar.
-    val mEx = idRadix(q)
+    // — map-side-combining HashAggregate. M = max(id)+1 (mEx — fused
+    // into the dim scalar job above).
     val codes = subspaces(q, "qv", "sub")
       .join(broadcast(subC), "s")
       .select(col("id"), col("s"),
