@@ -206,26 +206,33 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     val uuid = java.util.UUID.randomUUID().toString
     val stageRel = s".stage-$uuid"
     val stage = new Path(root, stageRel)
-    val moves = tables.flatMap { case (table, partCol, df, schema) =>
-      val full = withPart(schema, partCol)
-      val tdir = new Path(stage, table)
-      df.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
-        .write.mode("errorifexists").partitionBy(partCol)
-        .parquet(tdir.toString)
-      val parts = fs.globStatus(new Path(tdir, s"$partCol=*"))
-      (if (parts == null) Array[org.apache.hadoop.fs.FileStatus]()
-       else parts).toSeq.flatMap { p =>
-        fs.listStatus(p.getPath).toSeq
-          .filterNot { f =>
-            val n = f.getPath.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-          .map { f =>
-            (s"$stageRel/$table/${p.getPath.getName}/${f.getPath.getName}",
-              s"$table/${p.getPath.getName}/${f.getPath.getName}")
-          }
+    // staged table writes overlapped on driver threads (guide §2.6):
+    // each table stages under its own subdir and every input frame is
+    // checkpointed batch rows, so the writes share nothing; `moves`
+    // keeps the tables' declared order (the marker's move list is
+    // ordered, and replay depends only on per-move idempotence)
+    val moves = tables.map { case (table, partCol, df, schema) =>
+      Overlap.future {
+        val full = withPart(schema, partCol)
+        val tdir = new Path(stage, table)
+        df.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
+          .write.mode("errorifexists").partitionBy(partCol)
+          .parquet(tdir.toString)
+        val parts = fs.globStatus(new Path(tdir, s"$partCol=*"))
+        (if (parts == null) Array[org.apache.hadoop.fs.FileStatus]()
+         else parts).toSeq.flatMap { p =>
+          fs.listStatus(p.getPath).toSeq
+            .filterNot { f =>
+              val n = f.getPath.getName
+              n.startsWith("_") || n.startsWith(".")
+            }
+            .map { f =>
+              (s"$stageRel/$table/${p.getPath.getName}/${f.getPath.getName}",
+                s"$table/${p.getPath.getName}/${f.getPath.getName}")
+            }
+        }
       }
-    }
+    }.flatMap(_())
     IndexStore.maybeCrash("staged")
     // the post-append token is computed BEFORE the marker and recorded
     // in it VERBATIM, so recovery republishes — never re-folds (a redo
