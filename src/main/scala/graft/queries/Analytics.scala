@@ -374,20 +374,23 @@ object Analytics {
 
   // Language-ID heuristic.
   //
-  // localCheckpoint before the final orderBy (here and in q27/q28/q29/
-  // q72/q84): a range sort EXECUTES ITS CHILD TWICE — the range
-  // partitioner's sampling pass runs the full child plan before the
-  // shuffle's write pass runs it again — so a corpus-sized expensive
-  // projection (text kernels, regexes, JSON parses) directly under the
-  // final sort silently costs 2x its scan at any scale. Materializing
-  // the NARROW projected rows once caps the double execution at the
-  // cheap checkpointed frame; rows, schema, and ordering are unchanged.
-  // (The operators already do this before clustered writes — same
-  // sampling pass, same fix, applied to the query tails.)
+  // THE FINAL-SORT DOUBLE-EXECUTION NOTE (applied in q27/q28/q72/q84):
+  // a range sort EXECUTES ITS CHILD TWICE — the range partitioner's
+  // sampling pass runs the full child plan before the shuffle's write
+  // pass runs it again — so a corpus-sized expensive projection (text
+  // kernels, regexes, JSON parses) directly under the final sort
+  // silently costs 2x its scan at any scale. Materializing the NARROW
+  // projected rows once (localCheckpoint before the orderBy) caps the
+  // double execution at the cheap checkpointed frame; rows, schema,
+  // and ordering are unchanged. (The operators already do this before
+  // their range-sampled clustered writes — same fix, query tails.)
+  // Deliberately NOT applied here or in q29: their kernels are cheap
+  // enough that the checkpoint write measured flat-to-worse at BOTH
+  // sf0.1 and the 100x dir (q26 1.06x, q29 1.41x at 100x) — the fix
+  // pays only when the doubled projection outweighs storing the rows.
   def q26LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
-      .localCheckpoint(true)
       .orderBy(col("doc_id"))
 
   // Quality signals + combined score.
@@ -417,8 +420,7 @@ object Analytics {
   def q29Fingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir)("documents")
       .select(col("doc_id"), TextFunctions.fingerprintMd5(col("text")).as("fp"))
-      .localCheckpoint(true) // hash the corpus once, not 2x (q26 note)
-      .orderBy(col("doc_id"))
+      .orderBy(col("doc_id")) // no checkpoint: measured flat (q26 note)
 
   // Tumbling-window event rollup (batch twin of the streaming ingest).
   def q30EventHourly(s: SparkSession, dir: String): DataFrame =
