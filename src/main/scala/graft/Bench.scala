@@ -41,6 +41,27 @@ object Bench {
   private[graft] def isRegression(t: Double, base: Double): Boolean =
     t >= base * 2.0 && t - base >= 0.5
 
+  /** The compact LAST stdout line (driver contract repair, r18): the full
+    * one-line JSON above is ~6 KB for 171 queries and the round driver
+    * captures only a ~2 KB stdout TAIL, so its head — `"metric"`,
+    * `"value"`, most of the queries map — was clipped and BENCH_r15/16/17
+    * all recorded `parsed: null`. This roll-up stays well under 500 bytes
+    * at any catalog size, so it always survives the capture window; the
+    * per-query map still rides the full line and (canonically)
+    * `bench_metrics.json`. Additions-only: the full line keeps printing
+    * first, so nothing that parsed before stops parsing. */
+  private[graft] def summaryLine(totalStr: String, n: Int, sfDir: String,
+                                 cpus: String, matched: Option[Int],
+                                 nFlags: Int, nFailed: Int): String = {
+    val cpusJson = cpus.trim.toIntOption.map(_.toString)
+      .getOrElse("\"" + cpus + "\"")
+    val matchedJson = matched.map(m => s""","baseline_matched":$m""")
+      .getOrElse("")
+    s"""{"metric":"total","value":$totalStr,"unit":"sec","n":$n""" +
+      s""","sf":"$sfDir","cpus":$cpusJson$matchedJson,"n_flags":$nFlags""" +
+      s""","n_failed":$nFailed,"detail":"bench_metrics.json"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -170,7 +191,9 @@ object Bench {
 
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE",
       "bench_baseline.json")
-    val regressions = parseBaseline(baselinePath) match {
+    // (matched, flag strings) when a same-sf baseline parsed — kept as
+    // data so both the full line and the compact summary line can ride it
+    val gate: Option[(Int, Seq[String])] = parseBaseline(baselinePath) match {
       case Some((baseSf, base)) if baseSf == sfDir =>
         // liveness receipt: how many timed queries the gate actually
         // compared. 0 (or an absent field) means the gate did NOT run —
@@ -184,15 +207,21 @@ object Bench {
             String.format(java.util.Locale.ROOT, """"%s":%.2f""",
               name, Double.box(t / base(name)))
         }
+        Some((matched, slow))
+      case _ => None
+    }
+    val regressions = gate match {
+      case Some((matched, slow)) =>
         // regressions map omitted when empty — every byte counts against
         // the capture window — but the matched count always rides
         val flags =
           if (slow.isEmpty) ""
           else s""","regressions":${slow.mkString("{", ",", "}")}"""
         s""","baseline_matched":$matched$flags"""
-      case _ => ""
+      case None => ""
     }
-    val failures = failed.result() match {
+    val failedNames = failed.result()
+    val failures = failedNames match {
       case Nil => ""
       case fs => fs.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     }
@@ -222,6 +251,10 @@ object Bench {
       java.nio.file.Paths.get("bench_metrics.json"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the compact roll-up prints LAST so it always lands inside the
+    // driver's bounded stdout-tail capture (see summaryLine's scaladoc)
+    println(summaryLine(totalStr, results.size, sfDir, cpus,
+      gate.map(_._1), gate.map(_._2.size).getOrElse(0), failedNames.size))
     // a subset run must never clobber the full-catalog baseline
     if (sys.env.get("SPARK_GRAFT_UPDATE_BASELINE").contains("1") &&
         subset.isEmpty)

@@ -73,6 +73,30 @@ class BenchBaselineSpec extends AnyFunSuite {
     assert(qs.size >= 100, s"expected the full catalog, parsed ${qs.size}")
   }
 
+  test("summaryLine stays under 500 bytes and carries the roll-up fields") {
+    // the driver captures a ~2 KB stdout TAIL; the compact last line must
+    // always fit it regardless of catalog size (the BENCH_r15–r17
+    // parsed:null outage was the full 6 KB line clipping at its head)
+    val line = Bench.summaryLine("163.9927", 171, "/root/testdata/sf0.1",
+      "32", Some(171), 5, 0)
+    assert(line.getBytes("UTF-8").length <= 500, s"too long: $line")
+    assert(line.startsWith("""{"metric":"total","value":163.9927"""))
+    for (frag <- Seq(""""unit":"sec"""", """"n":171""",
+        """"sf":"/root/testdata/sf0.1"""", """"cpus":32""",
+        """"baseline_matched":171""", """"n_flags":5""", """"n_failed":0""",
+        """"detail":"bench_metrics.json""""))
+      assert(line.contains(frag), s"missing $frag in $line")
+    assert(line.endsWith("}"))
+    // no baseline: the matched field is absent, not zero (absence means
+    // "gate did not run", the r10 lesson)
+    val noBase = Bench.summaryLine("1.5000", 3, "/tmp/sf", "8", None, 0, 1)
+    assert(!noBase.contains("baseline_matched"))
+    assert(noBase.contains(""""n_failed":1"""))
+    // a non-integer cpus value must still emit valid JSON
+    assert(Bench.summaryLine("1.0000", 1, "/tmp/sf", "*", None, 0, 0)
+      .contains(""""cpus":"*""""))
+  }
+
   test("isRegression pins the flag formula: >=2x AND >=0.5s absolute") {
     assert(Bench.isRegression(t = 1.2, base = 0.5)) // 2.4x and +0.7s
     assert(!Bench.isRegression(t = 0.9, base = 0.5)) // 1.8x — ratio short
