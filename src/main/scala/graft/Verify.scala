@@ -43,6 +43,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Declared rows-only queries (driver ask, carried r11–r17): every
+    // catalog query WITHOUT a DuckDB twin is deliberate — not a coverage
+    // gap — so label them machine-readably next to oracle_sql.json. Each
+    // is anchored by an exact hash-matched twin (see SparkEntry.oracleSql's
+    // scaladoc: q70 ↔ q78, q73 ↔ q79) plus its own bound-pinning spec.
+    val rowsOnly = (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet)
+      .toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"),
+      rowsOnly.map(n => s"${q(n)}: true").mkString("{", ",", "}"))
     spark.stop()
   }
 }
