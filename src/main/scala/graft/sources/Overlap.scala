@@ -37,7 +37,42 @@ private[graft] object Overlap {
     }
     try ops.head() catch { case e: Throwable => errs.add(e) }
     threads.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // keep every sibling failure (ADVICE r17): two concurrent swaps can
+      // both fail, and dropping the second cause blinds crash forensics
+      val it = errs.iterator()
+      val head = it.next()
+      while (it.hasNext) head.addSuppressed(it.next())
+      throw head
+    }
+  }
+
+  /** Run `body`; if it throws, JOIN every future in `futs` before
+    * rethrowing (their own errors suppressed onto `body`'s). The guard
+    * for a foreground write overlapped with background reads: no read
+    * job may outlive the caller's lease when the write fails. */
+  def guarding[T](futs: (() => Any)*)(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        futs.foreach(f =>
+          try f() catch { case t: Throwable => e.addSuppressed(t) })
+        throw e
+    }
+
+  /** Run `body`, then join `tok` and return its value — joining EVEN WHEN
+    * `body` throws (ADVICE r17): a token fold left running past a failed
+    * swap would outlive the caller's maintenance lease. The fold is
+    * read-only (checkpointed frames + corpus parquet), so on the failure
+    * path its own error is suppressed onto `body`'s. */
+  def joining[A](tok: () => A)(body: => Unit): A = {
+    try body
+    catch {
+      case e: Throwable =>
+        try tok() catch { case t: Throwable => e.addSuppressed(t) }
+        throw e
+    }
+    tok()
   }
 
   /** Start evaluating `a` on a daemon thread NOW; the returned thunk

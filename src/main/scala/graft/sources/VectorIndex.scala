@@ -211,7 +211,7 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     // checkpointed batch rows, so the writes share nothing; `moves`
     // keeps the tables' declared order (the marker's move list is
     // ordered, and replay depends only on per-move idempotence)
-    val moves = tables.map { case (table, partCol, df, schema) =>
+    val staged = tables.map { case (table, partCol, df, schema) =>
       Overlap.future {
         val full = withPart(schema, partCol)
         val tdir = new Path(stage, table)
@@ -232,7 +232,23 @@ private[sources] abstract class IndexStore(spark: SparkSession,
             }
         }
       }
-    }.flatMap(_())
+    }
+    // join EVERY staging future before propagating a failure (ADVICE
+    // r17): a sequential flatMap would rethrow the first table's error
+    // while later tables' daemon threads were still writing into the
+    // stage dir — withLease would then release the maintenance lease with
+    // writes in flight, racing the next holder's sweepStages. Joining all
+    // keeps the single-writer contract on the failure path; `moves` stays
+    // in declared table order.
+    val joined = staged.map(f =>
+      try Right(f()) catch { case e: Throwable => Left(e) })
+    joined.collect { case Left(e) => e } match {
+      case Seq() =>
+      case errs =>
+        errs.tail.foreach(errs.head.addSuppressed)
+        throw errs.head
+    }
+    val moves = joined.collect { case Right(ms) => ms }.flatten
     IndexStore.maybeCrash("staged")
     // the post-append token is computed BEFORE the marker and recorded
     // in it VERBATIM, so recovery republishes — never re-folds (a redo
@@ -365,17 +381,41 @@ private[sources] abstract class IndexStore(spark: SparkSession,
     * write job executes the plan before any rename. A partition with no
     * content rows is removed (its rows were all evicted). Maintenance
     * cost is ∝ touched partitions: one job over their bytes + O(touched)
-    * renames — never a whole-table rewrite. */
+    * renames — never a whole-table rewrite.
+    *
+    * Split into [[swapStage]] (the write job) + [[swapCommit]] (the
+    * renames) so a maintenance op can overlap OTHER pre-swap reads (the
+    * eviction token delta) with the staged write (guide §2.6) — both
+    * read the same live, pre-swap state; nothing moves until commit. */
   protected def swapPartitions(table: String, partCol: String,
                                parts: Seq[Int], schema: StructType,
                                content: DataFrame): Unit = {
+    if (parts.isEmpty) { recoverPartitions(table, partCol); return }
+    swapCommit(table, partCol, parts,
+      swapStage(table, partCol, schema, content))
+  }
+
+  /** Phase 1 of [[swapPartitions]]: heal crashed swaps, then execute the
+    * content plan into the table's `.tmp-<uuid>` stage dir. The plan may
+    * read the live partitions, and so may any concurrent pre-swap read
+    * job — no live byte moves until [[swapCommit]]. Every overlapped
+    * read MUST be joined before commit is called. */
+  protected def swapStage(table: String, partCol: String,
+                          schema: StructType, content: DataFrame): Path = {
     recoverPartitions(table, partCol)
-    if (parts.isEmpty) return
-    val uuid = java.util.UUID.randomUUID()
-    val tmp = new Path(s"${path(table)}/.tmp-$uuid")
+    val tmp = new Path(s"${path(table)}/.tmp-${java.util.UUID.randomUUID()}")
     val full = withPart(schema, partCol)
     content.select(full.fields.map(f => col(f.name).cast(f.dataType)): _*)
       .write.mode("errorifexists").partitionBy(partCol).parquet(tmp.toString)
+    tmp
+  }
+
+  /** Phase 2 of [[swapPartitions]]: the per-partition renames (identical
+    * crash windows to the pre-split form — recoverPartitions heals
+    * .old-* remnants) and the stage-dir cleanup. */
+  protected def swapCommit(table: String, partCol: String,
+                           parts: Seq[Int], tmp: Path): Unit = {
+    val uuid = tmp.getName.stripPrefix(".tmp-")
     parts.foreach { b =>
       val src = new Path(tmp, s"$partCol=$b")
       val dest = new Path(s"${path(table)}/$partCol=$b")
@@ -684,15 +724,15 @@ final class VectorIndex(spark: SparkSession, root: String,
     // cleared first and land only after EVERY swap finished, so any
     // partial combination reads as stale and rebuild-gates.
     val tok = Overlap.future(meta)
-    Overlap.jobs(
+    // joining: the fold must not outlive the lease if a swap fails
+    val m = Overlap.joining(tok)(Overlap.jobs(
       () => swapIn("postings",
         fpOf(postings)
           .withColumn("cid_band", band(col("cid"), configuredBands))
           .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
         withPart(postingSchema, "cid_band"),
         partitionBy = Some("cid_band")),
-      () => swapIn("centroids", centroids, centroidSchema))
-    val m = tok()
+      () => swapIn("centroids", centroids, centroidSchema)))
     publishToken(m)
     publishMeta(m)
   }
@@ -732,19 +772,28 @@ final class VectorIndex(spark: SparkSession, root: String,
         .join(ids, Seq("id"), "left_semi")
         .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
-    // evicted rows' token terms, read (band-pruned, (id, fp) columns
-    // only) BEFORE the swap replaces them
-    val removed = deltaOf(
+    // Token deltas overlapped with the staged write (r18, guide §2.6 —
+    // the swapStage/swapCommit split): the eviction delta reads the SAME
+    // live pre-swap bands the content plan reads (read-read, safe), the
+    // batch delta reads only the checkpointed inc — both are joined
+    // strictly BEFORE any rename, so no read can see a half-swapped
+    // table, and the fold still runs after the swap (crash leaves the
+    // token behind the data, the conservative direction, unchanged).
+    val removedT = Overlap.future(deltaOf(
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
-    val added = deltaOf(inc, col("fp"))
-    swapPartitions("postings", "cid_band", touched.toIndexedSeq,
-      postingSchema,
-      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .unionByName(inc)
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
-    foldToken(added, removed)
+        .join(ids, Seq("id"), "left_semi"), col("fp")))
+    val addedT = Overlap.future(deltaOf(inc, col("fp")))
+    if (touched.nonEmpty) {
+      val tmp = Overlap.guarding(removedT, addedT)(
+        swapStage("postings", "cid_band", postingSchema,
+          pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .unionByName(inc)
+            .transform(clusteredFor(_, "cid_band", col("cid"), col("id")))))
+      val (removed, added) = (removedT(), addedT())
+      swapCommit("postings", "cid_band", touched.toIndexedSeq, tmp)
+      foldToken(added, removed)
+    } else foldToken(addedT(), removedT())
   }
 
   /** O(batch) ingest for GENUINELY-NEW ids — the LSM/segment-style
@@ -813,16 +862,21 @@ final class VectorIndex(spark: SparkSession, root: String,
     val touched = pb.select(col("cid_band"), col("id"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
-    // doomed rows' token terms, read band-pruned before the swap
-    val removed = deltaOf(
+    // doomed rows' token terms, read band-pruned — overlapped with the
+    // staged write (both read pre-swap state; joined before any rename)
+    val removedT = Overlap.future(deltaOf(
       pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
-    swapPartitions("postings", "cid_band", touched.toIndexedSeq,
-      postingSchema,
-      pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
-    foldToken((0L, BigInt(0), BigInt(0)), removed)
+        .join(ids, Seq("id"), "left_semi"), col("fp")))
+    if (touched.nonEmpty) {
+      val tmp = Overlap.guarding(removedT)(
+        swapStage("postings", "cid_band", postingSchema,
+          pb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .transform(clusteredFor(_, "cid_band", col("cid"), col("id")))))
+      val removed = removedT()
+      swapCommit("postings", "cid_band", touched.toIndexedSeq, tmp)
+      foldToken((0L, BigInt(0), BigInt(0)), removed)
+    } else foldToken((0L, BigInt(0), BigInt(0)), removedT())
   }
 }
 
@@ -892,7 +946,8 @@ final class TextIndex(spark: SparkSession, root: String,
     // land only after every swap finished, so crash combinations read as
     // stale exactly as before.
     val tok = Overlap.future(meta)
-    Overlap.jobs(
+    // joining: the fold must not outlive the lease if a swap fails
+    val m = Overlap.joining(tok)(Overlap.jobs(
       () => swapIn("postings",
         postings.withColumn("term_bucket",
             tBucket(col("term"), configuredBands))
@@ -902,8 +957,7 @@ final class TextIndex(spark: SparkSession, root: String,
       () => swapIn("norms",
         norms.withColumn("id_bucket", nBucket(col("id"), configuredBands))
           .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))),
-        withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket")))
-    val m = tok()
+        withPart(normSchema, "id_bucket"), partitionBy = Some("id_bucket"))))
     publishToken(m)
     publishMeta(m)
   }
@@ -989,17 +1043,24 @@ final class TextIndex(spark: SparkSession, root: String,
           .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
           .distinct().collect().map(_.getInt(0)).sorted
         val nb = normsWithBucket()
-        // evicted docs' token terms from the norm ledger, bucket-pruned,
-        // read BEFORE the swap replaces those buckets
-        removed = deltaOf(
+        // evicted docs' token terms from the norm ledger, bucket-pruned —
+        // overlapped with this side's staged write (r18: both read the
+        // same pre-swap buckets; joined before any rename)
+        val removedT = Overlap.future(deltaOf(
           nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-            .join(ids, Seq("id"), "left_semi"), col("fp"))
-        swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq,
-          normSchema,
-          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-            .join(ids, Seq("id"), "left_anti")
-            .unionByName(incN)
-            .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+            .join(ids, Seq("id"), "left_semi"), col("fp")))
+        if (nTouched.nonEmpty) {
+          val tmp = Overlap.guarding(removedT)(
+            swapStage("norms", "id_bucket", normSchema,
+              nb.where(col("id_bucket")
+                  .isin(nTouched.map(Integer.valueOf): _*))
+                .join(ids, Seq("id"), "left_anti")
+                .unionByName(incN)
+                .transform(clusteredFor(_, "id_bucket", col("id"),
+                  col("id")))))
+          removed = removedT()
+          swapCommit("norms", "id_bucket", nTouched.toIndexedSeq, tmp)
+        } else removed = removedT()
       })
     foldToken(added, removed)
   }
@@ -1103,15 +1164,22 @@ final class TextIndex(spark: SparkSession, root: String,
           .select(nBucket(col("id"), liveBands("norms")).as("id_bucket"))
           .distinct().collect().map(_.getInt(0)).sorted
         val nb = normsWithBucket()
-        // forgotten docs' token terms from the ledger, before their rows go
-        removed = deltaOf(
+        // forgotten docs' token terms from the ledger — overlapped with
+        // this side's staged write, joined before any rename (r18)
+        val removedT = Overlap.future(deltaOf(
           nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-            .join(ids, Seq("id"), "left_semi"), col("fp"))
-        swapPartitions("norms", "id_bucket", nTouched.toIndexedSeq,
-          normSchema,
-          nb.where(col("id_bucket").isin(nTouched.map(Integer.valueOf): _*))
-            .join(ids, Seq("id"), "left_anti")
-            .transform(clusteredFor(_, "id_bucket", col("id"), col("id"))))
+            .join(ids, Seq("id"), "left_semi"), col("fp")))
+        if (nTouched.nonEmpty) {
+          val tmp = Overlap.guarding(removedT)(
+            swapStage("norms", "id_bucket", normSchema,
+              nb.where(col("id_bucket")
+                  .isin(nTouched.map(Integer.valueOf): _*))
+                .join(ids, Seq("id"), "left_anti")
+                .transform(clusteredFor(_, "id_bucket", col("id"),
+                  col("id")))))
+          removed = removedT()
+          swapCommit("norms", "id_bucket", nTouched.toIndexedSeq, tmp)
+        } else removed = removedT()
       })
     foldToken((0L, BigInt(0), BigInt(0)), removed)
   }
@@ -1173,14 +1241,14 @@ final class PqIndex(spark: SparkSession, root: String,
     // inputs checkpointed by the build, token fold reads no table;
     // _meta/_token land only after every swap finished.
     val tok = Overlap.future(meta)
-    Overlap.jobs(
+    // joining: the fold must not outlive the lease if a swap fails
+    val m = Overlap.joining(tok)(Overlap.jobs(
       () => swapIn("codes",
         codes.withColumn("cid_band", band(col("cid"), configuredBands))
           .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))),
         withPart(codeSchema, "cid_band"), partitionBy = Some("cid_band")),
       () => swapIn("cells", cells, cellSchema),
-      () => swapIn("codebooks", codebooks, codebookSchema))
-    val m = tok()
+      () => swapIn("codebooks", codebooks, codebookSchema)))
     publishToken(m)
     publishMeta(m)
   }
@@ -1210,18 +1278,26 @@ final class PqIndex(spark: SparkSession, root: String,
         .join(ids, Seq("id"), "left_semi")
         .select(col("cid_band")).distinct().collect().map(_.getInt(0))
     val touched = (newBands ++ oldBands).distinct.sorted
-    // per-VECTOR token terms live on the s = 0 rows
-    val removed = deltaOf(
+    // per-VECTOR token terms live on the s = 0 rows. Deltas overlapped
+    // with the staged write (r18 — the upsertPostings rationale: all
+    // three jobs read pre-swap state; joined before any rename).
+    val removedT = Overlap.future(deltaOf(
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .where(col("s") === 0)
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
-    val added = deltaOf(inc.where(col("s") === 0), col("fp"))
-    swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
-      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .unionByName(inc)
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
-    foldToken(added, removed)
+        .join(ids, Seq("id"), "left_semi"), col("fp")))
+    val addedT = Overlap.future(
+      deltaOf(inc.where(col("s") === 0), col("fp")))
+    if (touched.nonEmpty) {
+      val tmp = Overlap.guarding(removedT, addedT)(
+        swapStage("codes", "cid_band", codeSchema,
+          cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .unionByName(inc)
+            .transform(clusteredFor(_, "cid_band", col("cid"), col("id")))))
+      val (removed, added) = (removedT(), addedT())
+      swapCommit("codes", "cid_band", touched.toIndexedSeq, tmp)
+      foldToken(added, removed)
+    } else foldToken(addedT(), removedT())
   }
 
   /** O(batch) code ingest for GENUINELY-NEW ids ([[VectorIndex.
@@ -1271,14 +1347,21 @@ final class PqIndex(spark: SparkSession, root: String,
     val touched = cb.select(col("cid_band"), col("id"))
       .join(ids, Seq("id"), "left_semi")
       .select(col("cid_band")).distinct().collect().map(_.getInt(0)).sorted
-    val removed = deltaOf(
+    // doomed rows' terms overlapped with the staged write (pre-swap
+    // read-read; joined before any rename — the deletePostings shape)
+    val removedT = Overlap.future(deltaOf(
       cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
         .where(col("s") === 0)
-        .join(ids, Seq("id"), "left_semi"), col("fp"))
-    swapPartitions("codes", "cid_band", touched.toIndexedSeq, codeSchema,
-      cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
-        .join(ids, Seq("id"), "left_anti")
-        .transform(clusteredFor(_, "cid_band", col("cid"), col("id"))))
-    foldToken((0L, BigInt(0), BigInt(0)), removed)
+        .join(ids, Seq("id"), "left_semi"), col("fp")))
+    if (touched.nonEmpty) {
+      val tmp = Overlap.guarding(removedT)(
+        swapStage("codes", "cid_band", codeSchema,
+          cb.where(col("cid_band").isin(touched.map(Integer.valueOf): _*))
+            .join(ids, Seq("id"), "left_anti")
+            .transform(clusteredFor(_, "cid_band", col("cid"), col("id")))))
+      val removed = removedT()
+      swapCommit("codes", "cid_band", touched.toIndexedSeq, tmp)
+      foldToken((0L, BigInt(0), BigInt(0)), removed)
+    } else foldToken((0L, BigInt(0), BigInt(0)), removedT())
   }
 }
