@@ -536,12 +536,20 @@ object TfIdf {
     // §2.6: different tables, both reads strictly before any swap)
     val nT = graft.sources.Overlap.future(
       index.readNorms().localCheckpoint(true))
-    val dfNew = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df as a count() window over the SAME term-hashed pass that derives
+    // the weights (r18; the pre-r18 shape was groupBy(term) + an SMJ
+    // rejoin — TWO postings parquet scans and two sorted join inputs for
+    // the same per-term count): one scan, one exchange, one sort. The
+    // window buffers one term's run at a time (spillable) — bounded by
+    // the hottest term's postings, the same run SMJ buffered on its
+    // build side.
+    val dfW = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
     // materialized: feeds the norms, the range-partitioner's sampling
     // pass, and the postings shuffle — and its plan reads the posting
     // dirs writeIndex replaces
     val w = p.select(col("term"), col("id"), col("tf"))
-      .join(dfNew, "term")
+      .withColumn("df", dfW)
       .select(col("term"), col("id"), col("df"), col("tf"),
         (col("tf") * expr(s"$idfScale div df")).as("w"))
       .localCheckpoint(true)
