@@ -98,9 +98,16 @@ object Graphs {
     // mode (all deltas are live until the result is consumed)
     val ck = new IterativeCheckpointer(spark, checkpointDir, 1)
     IterativeCheckpointer.withCheckpointDir(spark, checkpointDir) {
+      // staged HASH-PARTITIONED on src (r18, guide §2.4): every round's
+      // frontier⋈adjacency join is keyed on src, and a LogicalRDD
+      // preserves its checkpoint-time partitioning — so the whole edge
+      // set shuffles ONCE here instead of once per round (only the
+      // delta-sized frontier moves per round). One extra exchange in the
+      // staging job buys maxHops fewer corpus-sized exchanges.
       val adj = ck.stage(
         edges.select(col("id1").as("src"), col("id2").as("dst"))
-          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+          .repartition(col("src")))
       var deltas = Vector(
         ck.stage(seeds.select(col("id"), lit(0).as("dist"))))
       var frontier = deltas.head
@@ -155,9 +162,13 @@ object Graphs {
     val spark = edges.sparkSession
     val ck = new IterativeCheckpointer(spark, checkpointDir, 1)
     IterativeCheckpointer.withCheckpointDir(spark, checkpointDir) {
+      // hash-partitioned on src at stage time (r18 — the bfs rationale):
+      // the per-round labels⋈adj join re-shuffled the WHOLE edge set
+      // every round; now only the node-sized label frame moves
       val adj = ck.stage(
         edges.select(col("id1").as("src"), col("id2").as("dst"))
-          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+          .repartition(col("src")))
       var labels = ck.stage(
         nodes.select(col("id"), col("id").as("label")))
       var r = 1
@@ -187,9 +198,12 @@ object Graphs {
     val spark = edges.sparkSession
     val ck = new IterativeCheckpointer(spark, checkpointDir, 1)
     IterativeCheckpointer.withCheckpointDir(spark, checkpointDir) {
+      // hash-partitioned on src at stage time (r18 — the bfs rationale):
+      // each step's frontier⋈adj join now moves only the walk frontier
       val adj = ck.stage(
         edges.select(col("id1").as("src"), col("id2").as("dst"))
-          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst"))))
+          .unionAll(edges.select(col("id2").as("src"), col("id1").as("dst")))
+          .repartition(col("src")))
       // exclusive dst radix for the decimal-packed argmin (same guard
       // discipline as Similarity's idRadix: empty adjacency -> radix 1 and
       // the joins below lazily produce zero continuation rows; negative
