@@ -1120,13 +1120,22 @@ object Analytics {
     // materialized ONCE (r17, the q93 discipline): occ feeds the owner
     // census and — via the distinct below — the per-doc chunk count, so
     // the tokenize → chunk-explode pipeline runs once instead of twice.
+    // The chunk key is the portable 60-bit md5 hash computed IN the
+    // exploding projection (r18; the q93/q126/q148 recipe, oracle updated
+    // in lockstep): the checkpoint carries 28-byte rows instead of the
+    // chunk STRINGS (a corpus-sized executor-storage payload at 100 TB —
+    // VERDICT r17 §4), and the keep-first census shuffles 8-byte keys.
+    // A key collision would merge two chunks identically in BOTH engines
+    // (the oracle replays the same hash); odds ~(distinct chunks)²/2⁶¹.
     val occ = base.select(col("doc_id"), col("n_chunks"),
         posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
           i => concat_ws(" ", slice(col("a"), i * C + 1, lit(C))))))
       .toDF("doc_id", "n_chunks", "pos", "chunk")
+      .select(col("doc_id"), col("n_chunks"), col("pos"),
+        graft.functions.PortableHash.md5Head60(col("chunk")).as("h"))
       .localCheckpoint()
     val owners = occ
-      .groupBy(col("chunk"))
+      .groupBy(col("h"))
       .agg(min(col("doc_id") * enc + col("pos")).as("k0"))
       .select(expr(s"CAST(k0 div $enc AS BIGINT)").as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("kept"))

@@ -1186,10 +1186,13 @@ object AnalyticsOracles {
         |FROM red ORDER BY doc_id""".stripMargin,
 
     // chunk dedup: same 8-token windows (list slice ≡ Spark slice, both
-    // 1-based inclusive), same BIGINT (doc_id, pos) encoding, keep-first
-    // by min key
+    // 1-based inclusive), same portable 60-bit md5 chunk key (r18 — the
+    // q93 recipe; the engine shuffles and checkpoints the 8-byte key, and
+    // the twin replays the identical hash so a collision merges the same
+    // chunks in both), same BIGINT (doc_id, pos) encoding, keep-first by
+    // min key
     "q85_chunk_dedup" ->
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS a,
         |    CAST(len(string_split(text, ' ')) // 8 AS INTEGER) AS n_chunks
         |  FROM documents),
@@ -1201,7 +1204,8 @@ object AnalyticsOracles {
         |        chunk := array_to_string(a[8*i+1:8*i+8], ' ')))) AS o
         |  FROM b),
         |k AS (
-        |  SELECT o.chunk AS chunk, min(doc_id * 1048576 + o.pos) AS k0
+        |  SELECT ${md5Head60("o.chunk")} AS h,
+        |    min(doc_id * 1048576 + o.pos) AS k0
         |  FROM occ GROUP BY 1),
         |own AS (
         |  SELECT CAST(k0 // 1048576 AS BIGINT) AS doc_id, count(*) AS kept
