@@ -240,9 +240,14 @@ object Similarity {
       .select(col("qid"), col("cid"))
       .join(qVecs, "qid")
 
-    // exact rerank within the probed cells only
+    // exact rerank within the probed cells only. probes is broadcast by
+    // CONSTRUCTION (≤ queries × nProbe rows, carrying the query
+    // vectors): without the hint the initial plan SMJs this join and
+    // shuffles the corpus-sized member side — (id, cid, v, nrm), the
+    // VECTORS — by cid before AQE can rewrite it; the broadcast makes
+    // the members side stream scan-side at any corpus size (r18).
     val sim = round(dotFast(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
-    val pairs = probes.join(assigned, "cid")
+    val pairs = broadcast(probes).join(assigned, "cid")
       .where(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), sim.as("sim"))
       .dropDuplicates("qid", "nid")
@@ -280,7 +285,11 @@ object Similarity {
       .orderBy(col("h"), col("id"))
       .limit(nCentroids)
       .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val mEx = idRadix(base)
+    // the seed TakeOrdered and the radix aggregate are independent
+    // corpus jobs — overlapped on a driver thread (r18, guide §2.6)
+    // instead of two sequential driver-blocking rounds per build
+    val seedsT = graft.sources.Overlap.future(seeds.localCheckpoint())
+    val mEx = graft.sources.Overlap.guarding(seedsT)(idRadix(base))
     def assign(centroids: DataFrame): DataFrame =
       assignToCells(base, centroids, mEx)
 
@@ -306,7 +315,7 @@ object Similarity {
     // scans in the executed plan vs 5 for iters = 0). Checkpointing
     // K-row frames costs nothing and makes each round's assignment run
     // exactly once at any corpus size.
-    val centroids = (1 to kmeansIters).foldLeft(seeds.localCheckpoint()) {
+    val centroids = (1 to kmeansIters).foldLeft(seedsT()) {
       case (cs, _) => recenter(assign(cs)).localCheckpoint()
     }
     (base, centroids, assign(centroids))
@@ -954,7 +963,12 @@ object Similarity {
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     // ONE plan-time scalar job for dim AND the pack radix — these were
     // two separate corpus aggregates (the dim max and idRadix's id
-    // max/min), i.e. two full passes for three scalars one pass yields
+    // max/min), i.e. two full passes for three scalars one pass yields.
+    // (An r18 attempt to ALSO overlap the seed TakeOrdered with this job
+    // measured flat-to-worse and was reverted: the split forced the
+    // seeds to materialize separately from the subC chain, and the extra
+    // job's dispatch cost ate the overlap — q88 read 1.25 → 1.43 s
+    // warm-min in alternating A/Bs. The chain stays one job.)
     val hd = q.agg(max(size(col("qv"))), max(col("id")), min(col("id")))
       .head()
     val dim = hd.getInt(0)
@@ -1045,10 +1059,11 @@ object Similarity {
     * decimal-packed map-side-combining HashAggregates (min(d2·M + id) —
     * a min_by(struct) here would silently plan SortAggregateExec and sort
     * the N·K assignment stream, the q95 lesson); the probe window ranks a
-    * broadcast-bounded q×nCells grid, never the corpus; the members join
-    * hash-partitions on the cell id. Fixed nCells keeps routing O(N·K·d)
-    * — production at corpus-scaled K would add [[semanticDedup]]'s √K
-    * hierarchical routing; the join shape downstream is identical. */
+    * broadcast-bounded q×nCells grid, never the corpus; the probed-member
+    * join broadcasts the bounded probe set. Fixed nCells keeps routing
+    * O(N·K·d) — production at corpus-scaled K would add
+    * [[semanticDedup]]'s √K hierarchical routing; the join shape
+    * downstream is identical. */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 nCells: Int, nProbe: Int, m: Int, kCodes: Int, scale: Long,
                 queryPred: Column, rerank: Int, k: Int): DataFrame = {
@@ -1072,18 +1087,64 @@ object Similarity {
     * per-(vector, subspace) code argmin. Shared by the inline
     * [[ivfPqTopK]] and the stored [[ivfPqBuildStored]] so the two cannot
     * drift. Returns (corpus q, cells, assigned, subspace codebooks,
-    * codes, subspace dim). */
+    * codes, subspace dim).
+    *
+    * A FUSED single-aggregate encode (cell argmin + all m code argmins
+    * in one groupBy(id) with 17 packed-decimal min slots, the codes as
+    * an array) was built and REVERTED in r18: a same-JVM alternating A/B
+    * at the 100× decade (3 rounds, ScratchEncodeAB, parity-gated) read
+    * it 2.2× SLOWER (old min 2.61 s vs fused 5.80 s) — the 17-slot
+    * decimal buffer and per-row branch fan-out cost far more than the
+    * saved (id, s)-keyed exchange and id-join ever bought. Keep the
+    * two-aggregate + join shape. */
   private def ivfPqIndex(emb: DataFrame, idCol: String, vecCol: String,
                          nCells: Int, m: Int, kCodes: Int, scale: Long)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Int) = {
     graft.plans.VectorExpressions.register(emb.sparkSession)
     val q = emb.where(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
-    val dim = q.select(size(col("qv")).as("d")).agg(max(col("d"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    def mdSeeds(salt: String, n: Int, outId: String) = q
+      .withColumn("h", graft.functions.PortableHash.md5Head60(
+        concat(lit(salt), col("id").cast("string"))))
+      .orderBy(col("h"), col("id"))
+      .limit(n)
+      .select(col("id").as(outId), col("qv").as("cv"))
+
+    // Plan-time jobs, fused and overlapped (r18; guide §2.6 + the q88
+    // scalar-fusion recipe): the pre-r18 shape ran FOUR sequential
+    // driver-blocking corpus jobs before the main plan — dim max, id
+    // radix, and the two seed TakeOrdereds — every attempt. Now dim +
+    // radix ride ONE aggregate that overlaps the cell-seed TakeOrdered
+    // on a driver thread; only the codebook seeds (which need sd = dim/m
+    // for the subspace slicing) wait for the scalars. 4 sequential
+    // corpus jobs → 2 overlapped rounds.
+    //
+    // cells/subC stay materialized once (r17, the ivfIndex centroid
+    // discipline): both are consumed by the assignment/encode argmins
+    // AND the search/write sides, and each is a seed-count-sized frame
+    // whose upstream is a corpus-wide TakeOrdered.
+    val cellsT = graft.sources.Overlap.future(
+      mdSeeds("ivf:", nCells, "cid").localCheckpoint())
+    // guarding: a scalar-job failure (or a guard require below) must not
+    // leave the seed job running detached
+    val (dim, mExclusive) = graft.sources.Overlap.guarding(cellsT) {
+      val r = q.agg(max(size(col("qv"))), max(col("id")), min(col("id")))
+        .head()
+      // empty (or all-null-vector) corpus: dim 0 / radix 1, and every
+      // frame below is lazily empty — the idRadix guard discipline
+      val d = if (r.isNullAt(0)) 0 else r.getInt(0)
+      require(d % m == 0, s"dim $d not divisible by m=$m")
+      val mx =
+        if (r.isNullAt(1)) 1L
+        else {
+          require(r.getLong(2) >= 0L,
+            "decimal-packed argmin requires non-negative ids; saw " +
+              s"min(id)=${r.getLong(2)}")
+          r.getLong(1) + 1L
+        }
+      (d, mx)
+    }
     val sd = dim / m
-    // plan-time scalar for the decimal argmin packing (one max job)
-    val mExclusive = idRadix(q)
     def argminTo(pairs: DataFrame, idC: String, distC: Column,
                  keyC: String, outC: String): DataFrame =
       pairs
@@ -1092,25 +1153,12 @@ object Similarity {
         .groupBy(col(idC))
         .agg(min(col("pd")).as("pd"))
         .select(col(idC), (col("pd") % lit(mExclusive)).cast("long").as(outC))
-    def mdSeeds(salt: String, n: Int, outId: String) = q
-      .withColumn("h", graft.functions.PortableHash.md5Head60(
-        concat(lit(salt), col("id").cast("string"))))
-      .orderBy(col("h"), col("id"))
-      .limit(n)
-      .select(col("id").as(outId), col("qv").as("cv"))
-
-    // IVF routing: every vector to its (integer-L2) nearest cell.
-    // cells/subC are materialized once (r17, the ivfIndex centroid
-    // discipline): both are consumed by the assignment/encode argmins
-    // AND the search/write sides, and each is a seed-count-sized frame
-    // whose upstream is a corpus-wide TakeOrdered — un-checkpointed,
-    // that corpus pass re-ran once per consumer.
-    val cells = mdSeeds("ivf:", nCells, "cid").localCheckpoint()
+    val subC = subspaces(mdSeeds("pq:", kCodes, "ccid"), "cv", "csub", m, sd)
+      .localCheckpoint()
+    val cells = cellsT()
     val assigned = argminTo(q.crossJoin(broadcast(cells)), "id",
       call_function("long_sq_dist", col("qv"), col("cv")), "cid", "cid")
     // PQ encode (whole corpus — the index-build cost)
-    val seeds = mdSeeds("pq:", kCodes, "ccid")
-    val subC = subspaces(seeds, "cv", "csub", m, sd).localCheckpoint()
     val d2sub = call_function("long_sq_dist", col("sub"), col("csub"))
     val codes = argminTo(
       subspaces(q, "qv", "sub", m, sd).join(broadcast(subC), "s")
@@ -1120,6 +1168,14 @@ object Similarity {
         pmod(col("ik"), lit(m)).cast("int").as("s"), col("code"))
     (q, cells, assigned, subC, codes, sd)
   }
+
+  /** Per-id raw-content hashes for a PQ batch — the token terms that ride
+    * the s = 0 code rows. */
+  private def pqFps(emb: DataFrame, idCol: String,
+                    vecCol: String): DataFrame =
+    emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"),
+        xxhash64(col(idCol), col(vecCol)).as("fp"))
 
   /** The online IVF-PQ search: probe nProbe integer-L2-nearest cells, ADC
     * only the probed cells' code rows against the per-query distance
@@ -1145,9 +1201,15 @@ object Similarity {
       .select(col("id").as("qid"), col("s"), col("ccid").as("code"),
         call_function("long_sq_dist", col("sub"), col("csub")).as("td2"))
 
-    // ADC confined to probed-cell members — the IVF win over q88
+    // ADC confined to probed-cell members — the IVF win over q88.
+    // probes is broadcast by CONSTRUCTION (≤ queries × nProbe rows — the
+    // same boundedness the table/shortlist/qFull broadcasts below
+    // already assume): without the hint the initial plan SMJs this join
+    // and pays a full shuffle write of the m·N code rows by cid before
+    // AQE's runtime rewrite can act (r18; 34 → 26 exchanges in q125's
+    // formatted plan).
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc"), col("id"))
-    val shortlist = probes.join(codesCid, "cid")
+    val shortlist = broadcast(probes).join(codesCid, "cid")
       .join(broadcast(table), Seq("qid", "s", "code"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("td2")).as("adc"))
@@ -1201,14 +1263,6 @@ object Similarity {
       pqKey(idCol, vecCol, nCells, m, kCodes, scale, index))(
       pqScanToken(emb, idCol, vecCol, nCells, m, kCodes, scale,
         index.nBands))
-
-  /** Per-id raw-content hashes for a PQ batch — the token terms that ride
-    * the s = 0 code rows. */
-  private def pqFps(emb: DataFrame, idCol: String,
-                    vecCol: String): DataFrame =
-    emb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"),
-        xxhash64(col(idCol), col(vecCol)).as("fp"))
 
   /** OFFLINE IVF-PQ build: persist the integer cell grid, the subspace
     * codebooks, and the cid-clustered code rows into `index` — the
@@ -1286,20 +1340,20 @@ object Similarity {
                                   vecCol: String, m: Int, scale: Long,
                                   index: graft.sources.PqIndex): DataFrame = {
     graft.plans.VectorExpressions.register(newEmb.sparkSession)
-    val q = newEmb.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     val cells = index.readCells()
     val subC = index.readCodebooks()
     val sdHead = subC.select(size(col("csub")).as("sd")).take(1)
     require(sdHead.nonEmpty,
       "stored codebooks are empty — build the index before extending it")
     val sd = sdHead(0).getInt(0)
-    // covering radix for BOTH decimal-packed argmins (cell cids and
+    // covering radix for the decimal-packed argmins (cell cids and
     // codebook ccids are corpus vec_ids from the BASE build — the
     // ivfExtendStored lesson: a batch-derived radix under-covers them)
     val kMax = cells.agg(max(col("cid"))).first().getLong(0)
       .max(subC.agg(max(col("ccid"))).first().getLong(0))
     val mEx = kMax + 1L
+    val q = newEmb.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("id"), fixedPoint(vecCol, scale).as("qv"))
     val bMin = q.agg(min(col("id"))).first()
     if (!bMin.isNullAt(0))
       require(bMin.getLong(0) >= 0,
